@@ -1,0 +1,165 @@
+"""CPU reference codecs for llama.cpp block-quant formats found in GGUF files.
+
+Vectorized NumPy reimplementations of the dequantizers in
+ggml/src/ggml-quants.c (dequantize_row_q8_0, :1643 dequantize_row_q4_K,
+dequantize_row_q6_K, ...). These are load-time codecs: model weights arrive as
+Q4_K/Q6_K/Q8_0/F16 GGUF tensors and are either requantized to TCQ4 or
+dequantized to bf16 for the unquantized execution path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rrs_tpu.gguf.constants import BLOCK_SIZES, GGMLType
+
+QK_K = 256
+
+
+def _fp16(buf: np.ndarray) -> np.ndarray:
+    return buf.view(np.float16).astype(np.float32)
+
+
+def dequantize_q8_0(raw: np.ndarray, n: int) -> np.ndarray:
+    # block: fp16 d + 32 x int8
+    blocks = raw.reshape(-1, 34)
+    d = _fp16(blocks[:, :2].copy())                     # [nb, 1]
+    q = blocks[:, 2:].view(np.int8).astype(np.float32)  # [nb, 32]
+    return (q * d).reshape(-1)[:n]
+
+
+def quantize_q8_0(x: np.ndarray) -> np.ndarray:
+    """quantize_row_q8_0 semantics: d = absmax/127, q = roundf(x/d)."""
+    x = np.asarray(x, np.float32).reshape(-1, 32)
+    amax = np.abs(x).max(axis=1, keepdims=True)
+    d = amax / 127.0
+    inv = np.where(d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    q = np.clip(np.trunc(x * inv + np.copysign(0.5, x * inv)), -128, 127).astype(np.int8)
+    d16 = d.astype(np.float16)
+    out = np.empty((x.shape[0], 34), np.uint8)
+    out[:, :2] = d16.view(np.uint8).reshape(-1, 2)
+    out[:, 2:] = q.view(np.uint8)
+    return out.reshape(-1)
+
+
+def dequantize_q4_0(raw: np.ndarray, n: int) -> np.ndarray:
+    # block: fp16 d + 16 bytes; elem j<16 low nibble, j>=16 high nibble; q-8
+    blocks = raw.reshape(-1, 18)
+    d = _fp16(blocks[:, :2].copy())
+    qs = blocks[:, 2:]
+    lo = (qs & 0xF).astype(np.int8) - 8
+    hi = (qs >> 4).astype(np.int8) - 8
+    q = np.concatenate([lo, hi], axis=1).astype(np.float32)
+    return (q * d).reshape(-1)[:n]
+
+
+def _q4k_scale_min(scales: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """get_scale_min_k4 (ggml-quants.c:707-715), vectorized over blocks.
+
+    scales: [nb, 12] uint8 -> (sc, m): [nb, 8] float32, 6-bit values.
+    """
+    s = scales.astype(np.uint32)
+    sc = np.empty(s.shape[:-1] + (8,), np.uint32)
+    m = np.empty_like(sc)
+    for j in range(4):
+        sc[..., j] = s[..., j] & 63
+        m[..., j] = s[..., j + 4] & 63
+    for j in range(4, 8):
+        sc[..., j] = (s[..., j + 4] & 0xF) | ((s[..., j - 4] >> 6) << 4)
+        m[..., j] = (s[..., j + 4] >> 4) | ((s[..., j] >> 6) << 4)
+    return sc.astype(np.float32), m.astype(np.float32)
+
+
+def dequantize_q4_k(raw: np.ndarray, n: int) -> np.ndarray:
+    # block: fp16 d, fp16 dmin, 12B scales, 128B qs (dequantize_row_q4_K :1643)
+    blocks = raw.reshape(-1, 144)
+    d = _fp16(blocks[:, 0:2].copy())[:, 0]
+    dmin = _fp16(blocks[:, 2:4].copy())[:, 0]
+    sc, mn = _q4k_scale_min(blocks[:, 4:16])
+    qs = blocks[:, 16:144]                                   # [nb, 128]
+    nb = blocks.shape[0]
+    out = np.empty((nb, 256), np.float32)
+    # j-loop over 64-element chunks: chunk c uses qs[c*32:(c+1)*32],
+    # low nibbles -> elements [c*64, c*64+32) scale 2c, high -> +32 scale 2c+1
+    for c in range(4):
+        q = qs[:, c * 32 : (c + 1) * 32]
+        lo = (q & 0xF).astype(np.float32)
+        hi = (q >> 4).astype(np.float32)
+        out[:, c * 64 : c * 64 + 32] = d[:, None] * sc[:, 2 * c, None] * lo - dmin[:, None] * mn[:, 2 * c, None]
+        out[:, c * 64 + 32 : c * 64 + 64] = d[:, None] * sc[:, 2 * c + 1, None] * hi - dmin[:, None] * mn[:, 2 * c + 1, None]
+    return out.reshape(-1)[:n]
+
+
+def dequantize_q6_k(raw: np.ndarray, n: int) -> np.ndarray:
+    # block: ql[128], qh[64], scales[16] int8, fp16 d (dequantize_row_q6_K)
+    blocks = raw.reshape(-1, 210)
+    ql = blocks[:, 0:128]
+    qh = blocks[:, 128:192]
+    sc = blocks[:, 192:208].view(np.int8).astype(np.float32)
+    d = _fp16(blocks[:, 208:210].copy())[:, 0]
+    nb = blocks.shape[0]
+    out = np.empty((nb, 256), np.float32)
+    for half in range(2):  # n in {0, 128}
+        qlh = ql[:, half * 64 : half * 64 + 64]
+        qhh = qh[:, half * 32 : half * 32 + 32]
+        sch = sc[:, half * 8 : half * 8 + 8]
+        l = np.arange(32)
+        is_ = l // 16                                        # [32]
+        q1 = ((qlh[:, :32] & 0xF) | (((qhh >> 0) & 3) << 4)).astype(np.int8) - 32
+        q2 = ((qlh[:, 32:] & 0xF) | (((qhh >> 2) & 3) << 4)).astype(np.int8) - 32
+        q3 = ((qlh[:, :32] >> 4) | (((qhh >> 4) & 3) << 4)).astype(np.int8) - 32
+        q4 = ((qlh[:, 32:] >> 4) | (((qhh >> 6) & 3) << 4)).astype(np.int8) - 32
+        base = half * 128
+        out[:, base + 0 : base + 32] = d[:, None] * sch[:, is_ + 0] * q1
+        out[:, base + 32 : base + 64] = d[:, None] * sch[:, is_ + 2] * q2
+        out[:, base + 64 : base + 96] = d[:, None] * sch[:, is_ + 4] * q3
+        out[:, base + 96 : base + 128] = d[:, None] * sch[:, is_ + 6] * q4
+    return out.reshape(-1)[:n]
+
+
+def dequantize_q5_k(raw: np.ndarray, n: int) -> np.ndarray:
+    # block: fp16 d, fp16 dmin, scales[12], qh[32], qs[128]
+    blocks = raw.reshape(-1, 176)
+    d = _fp16(blocks[:, 0:2].copy())[:, 0]
+    dmin = _fp16(blocks[:, 2:4].copy())[:, 0]
+    sc, mn = _q4k_scale_min(blocks[:, 4:16])
+    qh = blocks[:, 16:48]
+    qs = blocks[:, 48:176]
+    nb = blocks.shape[0]
+    out = np.empty((nb, 256), np.float32)
+    u = 1
+    for c in range(4):
+        q = qs[:, c * 32 : (c + 1) * 32]
+        lo = (q & 0xF).astype(np.float32) + np.where((qh & u) != 0, 16.0, 0.0)
+        u <<= 1
+        hi = (q >> 4).astype(np.float32) + np.where((qh & u) != 0, 16.0, 0.0)
+        u <<= 1
+        out[:, c * 64 : c * 64 + 32] = d[:, None] * sc[:, 2 * c, None] * lo - dmin[:, None] * mn[:, 2 * c, None]
+        out[:, c * 64 + 32 : c * 64 + 64] = d[:, None] * sc[:, 2 * c + 1, None] * hi - dmin[:, None] * mn[:, 2 * c + 1, None]
+    return out.reshape(-1)[:n]
+
+
+_DEQUANT = {
+    GGMLType.Q8_0: dequantize_q8_0,
+    GGMLType.Q4_0: dequantize_q4_0,
+    GGMLType.Q4_K: dequantize_q4_k,
+    GGMLType.Q5_K: dequantize_q5_k,
+    GGMLType.Q6_K: dequantize_q6_k,
+}
+
+
+def dequantize(raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> np.ndarray:
+    """Dequantize a raw GGUF tensor payload to f32 in its logical shape."""
+    if ggml_type == GGMLType.TCQ4_K32:
+        from rrs_tpu.formats.tile_codec import decode_tcq4_gguf
+        from rrs_tpu.formats.tcq4 import dequantize_tcq4
+
+        t = decode_tcq4_gguf(raw, shape)
+        return dequantize_tcq4(t, rotated=False).T.reshape(shape)
+    fn = _DEQUANT.get(ggml_type)
+    if fn is None:
+        raise NotImplementedError(f"no dequantizer for {ggml_type!r}")
+    n = 1
+    for s in shape:
+        n *= s
+    return fn(raw, n).reshape(shape)

@@ -1,0 +1,197 @@
+"""Dense llama-family transformer forward (Llama-3, Qwen2.5, Qwen3).
+
+The analog of the per-arch graph builders in src/models/*.cpp (llama.cpp,
+qwen2.cpp, qwen3.cpp): RMSNorm -> QKV (+optional per-head q/k norm) -> RoPE ->
+GQA attention over the KV cache -> output proj -> RMSNorm -> SwiGLU FFN.
+
+Everything is a jitted pure function over a weights pytree; XLA replaces the
+ggml graph builder + backend scheduler + allocator.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rrs_tpu.models.config import ModelConfig
+from rrs_tpu.models.linear import DenseLinear, TCQ4Linear, linear_apply
+from rrs_tpu.ops.basic import RopeParams, apply_rope, rms_norm
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["attn_norm", "wq", "wk", "wv", "wo", "q_norm", "k_norm",
+                 "ffn_norm", "w_gate", "w_up", "w_down"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class LayerWeights:
+    attn_norm: jnp.ndarray
+    wq: Any
+    wk: Any
+    wv: Any
+    wo: Any
+    q_norm: Optional[jnp.ndarray]
+    k_norm: Optional[jnp.ndarray]
+    ffn_norm: jnp.ndarray
+    w_gate: Any
+    w_up: Any
+    w_down: Any
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["embed", "layers", "final_norm", "lm_head"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class ModelWeights:
+    embed: jnp.ndarray            # [vocab, n_embd] bf16
+    layers: list[LayerWeights]
+    final_norm: jnp.ndarray
+    lm_head: Any                  # DenseLinear (possibly tied to embed)
+
+
+def rope_params(cfg: ModelConfig) -> RopeParams:
+    return RopeParams(
+        head_dim=cfg.head_dim,
+        theta=cfg.rope_theta,
+        scaling_type=cfg.rope_scaling_type,
+        scale_factor=cfg.rope_scale_factor,
+        orig_context=cfg.rope_orig_context,
+        neox=cfg.rope_neox,
+    )
+
+
+def attention(
+    cfg: ModelConfig,
+    lw: LayerWeights,
+    x: jnp.ndarray,              # [B, T, E]
+    positions: jnp.ndarray,      # [B, T] int32
+    k_cache: jnp.ndarray,        # [B, S, Hkv, D]
+    v_cache: jnp.ndarray,        # [B, S, Hkv, D]
+    kv_mask: jnp.ndarray,        # [B, T, S] bool (True = attend)
+    cache_slots: jnp.ndarray,    # [B, T] int32 cache positions to write
+):
+    b, t, _ = x.shape
+    d = cfg.head_dim
+    rp = rope_params(cfg)
+
+    q = linear_apply(lw.wq, x).reshape(b, t, cfg.n_heads, d)
+    k = linear_apply(lw.wk, x).reshape(b, t, cfg.n_kv_heads, d)
+    v = linear_apply(lw.wv, x).reshape(b, t, cfg.n_kv_heads, d)
+
+    if cfg.qk_norm:
+        q = rms_norm(q, lw.q_norm, cfg.rms_eps)
+        k = rms_norm(k, lw.k_norm, cfg.rms_eps)
+
+    q = apply_rope(q, positions, rp)
+    k = apply_rope(k, positions, rp)
+
+    # scatter new K/V into the cache at cache_slots (ggml_set_rows analog,
+    # llama-graph.cpp:1736-1737)
+    batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None].repeat(t, 1)
+    k_cache = k_cache.at[batch_idx, cache_slots].set(k.astype(k_cache.dtype))
+    v_cache = v_cache.at[batch_idx, cache_slots].set(v.astype(v_cache.dtype))
+
+    # GQA attention, f32 accumulation (build_attn_mha, llama-graph.cpp:1467-1596)
+    group = cfg.n_heads // cfg.n_kv_heads
+    qf = q.reshape(b, t, cfg.n_kv_heads, group, d).astype(jnp.float32)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+    scores = jnp.einsum("bthgd,bshd->bhgts", qf, kf) / np.sqrt(d)
+    mask = kv_mask[:, None, None, :, :]                  # [B,1,1,T,S]
+    scores = jnp.where(mask, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.where(jnp.isnan(probs), 0.0, probs)      # fully-masked rows
+    ctx = jnp.einsum("bhgts,bshd->bthgd", probs, vf)
+    ctx = ctx.reshape(b, t, cfg.n_heads * d).astype(x.dtype)
+
+    out = linear_apply(lw.wo, ctx)
+    return out, k_cache, v_cache
+
+
+def ffn(cfg: ModelConfig, lw: LayerWeights, x: jnp.ndarray) -> jnp.ndarray:
+    gate = linear_apply(lw.w_gate, x)
+    up = linear_apply(lw.w_up, x)
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    return linear_apply(lw.w_down, act)
+
+
+def forward(
+    cfg: ModelConfig,
+    w: ModelWeights,
+    tokens: jnp.ndarray,         # [B, T] int32
+    positions: jnp.ndarray,      # [B, T] int32
+    k_caches: list[jnp.ndarray],
+    v_caches: list[jnp.ndarray],
+    kv_mask: jnp.ndarray,        # [B, T, S] bool
+    cache_slots: jnp.ndarray,    # [B, T] int32
+):
+    """One decode/prefill step. Returns (logits [B, T, V], new k/v caches)."""
+    x = jnp.take(w.embed, tokens, axis=0)
+    new_k, new_v = [], []
+    for li, lw in enumerate(w.layers):
+        h = rms_norm(x, lw.attn_norm, cfg.rms_eps)
+        attn_out, kc, vc = attention(
+            cfg, lw, h, positions, k_caches[li], v_caches[li], kv_mask, cache_slots
+        )
+        new_k.append(kc)
+        new_v.append(vc)
+        x = x + attn_out
+        h = rms_norm(x, lw.ffn_norm, cfg.rms_eps)
+        x = x + ffn(cfg, lw, h)
+    x = rms_norm(x, w.final_norm, cfg.rms_eps)
+    logits = linear_apply(w.lm_head, x)
+    return logits.astype(jnp.float32), new_k, new_v
+
+
+# ---------------------------------------------------------------------------
+# Synthetic weight builders (tests/benchmarks on random weights)
+# ---------------------------------------------------------------------------
+
+def random_weights(
+    cfg: ModelConfig,
+    seed: int = 0,
+    dtype=jnp.bfloat16,
+    quantize: bool = False,
+    scale: float = 0.02,
+) -> ModelWeights:
+    """Random-initialized weights, optionally TCQ4-quantized (host-side)."""
+    from rrs_tpu.formats.tcq4 import quantize_tcq4
+
+    rng = np.random.default_rng(seed)
+
+    def dense(k, n):
+        wm = (rng.standard_normal((k, n)) * scale).astype(np.float32)
+        return DenseLinear(w=jnp.asarray(wm, dtype))
+
+    def lin(k, n):
+        if not quantize or k % 256 or n % 8:
+            return dense(k, n)
+        wm = (rng.standard_normal((n, k)) * scale).astype(np.float32)
+        return TCQ4Linear.from_tensor(quantize_tcq4(wm))
+
+    e, hq, hkv, d, f = cfg.n_embd, cfg.n_q_dim, cfg.n_kv_dim, cfg.head_dim, cfg.n_ff
+    layers = []
+    for _ in range(cfg.n_layers):
+        layers.append(LayerWeights(
+            attn_norm=jnp.ones((e,), dtype),
+            wq=lin(e, hq), wk=lin(e, hkv), wv=lin(e, hkv), wo=lin(hq, e),
+            q_norm=jnp.ones((d,), dtype) if cfg.qk_norm else None,
+            k_norm=jnp.ones((d,), dtype) if cfg.qk_norm else None,
+            ffn_norm=jnp.ones((e,), dtype),
+            w_gate=lin(e, f), w_up=lin(e, f), w_down=lin(f, e),
+        ))
+    embed = jnp.asarray(rng.standard_normal((cfg.vocab_size, e)) * scale, dtype)
+    return ModelWeights(
+        embed=embed,
+        layers=layers,
+        final_norm=jnp.ones((e,), dtype),
+        lm_head=DenseLinear(w=embed.T),
+    )

@@ -1,0 +1,166 @@
+"""Inference context: the decode loop (llama-context.cpp analog).
+
+Replaces llama_context::decode + graph reuse + scheduler with a small set of
+jitted step functions keyed by (batch lanes, chunk length) buckets — the
+TPU analog of the reference's topology-based graph reuse
+(llm_graph_result::can_reuse, llama-context.cpp:1138): same bucket => same
+compiled executable, zero re-trace.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rrs_tpu.models.config import ModelConfig
+from rrs_tpu.models import llama as llama_model
+from rrs_tpu.runtime.kv_cache import KVCache
+from rrs_tpu.runtime.sampler import SamplerParams, sample
+
+PREFILL_BUCKETS = (16, 64, 256, 512)
+
+
+def _bucket(n: int) -> int:
+    for b in PREFILL_BUCKETS:
+        if n <= b:
+            return b
+    return PREFILL_BUCKETS[-1]
+
+
+class InferenceContext:
+    """Single-model inference context over a fixed-lane KV cache."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        weights: llama_model.ModelWeights,
+        n_lanes: int = 1,
+        max_seq: int = 2048,
+        kv_dtype=jnp.bfloat16,
+    ):
+        self.cfg = cfg
+        self.weights = weights
+        self.kv = KVCache.create(cfg, n_lanes, max_seq, kv_dtype)
+        self._next_seq_id = 0
+        # perf counters (llama_perf_context analog)
+        self.n_prefill_tokens = 0
+        self.n_decode_tokens = 0
+
+        self._step_fn = jax.jit(functools.partial(self._step, cfg))
+
+    # -- jitted step -------------------------------------------------------
+
+    @staticmethod
+    def _step(cfg, weights, tokens, start_pos, lengths, k_caches, v_caches):
+        """tokens [B, T]; start_pos/lengths [B]. Computes causal mask, runs
+        forward, returns (logits, caches). Padded token slots (token == -1)
+        are masked out of the cache write by pointing their slot at position
+        max_seq-1... they are instead handled by never advancing lengths."""
+        b, t = tokens.shape
+        s = k_caches[0].shape[1]
+        pos = start_pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+        slots = pos  # lane-local: slot == absolute position (no wraparound yet)
+        kv_pos = jnp.arange(s, dtype=jnp.int32)[None, None, :]
+        kv_mask = kv_pos <= pos[:, :, None]
+        # lanes whose row is entirely padding (start_pos < 0) attend nothing
+        kv_mask = kv_mask & (start_pos[:, None, None] >= 0)
+        safe_tokens = jnp.maximum(tokens, 0)
+        # Padded lanes (start_pos < 0) must not corrupt live cells: park their
+        # writes at slot s-1, which any sequence reaching that position
+        # overwrites with its own K/V before attending to it.
+        safe_slots = jnp.where(
+            start_pos[:, None] < 0, s - 1, jnp.clip(slots, 0, s - 1)
+        )
+        logits, nk, nv = llama_model.forward(
+            cfg, weights, safe_tokens, pos, k_caches, v_caches, kv_mask, safe_slots
+        )
+        return logits, nk, nv
+
+    def _run(self, tokens_np: np.ndarray, start_pos_np: np.ndarray):
+        logits, nk, nv = self._step_fn(
+            self.weights,
+            jnp.asarray(tokens_np, jnp.int32),
+            jnp.asarray(start_pos_np, jnp.int32),
+            self.kv.lengths_array(),
+            self.kv.k,
+            self.kv.v,
+        )
+        self.kv.k = nk
+        self.kv.v = nv
+        return logits
+
+    # -- public API --------------------------------------------------------
+
+    def new_sequence(self) -> int:
+        seq_id = self._next_seq_id
+        self._next_seq_id += 1
+        self.kv.seq_new(seq_id)
+        return seq_id
+
+    def prefill(self, seq_id: int, tokens: list[int]) -> np.ndarray:
+        """Feed prompt tokens; returns logits for every position [T, V]."""
+        lane = self.kv.lane_of(seq_id)
+        b = self.kv.n_lanes
+        out = []
+        i = 0
+        while i < len(tokens):
+            chunk = tokens[i : i + PREFILL_BUCKETS[-1]]
+            t = _bucket(len(chunk))
+            tok = np.full((b, t), -1, np.int32)
+            start = np.full((b,), -1, np.int32)
+            tok[lane, : len(chunk)] = chunk
+            start[lane] = self.kv.lengths[lane]
+            logits = self._run(tok, start)
+            out.append(np.asarray(logits[lane, : len(chunk)]))
+            self.kv.lengths[lane] += len(chunk)
+            self.n_prefill_tokens += len(chunk)
+            i += len(chunk)
+        return np.concatenate(out, axis=0)
+
+    def decode(self, seq_tokens: dict[int, int]) -> dict[int, np.ndarray]:
+        """One batched decode step: {seq_id: token} -> {seq_id: logits [V]}."""
+        b = self.kv.n_lanes
+        tok = np.full((b, 1), -1, np.int32)
+        start = np.full((b,), -1, np.int32)
+        lanes = {}
+        for seq_id, token in seq_tokens.items():
+            lane = self.kv.lane_of(seq_id)
+            tok[lane, 0] = token
+            start[lane] = self.kv.lengths[lane]
+            lanes[seq_id] = lane
+        logits = self._run(tok, start)
+        out = {}
+        for seq_id, lane in lanes.items():
+            out[seq_id] = np.asarray(logits[lane, 0])
+            self.kv.lengths[lane] += 1
+            self.n_decode_tokens += 1
+        return out
+
+    def generate(
+        self,
+        prompt: list[int],
+        max_new_tokens: int,
+        params: Optional[SamplerParams] = None,
+        stop_tokens: tuple[int, ...] = (),
+    ) -> list[int]:
+        """Simple single-sequence generation loop (tools/completion analog)."""
+        params = params or SamplerParams(temperature=0.0)
+        seq = self.new_sequence()
+        logits = self.prefill(seq, prompt)
+        key = jax.random.PRNGKey(params.seed)
+        out = []
+        last = logits[-1:]
+        for _ in range(max_new_tokens):
+            key, sub = jax.random.split(key)
+            token = int(sample(jnp.asarray(last), sub, params)[0])
+            if token in stop_tokens:
+                break
+            out.append(token)
+            step_logits = self.decode({seq: token})
+            last = step_logits[seq][None, :]
+        self.kv.seq_rm(seq)
+        return out

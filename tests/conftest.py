@@ -1,0 +1,21 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the reference's strategy of using the CPU backend as the oracle
+(tests/test-backend-ops.cpp): pure-jnp reference implementations are the
+oracle for Pallas kernels (run in interpret mode on CPU), and multi-chip
+sharding logic is exercised on a virtual CPU mesh.
+"""
+
+import os
+
+# Must be set before jax initializes its backends.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)

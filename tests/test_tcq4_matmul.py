@@ -1,0 +1,53 @@
+"""Pallas TCQ4 matmul vs the integer oracle (test-backend-ops / test-imma-micro analog)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rrs_tpu.formats.fwht import fwht_np
+from rrs_tpu.formats.tcq4 import quantize_activations_rrs, quantize_tcq4, TILE_K
+from rrs_tpu.ops.tcq4_matmul import tcq4_matmul, tcq4_matmul_ref
+
+
+def _make_case(m, n, k, seed=0):
+    rng = np.random.default_rng(seed)
+    w = (rng.standard_normal((n, k)) * 0.08).astype(np.float32)
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    t = quantize_tcq4(w)
+    x_rot = fwht_np(x.reshape(m, k // TILE_K, TILE_K)).reshape(m, k).astype(np.float32)
+    a_q, a_s = quantize_activations_rrs(jnp.asarray(x_rot))
+    args = (
+        a_q,
+        a_s,
+        jnp.asarray(t.qs),
+        jnp.asarray(t.sc),
+        jnp.asarray(t.S.astype(np.float32)),
+    )
+    return args, w, x
+
+
+@pytest.mark.parametrize("m,n,k", [(1, 128, 256), (8, 256, 512), (3, 128, 768)])
+def test_kernel_matches_integer_oracle(m, n, k):
+    args, _, _ = _make_case(m, n, k, seed=m + n)
+    ref = np.asarray(tcq4_matmul_ref(*args))
+    got = np.asarray(tcq4_matmul(*args, bn=128, interpret=True))
+    assert got.shape == (m, n)
+    # interpret-mode CPU f32 matmul at HIGHEST == exact integer arithmetic
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_full_pipeline_approximates_fp32():
+    m, n, k = 4, 256, 512
+    args, w, x = _make_case(m, n, k, seed=7)
+    got = np.asarray(tcq4_matmul(*args, bn=128, interpret=True))
+    ref = x @ w.T
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.2, rel
+
+
+def test_m_padding():
+    # non-multiple-of-8 M exercises the pad/slice path
+    args, w, x = _make_case(5, 128, 256, seed=11)
+    ref = np.asarray(tcq4_matmul_ref(*args))
+    got = np.asarray(tcq4_matmul(*args, bn=128, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
