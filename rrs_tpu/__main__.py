@@ -1,0 +1,154 @@
+"""Unified CLI: python -m rrs_tpu <command> (the tools/ suite as subcommands).
+
+Commands mirror the reference tool binaries:
+  generate    tools/completion (CLI REPL / one-shot generation)
+  perplexity  tools/perplexity
+  quantize    tools/quantize (--tcq4-imatrix reorder path included)
+  imatrix     tools/imatrix
+  bench       tools/llama-bench (pp/tg sweeps)
+  serve       tools/server (OpenAI-compatible HTTP)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="rrs_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="generate text from a GGUF model")
+    g.add_argument("--model", "-m", required=True)
+    g.add_argument("--prompt", "-p", default="Hello")
+    g.add_argument("--n-tokens", "-n", type=int, default=64)
+    g.add_argument("--temp", type=float, default=0.0)
+    g.add_argument("--top-k", type=int, default=40)
+    g.add_argument("--top-p", type=float, default=0.95)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--ctx", type=int, default=2048)
+    g.add_argument("--no-bos", action="store_true")
+
+    pp = sub.add_parser("perplexity", help="windowed NLL perplexity on a text file")
+    pp.add_argument("--model", "-m", required=True)
+    pp.add_argument("--file", "-f", required=True)
+    pp.add_argument("--n-ctx", type=int, default=512)
+    pp.add_argument("--max-chunks", type=int, default=0)
+
+    q = sub.add_parser("quantize", help="requantize a GGUF model to TCQ4_K32")
+    q.add_argument("src")
+    q.add_argument("dst")
+    q.add_argument("--tcq4-imatrix", dest="imatrix", default=None,
+                   help="imatrix GGUF for per-block channel reordering")
+
+    im = sub.add_parser("imatrix", help="collect activation statistics")
+    im.add_argument("--model", "-m", required=True)
+    im.add_argument("--file", "-f", required=True)
+    im.add_argument("--output", "-o", default="imatrix.gguf")
+    im.add_argument("--chunk-len", type=int, default=512)
+    im.add_argument("--max-chunks", type=int, default=20)
+
+    b = sub.add_parser("bench", help="pp/tg throughput sweeps")
+    b.add_argument("--model", "-m", default=None)
+    b.add_argument("--preset", default="qwen3-4b")
+    b.add_argument("--pp", type=int, nargs="*", default=[512])
+    b.add_argument("--tg", type=int, nargs="*", default=[128])
+    b.add_argument("--json", action="store_true")
+
+    s = sub.add_parser("serve", help="OpenAI-compatible HTTP server")
+    s.add_argument("--model", "-m", required=True)
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--parallel", type=int, default=4, help="server slots")
+    s.add_argument("--ctx", type=int, default=4096)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "generate":
+        cmd_generate(args)
+    elif args.cmd == "perplexity":
+        cmd_perplexity(args)
+    elif args.cmd == "quantize":
+        cmd_quantize(args)
+    elif args.cmd == "imatrix":
+        cmd_imatrix(args)
+    elif args.cmd == "bench":
+        from rrs_tpu.tools.bench_sweep import run as bench_run
+        bench_run(args)
+    elif args.cmd == "serve":
+        from rrs_tpu.serving.server import serve
+        serve(args)
+
+
+def _load(model_path, n_lanes=1, max_seq=2048):
+    from rrs_tpu.models.loader import load_model
+    from rrs_tpu.models.vocab import Vocab
+    from rrs_tpu.runtime.context import InferenceContext
+
+    cfg, weights, md = load_model(model_path)
+    vocab = Vocab.from_gguf(md)
+    ctx = InferenceContext(cfg, weights, n_lanes=n_lanes, max_seq=max_seq)
+    return cfg, vocab, ctx
+
+
+def cmd_generate(args):
+    from rrs_tpu.runtime.sampler import SamplerParams
+
+    cfg, vocab, ctx = _load(args.model, max_seq=args.ctx)
+    tokens = vocab.encode(args.prompt, add_special=not args.no_bos)
+    params = SamplerParams(
+        temperature=args.temp, top_k=args.top_k, top_p=args.top_p, seed=args.seed
+    )
+    stop = tuple(t for t in (vocab.eos_id,) if t >= 0)
+    out = ctx.generate(tokens, args.n_tokens, params, stop_tokens=stop)
+    print(vocab.decode(out))
+
+
+def cmd_perplexity(args):
+    from rrs_tpu.tools.perplexity import compute_perplexity
+
+    cfg, vocab, ctx = _load(args.model, max_seq=args.n_ctx)
+    text = open(args.file, encoding="utf-8").read()
+    tokens = vocab.encode(text, add_special=False)
+    if args.max_chunks:
+        tokens = tokens[: args.max_chunks * args.n_ctx]
+    res = compute_perplexity(ctx, tokens, n_ctx=args.n_ctx, progress=True)
+    print(f"Final PPL = {res.ppl:.4f} over {res.n_tokens} tokens")
+
+
+def cmd_quantize(args):
+    import numpy as np
+    from rrs_tpu.quantize.quantizer import quantize_model
+
+    perms = None
+    if args.imatrix:
+        from rrs_tpu.quantize.imatrix import derive_tcq4_perms, load_imatrix
+
+        imatrix = load_imatrix(args.imatrix)
+        perms = derive_tcq4_perms(imatrix)
+        print(f"derived {len(perms)} channel permutations from imatrix")
+    stats = quantize_model(args.src, args.dst, perms=perms)
+    print(f"quantized: {stats}")
+
+
+def cmd_imatrix(args):
+    from rrs_tpu.models.loader import load_model
+    from rrs_tpu.models.vocab import Vocab
+    from rrs_tpu.quantize.imatrix import collect_imatrix, save_imatrix
+
+    cfg, weights, md = load_model(args.model)
+    vocab = Vocab.from_gguf(md)
+    text = open(args.file, encoding="utf-8").read()
+    tokens = vocab.encode(text, add_special=False)
+    chunks = [
+        tokens[i : i + args.chunk_len]
+        for i in range(0, len(tokens), args.chunk_len)
+    ][: args.max_chunks]
+    acc = collect_imatrix(cfg, weights, chunks, chunk_len=args.chunk_len)
+    save_imatrix(args.output, acc)
+    print(f"saved imatrix for {len(acc)} tensors -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -93,6 +93,13 @@ class TCQ4Tensor:
         return n
 
 
+def effective_scales(t: "TCQ4Tensor") -> np.ndarray:
+    """f32 [K//32, N] per-group effective scale fp32(fp16(S))*sc/127 — exactly
+    the value the reference dequant derives per group (ggml-common.h:315)."""
+    S_rep = np.repeat(t.S.astype(np.float32), GROUPS_PER_TILE, axis=0)
+    return S_rep * t.sc.astype(np.float32) / 127.0
+
+
 def pack_nibbles(q: np.ndarray) -> np.ndarray:
     """Pack int4 values q [K, N] (in [-8, 7]) into uint8 [K//2, N] per-superblock.
 

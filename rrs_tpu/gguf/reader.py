@@ -138,10 +138,12 @@ class GGUFFile:
         n_kv = cur.read("<Q")
 
         self.metadata: dict[str, Any] = {}
+        self.metadata_types: dict[str, GGUFValueType] = {}
         for _ in range(n_kv):
             key = cur.read_string()
             vtype = GGUFValueType(cur.read("<I"))
             self.metadata[key] = cur.read_value(vtype)
+            self.metadata_types[key] = vtype
 
         self.tensors: dict[str, GGUFTensorInfo] = {}
         for _ in range(n_tensors):

@@ -37,6 +37,9 @@ class ModelConfig:
     n_ff_exp: int = 0
     expert_gating_softmax: bool = True
     norm_topk_prob: bool = False
+    # set only inside shard_map: mesh axis name for tensor parallelism; when
+    # set, row-parallel projections (wo, ffn_down) psum over it
+    tp_axis: "str | None" = None
 
     @property
     def n_q_dim(self) -> int:

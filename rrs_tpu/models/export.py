@@ -1,0 +1,74 @@
+"""Export a model to GGUF (convert_hf_to_gguf / llama-model-saver analog).
+
+Used by tests to fabricate small valid model files, and by the quantizer's
+round-trip path. Tensor names follow the llama.cpp conventions
+(llama-arch.cpp tensor templates).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from rrs_tpu.gguf.writer import GGUFWriter
+from rrs_tpu.models.config import ModelConfig
+
+
+def export_random_gguf(
+    cfg: ModelConfig,
+    path: str | Path,
+    seed: int = 0,
+    scale: float = 0.05,
+    dtype=np.float32,
+    vocab_tokens: list[str] | None = None,
+):
+    """Write a random-weight GGUF model matching ``cfg``."""
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter(path)
+    a = cfg.arch
+    w.add_string("general.architecture", a)
+    w.add_string("general.name", f"random-{a}")
+    w.add_uint32(f"{a}.block_count", cfg.n_layers)
+    w.add_uint32(f"{a}.context_length", cfg.context_length)
+    w.add_uint32(f"{a}.embedding_length", cfg.n_embd)
+    w.add_uint32(f"{a}.feed_forward_length", cfg.n_ff)
+    w.add_uint32(f"{a}.attention.head_count", cfg.n_heads)
+    w.add_uint32(f"{a}.attention.head_count_kv", cfg.n_kv_heads)
+    w.add_uint32(f"{a}.attention.key_length", cfg.head_dim)
+    w.add_uint32(f"{a}.attention.value_length", cfg.head_dim)
+    w.add_float32(f"{a}.attention.layer_norm_rms_epsilon", cfg.rms_eps)
+    w.add_float32(f"{a}.rope.freq_base", cfg.rope_theta)
+    w.add_uint32(f"{a}.vocab_size", cfg.vocab_size)
+    if vocab_tokens is not None:
+        w.add_string("tokenizer.ggml.model", "gpt2")
+        w.add_array("tokenizer.ggml.tokens", vocab_tokens)
+
+    def t(name, shape):
+        arr = (rng.standard_normal(shape) * scale).astype(dtype)
+        w.add_tensor(name, arr)
+
+    def norm(name, n):
+        w.add_tensor(name, np.ones((n,), dtype))
+
+    e, hq, hkv, d, f = cfg.n_embd, cfg.n_q_dim, cfg.n_kv_dim, cfg.head_dim, cfg.n_ff
+    t("token_embd.weight", (cfg.vocab_size, e))
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}"
+        norm(f"{p}.attn_norm.weight", e)
+        t(f"{p}.attn_q.weight", (hq, e))
+        t(f"{p}.attn_k.weight", (hkv, e))
+        t(f"{p}.attn_v.weight", (hkv, e))
+        t(f"{p}.attn_output.weight", (e, hq))
+        if cfg.qk_norm:
+            norm(f"{p}.attn_q_norm.weight", d)
+            norm(f"{p}.attn_k_norm.weight", d)
+        norm(f"{p}.ffn_norm.weight", e)
+        t(f"{p}.ffn_gate.weight", (f, e))
+        t(f"{p}.ffn_up.weight", (f, e))
+        t(f"{p}.ffn_down.weight", (e, f))
+    norm("output_norm.weight", e)
+    if not cfg.tie_embeddings:
+        t("output.weight", (cfg.vocab_size, e))
+    w.write()
+    return path

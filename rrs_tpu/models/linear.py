@@ -18,6 +18,8 @@ import numpy as np
 from rrs_tpu.formats.fwht import RRS_BLOCK, hadamard_matrix
 from rrs_tpu.formats.tcq4 import (
     TCQ4Tensor,
+    dequantize_activations_rrs,
+    effective_scales,
     quantize_activations_rrs,
 )
 from rrs_tpu.ops import tcq4_matmul as tcq4_mm
@@ -42,7 +44,7 @@ class DenseLinear:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["qs", "sc", "S", "gather", "bias"],
+    data_fields=["qs", "eff", "gather", "bias"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -55,8 +57,7 @@ class TCQ4Linear:
     """
 
     qs: jnp.ndarray                  # uint8 [K//2, N]
-    sc: jnp.ndarray                  # int8 [K//32, N]
-    S: jnp.ndarray                   # f32 [K//256, N]
+    eff: jnp.ndarray                 # f32 [K//32, N] effective group scales
     gather: Optional[jnp.ndarray]    # int32 [K] or None
     bias: Optional[jnp.ndarray] = None
 
@@ -66,36 +67,42 @@ class TCQ4Linear:
 
     @classmethod
     def from_tensor(cls, t: TCQ4Tensor, bias=None) -> "TCQ4Linear":
+        # perms are block-local (quantize.cpp:127-164 sorts within 256-blocks);
+        # store them as within-block offsets => K-shard-invariant
+        gather = None
+        if t.perm is not None:
+            gather = jnp.asarray(np.asarray(t.perm, np.int64) % 256, jnp.int32)
         return cls(
             qs=jnp.asarray(t.qs),
-            sc=jnp.asarray(t.sc),
-            S=jnp.asarray(t.S.astype(np.float32)),
-            gather=None if t.perm is None else jnp.asarray(t.perm, jnp.int32),
+            eff=jnp.asarray(effective_scales(t)),
+            gather=gather,
             bias=None if bias is None else jnp.asarray(bias),
         )
 
 
-_HADAMARD = None
-
-
-def _hadamard_bf16():
-    global _HADAMARD
-    if _HADAMARD is None:
-        _HADAMARD = jnp.asarray(hadamard_matrix(RRS_BLOCK), dtype=jnp.float32)
-    return _HADAMARD
+def _hadamard_f32():
+    # hadamard_matrix is lru_cached; jnp.asarray here is constant-folded by
+    # jit (a fresh conversion per trace avoids leaking tracers via globals)
+    return jnp.asarray(hadamard_matrix(RRS_BLOCK), dtype=jnp.float32)
 
 
 def rotate_activations(x: jnp.ndarray, gather: Optional[jnp.ndarray]) -> jnp.ndarray:
     """perm-gather + per-256-block FWHT via one MXU matmul (f32)."""
     k = x.shape[-1]
     lead = x.shape[:-1]
-    if gather is not None:
-        x = jnp.take(x, gather, axis=-1)
+    assert k % RRS_BLOCK == 0, (
+        f"TCQ4 activation width {k} not a multiple of {RRS_BLOCK}; for "
+        f"row-parallel TP shards, (K / tp) must stay 256-aligned")
     xb = x.reshape(*lead, k // RRS_BLOCK, RRS_BLOCK).astype(jnp.float32)
+    if gather is not None:
+        # block-local offsets (perm % 256): invariant under K-sharding at
+        # 256-boundaries, so row-parallel TP shards gather correctly
+        idx = jnp.broadcast_to(gather.reshape(k // RRS_BLOCK, RRS_BLOCK), xb.shape)
+        xb = jnp.take_along_axis(xb, idx, axis=-1)
     rot = jnp.einsum(
         "...bi,ij->...bj",
         xb,
-        _hadamard_bf16(),
+        _hadamard_f32(),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
@@ -106,8 +113,13 @@ def _auto_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def linear_apply(layer, x: jnp.ndarray) -> jnp.ndarray:
-    """y = x @ W^T (+ bias). x: [..., K] -> [..., N]."""
+def linear_apply(layer, x: jnp.ndarray, reduce_axis=None) -> jnp.ndarray:
+    """y = x @ W^T (+ bias). x: [..., K] -> [..., N].
+
+    ``reduce_axis``: mesh axis to psum partial products over (row-parallel
+    TP). The reduction happens in f32 BEFORE the output cast so sharded and
+    single-device execution round identically.
+    """
     lead = x.shape[:-1]
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
@@ -116,11 +128,14 @@ def linear_apply(layer, x: jnp.ndarray) -> jnp.ndarray:
     elif isinstance(layer, TCQ4Linear):
         rot = rotate_activations(x2, layer.gather)
         a_q, a_s = quantize_activations_rrs(rot)
+        a = dequantize_activations_rrs(a_q, a_s)   # XLA fuses quant+dequant
         y = tcq4_mm.tcq4_matmul(
-            a_q, a_s, layer.qs, layer.sc, layer.S, interpret=_auto_interpret()
+            a, layer.qs, layer.eff, interpret=_auto_interpret()
         )
     else:
         raise TypeError(f"unknown linear layer {type(layer)}")
+    if reduce_axis is not None:
+        y = jax.lax.psum(y.astype(jnp.float32), reduce_axis)
     if layer.bias is not None:
         y = y + layer.bias.astype(y.dtype)
     y = y.astype(x.dtype if x.dtype != jnp.float32 else jnp.float32)

@@ -68,6 +68,16 @@ def rope_params(cfg: ModelConfig) -> RopeParams:
     )
 
 
+def _capture(cap, li: int, name: str, x: jnp.ndarray):
+    """Accumulate per-input-channel sum of squares for imatrix collection
+    (IMatrixCollector::collect_imatrix analog, tools/imatrix/imatrix.cpp:219)."""
+    if cap is not None:
+        k = x.shape[-1]
+        x32 = x.reshape(-1, k).astype(jnp.float32)
+        cap[f"blk.{li}.{name}"] = (x32 * x32).sum(0)
+        cap.setdefault("__counts__", {})[f"blk.{li}.{name}"] = x32.shape[0]
+
+
 def attention(
     cfg: ModelConfig,
     lw: LayerWeights,
@@ -77,11 +87,16 @@ def attention(
     v_cache: jnp.ndarray,        # [B, S, Hkv, D]
     kv_mask: jnp.ndarray,        # [B, T, S] bool (True = attend)
     cache_slots: jnp.ndarray,    # [B, T] int32 cache positions to write
+    cap=None,
+    li: int = 0,
 ):
     b, t, _ = x.shape
     d = cfg.head_dim
     rp = rope_params(cfg)
 
+    _capture(cap, li, "attn_q.weight", x)
+    _capture(cap, li, "attn_k.weight", x)
+    _capture(cap, li, "attn_v.weight", x)
     q = linear_apply(lw.wq, x).reshape(b, t, cfg.n_heads, d)
     k = linear_apply(lw.wk, x).reshape(b, t, cfg.n_kv_heads, d)
     v = linear_apply(lw.wv, x).reshape(b, t, cfg.n_kv_heads, d)
@@ -112,15 +127,20 @@ def attention(
     ctx = jnp.einsum("bhgts,bshd->bthgd", probs, vf)
     ctx = ctx.reshape(b, t, cfg.n_heads * d).astype(x.dtype)
 
-    out = linear_apply(lw.wo, ctx)
+    _capture(cap, li, "attn_output.weight", ctx)
+    # row-parallel under TP: psum inside linear_apply, pre-cast (SURVEY §2.7)
+    out = linear_apply(lw.wo, ctx, reduce_axis=cfg.tp_axis)
     return out, k_cache, v_cache
 
 
-def ffn(cfg: ModelConfig, lw: LayerWeights, x: jnp.ndarray) -> jnp.ndarray:
+def ffn(cfg: ModelConfig, lw: LayerWeights, x: jnp.ndarray, cap=None, li: int = 0) -> jnp.ndarray:
+    _capture(cap, li, "ffn_gate.weight", x)
+    _capture(cap, li, "ffn_up.weight", x)
     gate = linear_apply(lw.w_gate, x)
     up = linear_apply(lw.w_up, x)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
-    return linear_apply(lw.w_down, act)
+    _capture(cap, li, "ffn_down.weight", act)
+    return linear_apply(lw.w_down, act, reduce_axis=cfg.tp_axis)
 
 
 def forward(
@@ -132,6 +152,7 @@ def forward(
     v_caches: list[jnp.ndarray],
     kv_mask: jnp.ndarray,        # [B, T, S] bool
     cache_slots: jnp.ndarray,    # [B, T] int32
+    cap=None,
 ):
     """One decode/prefill step. Returns (logits [B, T, V], new k/v caches)."""
     x = jnp.take(w.embed, tokens, axis=0)
@@ -139,16 +160,51 @@ def forward(
     for li, lw in enumerate(w.layers):
         h = rms_norm(x, lw.attn_norm, cfg.rms_eps)
         attn_out, kc, vc = attention(
-            cfg, lw, h, positions, k_caches[li], v_caches[li], kv_mask, cache_slots
+            cfg, lw, h, positions, k_caches[li], v_caches[li], kv_mask, cache_slots,
+            cap=cap, li=li,
         )
         new_k.append(kc)
         new_v.append(vc)
         x = x + attn_out
         h = rms_norm(x, lw.ffn_norm, cfg.rms_eps)
-        x = x + ffn(cfg, lw, h)
+        x = x + ffn(cfg, lw, h, cap=cap, li=li)
     x = rms_norm(x, w.final_norm, cfg.rms_eps)
     logits = linear_apply(w.lm_head, x)
     return logits.astype(jnp.float32), new_k, new_v
+
+
+# ---------------------------------------------------------------------------
+# Device-side generation loop: runs N greedy decode steps inside one XLA
+# program (lax.scan), eliminating per-token host round trips — the TPU analog
+# of CUDA-graph decode capture (ggml-cuda.cu:2881-2930).
+# ---------------------------------------------------------------------------
+
+def decode_scan(
+    cfg: ModelConfig,
+    w: ModelWeights,
+    first_token: jnp.ndarray,     # [B] int32
+    start_pos: jnp.ndarray,       # [B] int32
+    k_caches, v_caches,
+    n_steps: int,
+):
+    """Greedy-decode n_steps tokens on device. Returns (tokens [B, n_steps], caches)."""
+    s = k_caches[0].shape[1]
+
+    def step(carry, _):
+        token, pos, ks, vs = carry
+        kv_pos = jnp.arange(s, dtype=jnp.int32)[None, None, :]
+        kv_mask = kv_pos <= pos[:, None, None]
+        slots = jnp.clip(pos[:, None], 0, s - 1)
+        logits, nk, nv = forward(
+            cfg, w, token[:, None], pos[:, None], ks, vs, kv_mask, slots
+        )
+        nxt = jnp.argmax(logits[:, 0, :], axis=-1).astype(jnp.int32)
+        return (nxt, pos + 1, nk, nv), token
+
+    (last, pos, ks, vs), toks = jax.lax.scan(
+        step, (first_token, start_pos, k_caches, v_caches), None, length=n_steps
+    )
+    return jnp.moveaxis(toks, 0, 1), last, ks, vs
 
 
 # ---------------------------------------------------------------------------
@@ -189,6 +245,41 @@ def random_weights(
             w_gate=lin(e, f), w_up=lin(e, f), w_down=lin(f, e),
         ))
     embed = jnp.asarray(rng.standard_normal((cfg.vocab_size, e)) * scale, dtype)
+    return ModelWeights(
+        embed=embed,
+        layers=layers,
+        final_norm=jnp.ones((e,), dtype),
+        lm_head=DenseLinear(w=embed.T),
+    )
+
+
+def fabricated_tcq4_weights(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16) -> ModelWeights:
+    """Structurally-valid random TCQ4 weights WITHOUT running the quantizer —
+    qs/eff are drawn directly. For compile checks and throughput benchmarks
+    where weight values are irrelevant (the compute cost is identical)."""
+    rng = np.random.default_rng(seed)
+
+    def qlin(k, n):
+        qs = rng.integers(0, 256, (k // 2, n), dtype=np.uint8)
+        eff = (rng.random((k // 32, n), dtype=np.float32) * 0.01 + 0.001)
+        return TCQ4Linear(
+            qs=jnp.asarray(qs), eff=jnp.asarray(eff), gather=None, bias=None
+        )
+
+    e, hq, hkv, d, f = cfg.n_embd, cfg.n_q_dim, cfg.n_kv_dim, cfg.head_dim, cfg.n_ff
+    layers = []
+    for _ in range(cfg.n_layers):
+        layers.append(LayerWeights(
+            attn_norm=jnp.ones((e,), dtype),
+            wq=qlin(e, hq), wk=qlin(e, hkv), wv=qlin(e, hkv), wo=qlin(hq, e),
+            q_norm=jnp.ones((d,), dtype) if cfg.qk_norm else None,
+            k_norm=jnp.ones((d,), dtype) if cfg.qk_norm else None,
+            ffn_norm=jnp.ones((e,), dtype),
+            w_gate=qlin(e, f), w_up=qlin(e, f), w_down=qlin(f, e),
+        ))
+    embed = jnp.asarray(
+        rng.standard_normal((cfg.vocab_size, e)).astype(np.float32) * 0.02, dtype
+    )
     return ModelWeights(
         embed=embed,
         layers=layers,

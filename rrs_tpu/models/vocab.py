@@ -1,0 +1,349 @@
+"""Tokenizers: SPM (sentencepiece-style) and byte-level BPE, from GGUF vocab.
+
+Fresh implementation of the behavior of src/llama-vocab.cpp:
+  * SPM (llm_tokenizer_spm): utf-8 symbols, best-score bigram merging with a
+    priority queue, byte fallback <0xXX>, space -> U+2581 escaping.
+  * BPE (llm_tokenizer_bpe): per-model pretokenizer regex (tokenizer.ggml.pre),
+    GPT-2 byte-to-unicode mapping, lowest-rank pair merging from
+    tokenizer.ggml.merges.
+  * Special-token partitioning before either algorithm (tokenizer_st_partition).
+
+Test fixtures: /root/reference/models/ggml-vocab-*.gguf{,.inp,.out} — the same
+corpus test-tokenizer-0.cpp uses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+from functools import lru_cache
+from typing import Any, Mapping, Optional
+
+try:
+    import regex as _re
+except ImportError:  # pragma: no cover
+    import re as _re
+
+SPIECE_UNDERLINE = "▁"
+
+# token_type values (llama.h llama_token_type / gguf-py TokenType)
+TOKEN_TYPE_NORMAL = 1
+TOKEN_TYPE_UNKNOWN = 2
+TOKEN_TYPE_CONTROL = 3
+TOKEN_TYPE_USER_DEFINED = 4
+TOKEN_TYPE_UNUSED = 5
+TOKEN_TYPE_BYTE = 6
+
+# pretokenizer regexes keyed by tokenizer.ggml.pre (llama-vocab.cpp:283-400)
+_PRE_REGEX = {
+    "llama3": [
+        r"(?:'[sS]|'[tT]|'[rR][eE]|'[vV][eE]|'[mM]|'[lL][lL]|'[dD])|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+",
+    ],
+    "qwen2": [
+        r"(?:'[sS]|'[tT]|'[rR][eE]|'[vV][eE]|'[mM]|'[lL][lL]|'[dD])|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+",
+    ],
+    "gpt-2": [
+        r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+",
+    ],
+    "default": [
+        r"[\p{P}\$\+<=>\^~\|]+",
+        r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)",
+        r"\p{N}+",
+        r"[0-9][0-9][0-9]",
+    ],
+}
+
+
+@lru_cache(maxsize=1)
+def _byte_encoder() -> dict[int, str]:
+    """GPT-2 byte -> printable unicode char map (bytes_to_unicode)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+@lru_cache(maxsize=1)
+def _byte_decoder() -> dict[str, int]:
+    return {v: k for k, v in _byte_encoder().items()}
+
+
+@dataclasses.dataclass
+class Vocab:
+    model: str                        # "llama" (spm) | "gpt2" (bpe) | "none"
+    tokens: list[str]
+    scores: Optional[list[float]]
+    token_types: Optional[list[int]]
+    merges: Optional[list[str]]
+    pre: str = "default"
+    bos_id: int = -1
+    eos_id: int = -1
+    unk_id: int = -1
+    pad_id: int = -1
+    add_bos: bool = False
+    add_eos: bool = False
+    add_space_prefix: bool = True
+
+    def __post_init__(self):
+        self._token_to_id = {t: i for i, t in enumerate(self.tokens)}
+        self._merge_ranks = {}
+        if self.merges:
+            for rank, m in enumerate(self.merges):
+                a, sep, b = m.partition(" ")
+                self._merge_ranks[(a, b)] = rank
+        self._specials = sorted(
+            (
+                t for i, t in enumerate(self.tokens)
+                if self.token_types is not None
+                and self.token_types[i] in (TOKEN_TYPE_CONTROL, TOKEN_TYPE_USER_DEFINED)
+                and t
+            ),
+            key=len, reverse=True,
+        )
+        self._byte_tokens: dict[int, int] = {}
+        if self.model == "llama":
+            for b in range(256):
+                tid = self._token_to_id.get(f"<0x{b:02X}>")
+                if tid is not None:
+                    self._byte_tokens[b] = tid
+
+    # ------------------------------------------------------------------
+
+    @property
+    def n_tokens(self) -> int:
+        return len(self.tokens)
+
+    def token_to_id(self, t: str) -> Optional[int]:
+        return self._token_to_id.get(t)
+
+    @staticmethod
+    def from_gguf(md: Mapping[str, Any]) -> "Vocab":
+        g = lambda k, d=None: md.get(f"tokenizer.ggml.{k}", d)
+        tokens = list(g("tokens", []))
+        scores = g("scores")
+        ttypes = g("token_type")
+        model = g("model", "llama")
+        return Vocab(
+            model=model,
+            tokens=tokens,
+            scores=None if scores is None else [float(s) for s in scores],
+            token_types=None if ttypes is None else [int(t) for t in ttypes],
+            merges=None if g("merges") is None else list(g("merges")),
+            pre=str(g("pre", "default") or "default"),
+            bos_id=int(g("bos_token_id", -1) if g("bos_token_id") is not None else -1),
+            eos_id=int(g("eos_token_id", -1) if g("eos_token_id") is not None else -1),
+            unk_id=int(g("unknown_token_id", -1) if g("unknown_token_id") is not None else -1),
+            pad_id=int(g("padding_token_id", -1) if g("padding_token_id") is not None else -1),
+            add_bos=bool(g("add_bos_token", model == "llama")),
+            add_eos=bool(g("add_eos_token", False)),
+            add_space_prefix=bool(g("add_space_prefix", model == "llama")),
+        )
+
+    # -- encoding ------------------------------------------------------
+
+    def encode(
+        self,
+        text: str,
+        add_special: bool = True,
+        parse_special: bool = True,
+    ) -> list[int]:
+        out: list[int] = []
+        if add_special and self.add_bos and self.bos_id >= 0:
+            out.append(self.bos_id)
+
+        fragments = self._split_specials(text) if parse_special else [("text", text)]
+        is_first = True
+        for kind, frag in fragments:
+            if kind == "special":
+                out.append(self._token_to_id[frag])
+                is_first = False
+                continue
+            if not frag:
+                continue
+            if self.model == "llama":
+                raw = frag
+                # llama.cpp prepends unconditionally on the first text fragment
+                if self.add_space_prefix and is_first:
+                    raw = " " + raw
+                out.extend(self._encode_spm(raw))
+            elif self.model == "gpt2":
+                out.extend(self._encode_bpe(frag))
+            else:
+                raise NotImplementedError(f"tokenizer model {self.model!r}")
+            is_first = False
+
+        if add_special and self.add_eos and self.eos_id >= 0:
+            out.append(self.eos_id)
+        return out
+
+    def _split_specials(self, text: str):
+        """Greedy partition on special-token literals (tokenizer_st_partition)."""
+        if not self._specials:
+            return [("text", text)]
+        frags = [("text", text)]
+        for sp in self._specials:
+            new = []
+            for kind, frag in frags:
+                if kind != "text" or sp not in frag:
+                    new.append((kind, frag))
+                    continue
+                parts = frag.split(sp)
+                for i, p in enumerate(parts):
+                    if i:
+                        new.append(("special", sp))
+                    if p:
+                        new.append(("text", p))
+            frags = new
+        return frags
+
+    # SPM ---------------------------------------------------------------
+
+    def _encode_spm(self, text: str) -> list[int]:
+        text = text.replace(" ", SPIECE_UNDERLINE)
+        symbols: list[list] = []  # [text, prev, next] with text="" when merged
+        chars = list(text)
+        for i, ch in enumerate(chars):
+            symbols.append([ch, i - 1, i + 1 if i + 1 < len(chars) else -1])
+
+        heap: list = []
+        rev_merge: dict[str, tuple[int, int]] = {}
+        counter = 0
+
+        def try_add(left: int, right: int):
+            nonlocal counter
+            if left == -1 or right == -1:
+                return
+            cat = symbols[left][0] + symbols[right][0]
+            tid = self._token_to_id.get(cat)
+            if tid is None:
+                return
+            score = self.scores[tid] if self.scores else 0.0
+            # max-heap on score; tie -> smaller left index (llm_bigram_spm cmp)
+            heapq.heappush(heap, (-score, left, counter, right, len(cat)))
+            counter += 1
+            rev_merge[cat] = (left, right)
+
+        for i in range(1, len(symbols)):
+            try_add(i - 1, i)
+
+        while heap:
+            _, left, _, right, size = heapq.heappop(heap)
+            ls, rs = symbols[left], symbols[right]
+            if not ls[0] or not rs[0] or len(ls[0]) + len(rs[0]) != size:
+                continue
+            ls[0] = ls[0] + rs[0]
+            rs[0] = ""
+            ls[2] = rs[2]
+            if rs[2] >= 0:
+                symbols[rs[2]][1] = left
+            try_add(ls[1], left)
+            try_add(left, ls[2])
+
+        out: list[int] = []
+
+        def resegment(idx: int):
+            text_i = symbols[idx][0]
+            tid = self._token_to_id.get(text_i)
+            if tid is not None:
+                out.append(tid)
+                return
+            pair = rev_merge.get(text_i)
+            if pair is None:
+                for byte in text_i.encode("utf-8"):
+                    bid = self._byte_tokens.get(byte)
+                    out.append(bid if bid is not None else self.unk_id)
+                return
+            resegment(pair[0])
+            resegment(pair[1])
+
+        i = 0
+        while i != -1:
+            if symbols[i][0]:
+                resegment(i)
+            i = symbols[i][2]
+        return out
+
+    # BPE ---------------------------------------------------------------
+
+    def _encode_bpe(self, text: str) -> list[int]:
+        words = [text]
+        for pattern in _PRE_REGEX.get(self.pre, _PRE_REGEX["default"]):
+            nxt: list[str] = []
+            for w in words:
+                pos = 0
+                for m in _re.finditer(pattern, w):
+                    if m.start() > pos:
+                        nxt.append(w[pos : m.start()])
+                    if m.group():
+                        nxt.append(m.group())
+                    pos = m.end()
+                if pos < len(w):
+                    nxt.append(w[pos:])
+            words = nxt
+
+        enc = _byte_encoder()
+        out: list[int] = []
+        for word in words:
+            pieces = [enc[b] for b in word.encode("utf-8")]
+            pieces = self._bpe_merge(pieces)
+            for p in pieces:
+                tid = self._token_to_id.get(p)
+                if tid is not None:
+                    out.append(tid)
+                else:
+                    for ch in p:   # char-by-char fallback
+                        tid = self._token_to_id.get(ch)
+                        if tid is not None:
+                            out.append(tid)
+        return out
+
+    def _bpe_merge(self, pieces: list[str]) -> list[str]:
+        ranks = self._merge_ranks
+        if not ranks:
+            return pieces
+        while len(pieces) > 1:
+            best = None
+            best_rank = None
+            for i in range(len(pieces) - 1):
+                r = ranks.get((pieces[i], pieces[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            pieces = pieces[:best] + [pieces[best] + pieces[best + 1]] + pieces[best + 2 :]
+        return pieces
+
+    # -- decoding ------------------------------------------------------
+
+    def decode(self, ids: list[int], skip_special: bool = False) -> str:
+        parts: list[bytes] = []
+        for tid in ids:
+            if tid < 0 or tid >= len(self.tokens):
+                continue
+            ttype = self.token_types[tid] if self.token_types else TOKEN_TYPE_NORMAL
+            if ttype in (TOKEN_TYPE_CONTROL,) and skip_special:
+                continue
+            t = self.tokens[tid]
+            if self.model == "llama":
+                if ttype == TOKEN_TYPE_BYTE:
+                    parts.append(bytes([int(t[3:5], 16)]))
+                else:
+                    parts.append(t.replace(SPIECE_UNDERLINE, " ").encode("utf-8"))
+            elif self.model == "gpt2":
+                if ttype in (TOKEN_TYPE_CONTROL, TOKEN_TYPE_USER_DEFINED):
+                    parts.append(t.encode("utf-8"))
+                else:
+                    dec = _byte_decoder()
+                    parts.append(bytes(dec.get(c, ord(" ")) for c in t))
+            else:
+                parts.append(t.encode("utf-8"))
+        return b"".join(parts).decode("utf-8", errors="replace")

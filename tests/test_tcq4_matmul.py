@@ -5,7 +5,12 @@ import jax.numpy as jnp
 import pytest
 
 from rrs_tpu.formats.fwht import fwht_np
-from rrs_tpu.formats.tcq4 import quantize_activations_rrs, quantize_tcq4, TILE_K
+from rrs_tpu.formats.tcq4 import (
+    TILE_K,
+    dequantize_activations_rrs,
+    quantize_activations_rrs,
+    quantize_tcq4,
+)
 from rrs_tpu.ops.tcq4_matmul import tcq4_matmul, tcq4_matmul_ref
 
 
@@ -16,30 +21,26 @@ def _make_case(m, n, k, seed=0):
     t = quantize_tcq4(w)
     x_rot = fwht_np(x.reshape(m, k // TILE_K, TILE_K)).reshape(m, k).astype(np.float32)
     a_q, a_s = quantize_activations_rrs(jnp.asarray(x_rot))
-    args = (
-        a_q,
-        a_s,
-        jnp.asarray(t.qs),
-        jnp.asarray(t.sc),
-        jnp.asarray(t.S.astype(np.float32)),
-    )
-    return args, w, x
+    a = dequantize_activations_rrs(a_q, a_s)
+    from rrs_tpu.formats.tcq4 import effective_scales
+    wargs = (jnp.asarray(t.qs), jnp.asarray(effective_scales(t)))
+    return a, (a_q, a_s), wargs, w, x
 
 
 @pytest.mark.parametrize("m,n,k", [(1, 128, 256), (8, 256, 512), (3, 128, 768)])
 def test_kernel_matches_integer_oracle(m, n, k):
-    args, _, _ = _make_case(m, n, k, seed=m + n)
-    ref = np.asarray(tcq4_matmul_ref(*args))
-    got = np.asarray(tcq4_matmul(*args, bn=128, interpret=True))
+    a, (a_q, a_s), wargs, _, _ = _make_case(m, n, k, seed=m + n)
+    ref = np.asarray(tcq4_matmul_ref(a_q, a_s, *wargs))
+    got = np.asarray(tcq4_matmul(a, *wargs, bn=128, interpret=True, fast=False))
     assert got.shape == (m, n)
-    # interpret-mode CPU f32 matmul at HIGHEST == exact integer arithmetic
-    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+    # scales fold into operands => ~1ulp-per-product f32 noise vs the int path
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
 def test_full_pipeline_approximates_fp32():
     m, n, k = 4, 256, 512
-    args, w, x = _make_case(m, n, k, seed=7)
-    got = np.asarray(tcq4_matmul(*args, bn=128, interpret=True))
+    a, _, wargs, w, x = _make_case(m, n, k, seed=7)
+    got = np.asarray(tcq4_matmul(a, *wargs, bn=128, interpret=True, fast=False))
     ref = x @ w.T
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert rel < 0.2, rel
@@ -47,7 +48,16 @@ def test_full_pipeline_approximates_fp32():
 
 def test_m_padding():
     # non-multiple-of-8 M exercises the pad/slice path
-    args, w, x = _make_case(5, 128, 256, seed=11)
-    ref = np.asarray(tcq4_matmul_ref(*args))
-    got = np.asarray(tcq4_matmul(*args, bn=128, interpret=True))
-    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+    a, (a_q, a_s), wargs, _, _ = _make_case(5, 128, 256, seed=11)
+    ref = np.asarray(tcq4_matmul_ref(a_q, a_s, *wargs))
+    got = np.asarray(tcq4_matmul(a, *wargs, bn=128, interpret=True, fast=False))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fast_mode_close_to_exact():
+    m, n, k = 4, 256, 512
+    a, (a_q, a_s), wargs, _, _ = _make_case(m, n, k, seed=13)
+    exact = np.asarray(tcq4_matmul(a, *wargs, bn=128, interpret=True, fast=False))
+    fast = np.asarray(tcq4_matmul(a, *wargs, bn=128, interpret=True, fast=True))
+    rel = np.linalg.norm(fast - exact) / np.linalg.norm(exact)
+    assert rel < 0.02, rel   # bf16 operand rounding only
