@@ -148,6 +148,13 @@ _DEQUANT = {
 }
 
 
+_NATIVE_KIND = {
+    GGMLType.Q8_0: "q8_0",
+    GGMLType.Q4_K: "q4_k",
+    GGMLType.Q6_K: "q6_k",
+}
+
+
 def dequantize(raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> np.ndarray:
     """Dequantize a raw GGUF tensor payload to f32 in its logical shape."""
     if ggml_type == GGMLType.TCQ4_K32:
@@ -156,10 +163,16 @@ def dequantize(raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> 
 
         t = decode_tcq4_gguf(raw, shape)
         return dequantize_tcq4(t, rotated=False).T.reshape(shape)
-    fn = _DEQUANT.get(ggml_type)
-    if fn is None:
-        raise NotImplementedError(f"no dequantizer for {ggml_type!r}")
     n = 1
     for s in shape:
         n *= s
+    kind = _NATIVE_KIND.get(ggml_type)
+    if kind is not None:
+        from rrs_tpu import native
+
+        if native.available():
+            return native.dequant(raw, kind, n).reshape(shape)
+    fn = _DEQUANT.get(ggml_type)
+    if fn is None:
+        raise NotImplementedError(f"no dequantizer for {ggml_type!r}")
     return fn(raw, n).reshape(shape)

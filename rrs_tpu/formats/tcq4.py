@@ -130,17 +130,32 @@ def quantize_tcq4(
     w: np.ndarray,
     perm: Optional[np.ndarray] = None,
     imatrix: Optional[np.ndarray] = None,
+    use_native: bool = True,
 ) -> TCQ4Tensor:
-    """Quantize a weight [N, K] to TCQ4 (host-side, NumPy).
+    """Quantize a weight [N, K] to TCQ4 (host-side).
 
     ``perm`` (int [K], block-local) is applied to the K axis BEFORE rotation,
     matching apply_channel_perm_to_weights (src/llama-quant.cpp:26-37).
     ``imatrix`` is accepted for API parity but ignored by the tile quantizer,
     exactly like the reference (ggml-quants.c:1533 GGML_UNUSED(quant_weights));
     the imatrix influences only the derivation of ``perm``.
+
+    When the native lib is available the C++ path is used (f32 FWHT — the
+    same precision as the reference's ggml_fwht_impl; the NumPy fallback
+    computes the FWHT in f64).
     """
     del imatrix
     w = np.asarray(w, dtype=np.float32)
+    if use_native and w.shape[0] % TILE_CHANNELS == 0:
+        from rrs_tpu import native
+
+        if native.available():
+            wp = w if perm is None else w[:, np.asarray(perm, np.int64)]
+            qs, sc, S = native.tcq4_quantize(wp)
+            return TCQ4Tensor(
+                qs=qs, sc=sc, S=S,
+                perm=None if perm is None else np.asarray(perm, np.int32),
+            )
     n_rows, k = w.shape
     if k % TILE_K:
         raise ValueError(f"TCQ4 requires K % 256 == 0, got K={k}")

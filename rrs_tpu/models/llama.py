@@ -82,10 +82,10 @@ def attention(
     cfg: ModelConfig,
     lw: LayerWeights,
     x: jnp.ndarray,              # [B, T, E]
-    positions: jnp.ndarray,      # [B, T] int32
-    k_cache: jnp.ndarray,        # [B, S, Hkv, D]
-    v_cache: jnp.ndarray,        # [B, S, Hkv, D]
-    kv_mask: jnp.ndarray,        # [B, T, S] bool (True = attend)
+    positions: jnp.ndarray,      # [B, T] int32 (rope)
+    k_cache: jnp.ndarray,        # [B, Hkv, S, D]
+    v_cache: jnp.ndarray,        # [B, Hkv, S, D]
+    mask_positions: jnp.ndarray, # [B, T] int32; row attends slots <= value, -1 = none
     cache_slots: jnp.ndarray,    # [B, T] int32 cache positions to write
     cap=None,
     li: int = 0,
@@ -108,23 +108,24 @@ def attention(
     q = apply_rope(q, positions, rp)
     k = apply_rope(k, positions, rp)
 
-    # scatter new K/V into the cache at cache_slots (ggml_set_rows analog,
+    # scatter new K/V into the kv-head-major cache (ggml_set_rows analog,
     # llama-graph.cpp:1736-1737)
-    batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None].repeat(t, 1)
-    k_cache = k_cache.at[batch_idx, cache_slots].set(k.astype(k_cache.dtype))
-    v_cache = v_cache.at[batch_idx, cache_slots].set(v.astype(v_cache.dtype))
+    batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None, None]       # [B,1,1]
+    head_idx = jnp.arange(cfg.n_kv_heads, dtype=jnp.int32)[None, :, None]
+    slot_idx = cache_slots[:, None, :]                              # [B,1,T]
+    k_bh = k.transpose(0, 2, 1, 3).astype(k_cache.dtype)            # [B,Hkv,T,D]
+    v_bh = v.transpose(0, 2, 1, 3).astype(v_cache.dtype)
+    k_cache = k_cache.at[batch_idx, head_idx, slot_idx].set(k_bh)
+    v_cache = v_cache.at[batch_idx, head_idx, slot_idx].set(v_bh)
 
-    # GQA attention, f32 accumulation (build_attn_mha, llama-graph.cpp:1467-1596)
-    group = cfg.n_heads // cfg.n_kv_heads
-    qf = q.reshape(b, t, cfg.n_kv_heads, group, d).astype(jnp.float32)
-    kf = k_cache.astype(jnp.float32)
-    vf = v_cache.astype(jnp.float32)
-    scores = jnp.einsum("bthgd,bshd->bhgts", qf, kf) / np.sqrt(d)
-    mask = kv_mask[:, None, None, :, :]                  # [B,1,1,T,S]
-    scores = jnp.where(mask, scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1)
-    probs = jnp.where(jnp.isnan(probs), 0.0, probs)      # fully-masked rows
-    ctx = jnp.einsum("bhgts,bshd->bthgd", probs, vf)
+    # fused attention (FLASH_ATTN_EXT analog); jnp oracle on CPU
+    from rrs_tpu.ops import flash_attention as fa
+
+    scale = 1.0 / np.sqrt(d)
+    if jax.default_backend() == "cpu":
+        ctx = fa.attention_ref(q, k_cache, v_cache, mask_positions, scale)
+    else:
+        ctx = fa.flash_attention(q, k_cache, v_cache, mask_positions, scale)
     ctx = ctx.reshape(b, t, cfg.n_heads * d).astype(x.dtype)
 
     _capture(cap, li, "attn_output.weight", ctx)
@@ -150,7 +151,7 @@ def forward(
     positions: jnp.ndarray,      # [B, T] int32
     k_caches: list[jnp.ndarray],
     v_caches: list[jnp.ndarray],
-    kv_mask: jnp.ndarray,        # [B, T, S] bool
+    mask_positions: jnp.ndarray, # [B, T] int32 (-1 = padded row)
     cache_slots: jnp.ndarray,    # [B, T] int32
     cap=None,
 ):
@@ -160,8 +161,8 @@ def forward(
     for li, lw in enumerate(w.layers):
         h = rms_norm(x, lw.attn_norm, cfg.rms_eps)
         attn_out, kc, vc = attention(
-            cfg, lw, h, positions, k_caches[li], v_caches[li], kv_mask, cache_slots,
-            cap=cap, li=li,
+            cfg, lw, h, positions, k_caches[li], v_caches[li], mask_positions,
+            cache_slots, cap=cap, li=li,
         )
         new_k.append(kc)
         new_v.append(vc)
@@ -188,15 +189,13 @@ def decode_scan(
     n_steps: int,
 ):
     """Greedy-decode n_steps tokens on device. Returns (tokens [B, n_steps], caches)."""
-    s = k_caches[0].shape[1]
+    s = k_caches[0].shape[2]
 
     def step(carry, _):
         token, pos, ks, vs = carry
-        kv_pos = jnp.arange(s, dtype=jnp.int32)[None, None, :]
-        kv_mask = kv_pos <= pos[:, None, None]
         slots = jnp.clip(pos[:, None], 0, s - 1)
         logits, nk, nv = forward(
-            cfg, w, token[:, None], pos[:, None], ks, vs, kv_mask, slots
+            cfg, w, token[:, None], pos[:, None], ks, vs, pos[:, None], slots
         )
         nxt = jnp.argmax(logits[:, 0, :], axis=-1).astype(jnp.int32)
         return (nxt, pos + 1, nk, nv), token

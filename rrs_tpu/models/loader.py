@@ -43,8 +43,20 @@ def _linear(
     if bias_name and bias_name in g.tensors:
         bias = jnp.asarray(g.tensor(bias_name).astype(np.float32))
     if info.ggml_type == GGMLType.TCQ4_K32:
-        t = decode_tcq4_gguf(g.tensor_bytes(name), info.shape)
         perm = g.metadata.get(tcq4_perm_key(name))
+        from rrs_tpu import native
+
+        if native.available():
+            # fast native tile decode straight to the device layout
+            n, k = info.shape
+            qs, eff = native.tcq4_decode_tiles(g.tensor_bytes(name), n, k)
+            gather = None
+            if perm is not None:
+                gather = jnp.asarray(np.asarray(perm, np.int64) % 256, jnp.int32)
+            return TCQ4Linear(
+                qs=jnp.asarray(qs), eff=jnp.asarray(eff), gather=gather, bias=bias
+            )
+        t = decode_tcq4_gguf(g.tensor_bytes(name), info.shape)
         if perm is not None:
             t.perm = np.asarray(perm, np.int32)
         return TCQ4Linear.from_tensor(t, bias=bias)

@@ -137,16 +137,15 @@ def make_sharded_step(cfg: ModelConfig, mesh: Mesh):
 
     def step(weights, tokens, start_pos, k_caches, v_caches):
         b, t = tokens.shape
-        s = k_caches[0].shape[1]
+        s = k_caches[0].shape[2]
         pos = start_pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
         slots = pos
-        kv_pos = jnp.arange(s, dtype=jnp.int32)[None, None, :]
-        kv_mask = (kv_pos <= pos[:, :, None]) & (start_pos[:, None, None] >= 0)
+        mask_pos = jnp.where(start_pos[:, None] < 0, -1, pos)
         safe_tokens = jnp.maximum(tokens, 0)
         safe_slots = jnp.where(start_pos[:, None] < 0, s - 1,
                                jnp.clip(slots, 0, s - 1))
         logits, nk, nv = llama_model.forward(
-            lcfg, weights, safe_tokens, pos, k_caches, v_caches, kv_mask,
+            lcfg, weights, safe_tokens, pos, k_caches, v_caches, mask_pos,
             safe_slots,
         )
         # lm_head is column-parallel: gather the vocab shards
@@ -156,7 +155,7 @@ def make_sharded_step(cfg: ModelConfig, mesh: Mesh):
     def make(weights):
         nonlocal wspecs
         wspecs = weight_pspecs(weights)
-        kv_spec = P("dp", None, "tp", None)
+        kv_spec = P("dp", "tp", None, None)
         fn = shard_map(
             step,
             mesh=mesh,

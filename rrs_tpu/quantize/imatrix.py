@@ -36,15 +36,11 @@ def collect_imatrix(
     def run(w, tokens):
         b, t = tokens.shape
         pos = jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, 0)
-        s = t
-        kv_mask = (
-            jnp.arange(s, dtype=jnp.int32)[None, None, :] <= pos[:, :, None]
-        )
-        shape = (b, s, cfg.n_kv_heads, cfg.head_dim)
+        shape = (b, cfg.n_kv_heads, t, cfg.head_dim)
         kc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(cfg.n_layers)]
         vc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(cfg.n_layers)]
         cap: dict = {}
-        llama_model.forward(cfg, w, tokens, pos, kc, vc, kv_mask, pos, cap=cap)
+        llama_model.forward(cfg, w, tokens, pos, kc, vc, pos, pos, cap=cap)
         counts = cap.pop("__counts__")
         return cap, counts
 

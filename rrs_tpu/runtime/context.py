@@ -61,13 +61,11 @@ class InferenceContext:
         are masked out of the cache write by pointing their slot at position
         max_seq-1... they are instead handled by never advancing lengths."""
         b, t = tokens.shape
-        s = k_caches[0].shape[1]
+        s = k_caches[0].shape[2]
         pos = start_pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
         slots = pos  # lane-local: slot == absolute position (no wraparound yet)
-        kv_pos = jnp.arange(s, dtype=jnp.int32)[None, None, :]
-        kv_mask = kv_pos <= pos[:, :, None]
         # lanes whose row is entirely padding (start_pos < 0) attend nothing
-        kv_mask = kv_mask & (start_pos[:, None, None] >= 0)
+        mask_pos = jnp.where(start_pos[:, None] < 0, -1, pos)
         safe_tokens = jnp.maximum(tokens, 0)
         # Padded lanes (start_pos < 0) must not corrupt live cells: park their
         # writes at slot s-1, which any sequence reaching that position
@@ -76,7 +74,7 @@ class InferenceContext:
             start_pos[:, None] < 0, s - 1, jnp.clip(slots, 0, s - 1)
         )
         logits, nk, nv = llama_model.forward(
-            cfg, weights, safe_tokens, pos, k_caches, v_caches, kv_mask, safe_slots
+            cfg, weights, safe_tokens, pos, k_caches, v_caches, mask_pos, safe_slots
         )
         return logits, nk, nv
 

@@ -24,7 +24,7 @@ from rrs_tpu.models.config import ModelConfig
 class KVCache:
     """Per-layer K/V device arrays plus host-side lane state."""
 
-    k: list[jnp.ndarray]          # L x [B, S, Hkv, D]
+    k: list[jnp.ndarray]          # L x [B, Hkv, S, D] (kv-head-major)
     v: list[jnp.ndarray]
     max_seq: int
     # host-side cell state per lane
@@ -43,7 +43,7 @@ class KVCache:
         max_seq: int,
         dtype=jnp.bfloat16,
     ) -> "KVCache":
-        shape = (n_lanes, max_seq, cfg.n_kv_heads, cfg.head_dim)
+        shape = (n_lanes, cfg.n_kv_heads, max_seq, cfg.head_dim)
         k = [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)]
         v = [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)]
         return cls(k=k, v=v, max_seq=max_seq,
@@ -84,8 +84,8 @@ class KVCache:
         dst = self.seq_new(dst_seq)
         n = self.lengths[src]
         for li in range(len(self.k)):
-            self.k[li] = self.k[li].at[dst, :n].set(self.k[li][src, :n])
-            self.v[li] = self.v[li].at[dst, :n].set(self.v[li][src, :n])
+            self.k[li] = self.k[li].at[dst, :, :n].set(self.k[li][src, :, :n])
+            self.v[li] = self.v[li].at[dst, :, :n].set(self.v[li][src, :, :n])
         self.lengths[dst] = n
 
     def seq_keep(self, seq_id: int) -> None:

@@ -1,0 +1,124 @@
+"""Session state save/restore (llama_state_* analog, llama.h:765-888).
+
+Two granularities, mirroring the reference:
+  * full-context state  (llama_state_get/set_data): every lane's K/V + cell
+    metadata -> one file
+  * per-sequence state  (llama_state_seq_get/set_data): one sequence's K/V
+    prefix -> file; restorable into any free lane of a compatible context
+
+Format: npz container with a header JSON (magic/version/config fingerprint),
+the analog of the session-file magic+version check (llama.h:40-48).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+
+import numpy as np
+
+STATE_MAGIC = "rrs_tpu-state"
+STATE_VERSION = 1
+
+
+def _fingerprint(cfg) -> dict:
+    return {
+        "arch": cfg.arch,
+        "n_layers": cfg.n_layers,
+        "n_kv_heads": cfg.n_kv_heads,
+        "head_dim": cfg.head_dim,
+    }
+
+
+def _check_header(meta: dict, cfg):
+    if meta.get("magic") != STATE_MAGIC:
+        raise ValueError("not an rrs_tpu state file")
+    if meta.get("version") != STATE_VERSION:
+        raise ValueError(f"unsupported state version {meta.get('version')}")
+    if meta.get("fingerprint") != _fingerprint(cfg):
+        raise ValueError(
+            f"state/model mismatch: {meta.get('fingerprint')} vs {_fingerprint(cfg)}"
+        )
+
+
+def save_state(ctx, path: str | Path) -> int:
+    """Serialize the full context (all lanes). Returns bytes written."""
+    import jax
+
+    meta = {
+        "magic": STATE_MAGIC,
+        "version": STATE_VERSION,
+        "fingerprint": _fingerprint(ctx.cfg),
+        "lengths": ctx.kv.lengths,
+        "seq_ids": ctx.kv.seq_ids,
+        "max_seq": ctx.kv.max_seq,
+    }
+    arrays = {"__meta__": np.frombuffer(json.dumps(meta).encode(), np.uint8)}
+    max_len = max(ctx.kv.lengths, default=0)
+    for li in range(len(ctx.kv.k)):
+        # only the live prefix of each lane needs saving
+        arrays[f"k{li}"] = np.asarray(ctx.kv.k[li][:, :, :max_len]).astype(np.float32)
+        arrays[f"v{li}"] = np.asarray(ctx.kv.v[li][:, :, :max_len]).astype(np.float32)
+    path = Path(path)
+    np.savez_compressed(path, **arrays)
+    return path.stat().st_size
+
+
+def load_state(ctx, path: str | Path) -> None:
+    import jax.numpy as jnp
+
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        _check_header(meta, ctx.cfg)
+        ctx.kv.lengths = list(meta["lengths"])
+        ctx.kv.seq_ids = list(meta["seq_ids"])
+        n = z["k0"].shape[2]
+        for li in range(len(ctx.kv.k)):
+            kd = ctx.kv.k[li].dtype
+            ctx.kv.k[li] = ctx.kv.k[li].at[:, :, :n].set(
+                jnp.asarray(z[f"k{li}"], kd))
+            ctx.kv.v[li] = ctx.kv.v[li].at[:, :, :n].set(
+                jnp.asarray(z[f"v{li}"], kd))
+
+
+def save_sequence(ctx, seq_id: int, path: str | Path, tokens=None) -> int:
+    """Serialize one sequence's KV prefix (+ optional token history)."""
+    lane = ctx.kv.lane_of(seq_id)
+    n = ctx.kv.lengths[lane]
+    meta = {
+        "magic": STATE_MAGIC,
+        "version": STATE_VERSION,
+        "fingerprint": _fingerprint(ctx.cfg),
+        "n_tokens": n,
+        "tokens": list(tokens) if tokens is not None else None,
+    }
+    arrays = {"__meta__": np.frombuffer(json.dumps(meta).encode(), np.uint8)}
+    for li in range(len(ctx.kv.k)):
+        arrays[f"k{li}"] = np.asarray(ctx.kv.k[li][lane, :, :n]).astype(np.float32)
+        arrays[f"v{li}"] = np.asarray(ctx.kv.v[li][lane, :, :n]).astype(np.float32)
+    path = Path(path)
+    np.savez_compressed(path, **arrays)
+    return path.stat().st_size
+
+
+def load_sequence(ctx, path: str | Path):
+    """Restore a saved sequence into a fresh lane. Returns (seq_id, tokens)."""
+    import jax.numpy as jnp
+
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        _check_header(meta, ctx.cfg)
+        n = int(meta["n_tokens"])
+        if n > ctx.kv.max_seq:
+            raise ValueError(f"sequence length {n} exceeds context {ctx.kv.max_seq}")
+        seq_id = ctx.new_sequence()
+        lane = ctx.kv.lane_of(seq_id)
+        for li in range(len(ctx.kv.k)):
+            kd = ctx.kv.k[li].dtype
+            ctx.kv.k[li] = ctx.kv.k[li].at[lane, :, :n].set(
+                jnp.asarray(z[f"k{li}"], kd))
+            ctx.kv.v[li] = ctx.kv.v[li].at[lane, :, :n].set(
+                jnp.asarray(z[f"v{li}"], kd))
+        ctx.kv.lengths[lane] = n
+        return seq_id, meta.get("tokens")

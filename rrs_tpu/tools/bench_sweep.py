@@ -31,19 +31,16 @@ def run(args):
     max_pp = max(args.pp) if args.pp else 512
     max_tg = max(args.tg) if args.tg else 128
     s = max_pp + max_tg + 8
-    shape = (1, s, cfg.n_kv_heads, cfg.head_dim)
+    shape = (1, cfg.n_kv_heads, s, cfg.head_dim)
 
     for pp in args.pp:
         tokens = jnp.zeros((1, pp), jnp.int32)
         kc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(cfg.n_layers)]
         vc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(cfg.n_layers)]
         pos = jnp.arange(pp, dtype=jnp.int32)[None, :]
-        kv_mask = (
-            jnp.arange(s, dtype=jnp.int32)[None, None, :] <= pos[:, :, None]
-        )
 
         fn = jax.jit(lambda w, t, kc, vc: llama_model.forward(
-            cfg, w, t, pos, kc, vc, kv_mask, pos))
+            cfg, w, t, pos, kc, vc, pos, pos))
         out = fn(weights, tokens, kc, vc)
         jax.block_until_ready(out[0])
         t0 = time.time()
@@ -57,12 +54,12 @@ def run(args):
         vc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(cfg.n_layers)]
         first = jnp.zeros((1,), jnp.int32)
         pos0 = jnp.zeros((1,), jnp.int32)
-        fn = jax.jit(lambda f, p, k, v: llama_model.decode_scan(
-            cfg, weights, f, p, k, v, tg))
-        out = fn(first, pos0, kc, vc)
+        fn = jax.jit(lambda w, f, p, k, v: llama_model.decode_scan(
+            cfg, w, f, p, k, v, tg))
+        out = fn(weights, first, pos0, kc, vc)
         jax.block_until_ready(out[0])
         t0 = time.time()
-        out = fn(first, pos0, kc, vc)
+        out = fn(weights, first, pos0, kc, vc)
         jax.block_until_ready(out[0])
         dt = time.time() - t0
         rows.append({"test": f"tg{tg}", "t/s": round(tg / dt, 2)})

@@ -1,0 +1,69 @@
+"""Flash-attention kernel vs jnp oracle (FLASH_ATTN_EXT coverage of
+test-backend-ops; mask/GQA/softcap variants)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rrs_tpu.ops.flash_attention import attention_ref, flash_attention
+
+
+def _case(b, t, h, hkv, d, s, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)).astype(np.float32))
+    return q, k, v
+
+
+@pytest.mark.parametrize(
+    "b,t,h,hkv,d,s",
+    [
+        (1, 1, 8, 2, 64, 128),     # decode, GQA x4
+        (2, 4, 4, 4, 128, 64),     # MHA small prefill
+        (1, 16, 8, 4, 64, 128),    # chunked prefill
+    ],
+)
+def test_matches_oracle(b, t, h, hkv, d, s):
+    q, k, v = _case(b, t, h, hkv, d, s, seed=t + h)
+    rng = np.random.default_rng(1)
+    pos = jnp.asarray(
+        rng.integers(0, s - 1, (b, t)).astype(np.int32)
+    )
+    scale = 1.0 / np.sqrt(d)
+    ref = np.asarray(attention_ref(q, k, v, pos, scale))
+    got = np.asarray(flash_attention(q, k, v, pos, scale, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_padded_rows_zero():
+    q, k, v = _case(2, 2, 4, 2, 64, 32, seed=5)
+    pos = jnp.asarray(np.array([[3, 4], [-1, -1]], np.int32))
+    scale = 0.125
+    got = np.asarray(flash_attention(q, k, v, pos, scale, interpret=True))
+    ref = np.asarray(attention_ref(q, k, v, pos, scale))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+    assert np.all(got[1] == 0.0)
+
+
+def test_softcap():
+    q, k, v = _case(1, 2, 4, 2, 64, 32, seed=6)
+    pos = jnp.asarray(np.array([[10, 11]], np.int32))
+    ref = np.asarray(attention_ref(q, k, v, pos, 0.125, softcap=30.0))
+    got = np.asarray(flash_attention(q, k, v, pos, 0.125, softcap=30.0, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_causal_equivalence_with_full_recompute():
+    """Prefill with cache == full causal attention on the same tokens."""
+    b, t, h, hkv, d = 1, 8, 4, 2, 64
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    kv = rng.standard_normal((b, hkv, t, d)).astype(np.float32)
+    k = jnp.asarray(kv)
+    v = jnp.asarray(rng.standard_normal((b, hkv, t, d)).astype(np.float32))
+    pos = jnp.asarray(np.arange(t, dtype=np.int32)[None, :])
+    out = np.asarray(flash_attention(q, k, v, pos, 0.125, interpret=True))
+    # manual causal reference
+    ref = np.asarray(attention_ref(q, k, v, pos, 0.125))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)

@@ -33,7 +33,7 @@ def test_tp_matches_single_device():
     b, t, s = 2, 3, 16
     tokens = jnp.asarray(np.array([[1, 2, 3], [4, 5, 6]], np.int32))
     start = jnp.zeros((b,), jnp.int32)
-    shape = (b, s, cfg.n_kv_heads, cfg.head_dim)
+    shape = (b, cfg.n_kv_heads, s, cfg.head_dim)
     kc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(cfg.n_layers)]
     vc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(cfg.n_layers)]
 
@@ -43,7 +43,7 @@ def test_tp_matches_single_device():
 
     mesh = make_mesh(8, dp=2)   # tp=4
     ws = shard_weights(w, mesh)
-    kv_shard = NamedSharding(mesh, P("dp", None, "tp", None))
+    kv_shard = NamedSharding(mesh, P("dp", "tp", None, None))
     kcs = [jax.device_put(x, kv_shard) for x in kc]
     vcs = [jax.device_put(x, kv_shard) for x in vc]
     step = make_sharded_step(cfg, mesh)(ws)
