@@ -29,6 +29,8 @@ def main(argv=None):
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--ctx", type=int, default=2048)
     g.add_argument("--no-bos", action="store_true")
+    g.add_argument("--cache-type", default="none", choices=["none", "q8"],
+                   help="KV cache quantization (-ctk/-ctv analog)")
 
     pp = sub.add_parser("perplexity", help="windowed NLL perplexity on a text file")
     pp.add_argument("--model", "-m", required=True)
@@ -56,12 +58,33 @@ def main(argv=None):
     b.add_argument("--tg", type=int, nargs="*", default=[128])
     b.add_argument("--json", action="store_true")
 
+    bb = sub.add_parser("batched-bench", help="parallel decode throughput grid")
+    bb.add_argument("--model", "-m", default=None)
+    bb.add_argument("--preset", default="qwen3-0.6b")
+    bb.add_argument("--pp", type=int, nargs="*", default=[128, 512])
+    bb.add_argument("--tg", type=int, nargs="*", default=[128])
+    bb.add_argument("--pl", type=int, nargs="*", default=[1, 4, 8])
+    bb.add_argument("--json", action="store_true")
+
+    sp = sub.add_parser("gguf-split", help="shard or merge GGUF files")
+    sp.add_argument("--split", type=int, default=0, help="number of shards")
+    sp.add_argument("--merge", action="store_true")
+    sp.add_argument("src")
+    sp.add_argument("dst")
+
+    tk = sub.add_parser("tokenize", help="tokenize text with a model's vocab")
+    tk.add_argument("--model", "-m", required=True)
+    tk.add_argument("--prompt", "-p", required=True)
+    tk.add_argument("--ids-only", action="store_true")
+
     s = sub.add_parser("serve", help="OpenAI-compatible HTTP server")
     s.add_argument("--model", "-m", required=True)
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8080)
     s.add_argument("--parallel", type=int, default=4, help="server slots")
     s.add_argument("--ctx", type=int, default=4096)
+    s.add_argument("--cache-type", default="none", choices=["none", "q8"],
+                   help="KV cache quantization (-ctk/-ctv analog)")
 
     args = p.parse_args(argv)
 
@@ -76,26 +99,58 @@ def main(argv=None):
     elif args.cmd == "bench":
         from rrs_tpu.tools.bench_sweep import run as bench_run
         bench_run(args)
+    elif args.cmd == "batched-bench":
+        from rrs_tpu.tools.batched_bench import run_batched_bench
+        if args.model:
+            from rrs_tpu.models.loader import load_model
+            cfg, weights, _ = load_model(args.model)
+        else:
+            from rrs_tpu.models.config import PRESETS
+            from rrs_tpu.models import llama as llama_model
+            cfg = PRESETS[args.preset]
+            weights = llama_model.fabricated_tcq4_weights(cfg, seed=0)
+        run_batched_bench(cfg, weights, args.pp, args.tg, args.pl, as_json=args.json)
+    elif args.cmd == "gguf-split":
+        from rrs_tpu.tools.gguf_split import merge_gguf, split_gguf
+        if args.merge:
+            out = merge_gguf(args.src, args.dst)
+            print(f"merged -> {out}")
+        else:
+            paths = split_gguf(args.src, args.dst, args.split or 2)
+            print("wrote:\n  " + "\n  ".join(str(p) for p in paths))
+    elif args.cmd == "tokenize":
+        from rrs_tpu.gguf.reader import read_gguf
+        from rrs_tpu.models.vocab import Vocab
+        with read_gguf(args.model) as g:
+            vocab = Vocab.from_gguf(g.metadata)
+        ids = vocab.encode(args.prompt)
+        if args.ids_only:
+            print(" ".join(map(str, ids)))
+        else:
+            for i in ids:
+                print(f"{i:>8} -> {vocab.tokens[i]!r}")
     elif args.cmd == "serve":
         from rrs_tpu.serving.server import serve
         serve(args)
 
 
-def _load(model_path, n_lanes=1, max_seq=2048):
+def _load(model_path, n_lanes=1, max_seq=2048, kv_quant="none"):
     from rrs_tpu.models.loader import load_model
     from rrs_tpu.models.vocab import Vocab
     from rrs_tpu.runtime.context import InferenceContext
 
     cfg, weights, md = load_model(model_path)
     vocab = Vocab.from_gguf(md)
-    ctx = InferenceContext(cfg, weights, n_lanes=n_lanes, max_seq=max_seq)
+    ctx = InferenceContext(cfg, weights, n_lanes=n_lanes, max_seq=max_seq,
+                           kv_quant=kv_quant)
     return cfg, vocab, ctx
 
 
 def cmd_generate(args):
     from rrs_tpu.runtime.sampler import SamplerParams
 
-    cfg, vocab, ctx = _load(args.model, max_seq=args.ctx)
+    cfg, vocab, ctx = _load(args.model, max_seq=args.ctx,
+                            kv_quant=getattr(args, "cache_type", "none"))
     tokens = vocab.encode(args.prompt, add_special=not args.no_bos)
     params = SamplerParams(
         temperature=args.temp, top_k=args.top_k, top_p=args.top_p, seed=args.seed

@@ -80,6 +80,120 @@ class TCQ4Linear:
         )
 
 
+def _pad_n(a: np.ndarray, mult: int = 2048) -> np.ndarray:
+    """Pad axis 1 (N) to a tile-friendly multiple; big-vocab N values are
+    often 128*prime (e.g. 151936 = 128*1187), which would force tiny kernel
+    tiles. Padded columns produce garbage logits that the caller slices off."""
+    n = a.shape[1]
+    n_pad = (n + mult - 1) // mult * mult
+    if n_pad == n:
+        return a
+    return np.pad(a, ((0, 0), (0, n_pad - n)))
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["q", "scale", "bias"],
+    meta_fields=["n_logical"],
+)
+@dataclasses.dataclass
+class Q8Linear:
+    """Q8_0 linear (output.weight policy, llama-quant.cpp:260-262).
+
+    q int8 [K, Npad] K-major; scale f32 [K//32, Npad] = fp32 of the block
+    fp16 d. N is padded to a tile multiple; n_logical is the true width.
+    """
+
+    q: jnp.ndarray
+    scale: jnp.ndarray
+    bias: Optional[jnp.ndarray] = None
+    n_logical: int = 0
+
+    @property
+    def shape(self):
+        return (self.q.shape[0], self.n_logical or self.q.shape[1])
+
+    @classmethod
+    def from_q8_gguf(cls, raw: np.ndarray, shape, bias=None) -> "Q8Linear":
+        """Build from a Q8_0 GGUF payload for a logical [N, K] weight."""
+        n, k = shape
+        blocks = np.ascontiguousarray(raw).reshape(n, k // 32, 34)
+        d = blocks[:, :, :2].copy().view(np.float16).astype(np.float32)[:, :, 0]
+        q = blocks[:, :, 2:].view(np.int8)               # [N, K//32, 32]
+        q_kn = q.reshape(n, k).T                          # [K, N]
+        return cls(
+            q=jnp.asarray(_pad_n(np.ascontiguousarray(q_kn))),
+            scale=jnp.asarray(_pad_n(np.ascontiguousarray(d.T))),
+            bias=None if bias is None else jnp.asarray(bias),
+            n_logical=n,
+        )
+
+    @classmethod
+    def quantize(cls, w: np.ndarray, bias=None) -> "Q8Linear":
+        """Quantize an [N, K] f32 weight with quantize_row_q8_0 semantics."""
+        from rrs_tpu.formats.kquants import quantize_q8_0
+
+        raw = quantize_q8_0(np.asarray(w, np.float32))
+        return cls.from_q8_gguf(raw, w.shape, bias=bias)
+
+
+def fuse_linears(layers: list) -> object:
+    """Concatenate same-K linears along N (QKV / gate-up fusion): one kernel
+    launch instead of three, wider N tiles. All inputs must share type and K.
+    NOTE: fused layers cannot be column-sharded for TP (the N concatenation
+    crosses shard boundaries) — fuse only on unsharded load paths."""
+    first = layers[0]
+    if isinstance(first, DenseLinear):
+        w = jnp.concatenate([l.w for l in layers], axis=1)
+        bias = None
+        if any(l.bias is not None for l in layers):
+            bias = jnp.concatenate([
+                l.bias if l.bias is not None
+                else jnp.zeros((l.shape[1],), w.dtype)
+                for l in layers
+            ])
+        return DenseLinear(w=w, bias=bias)
+    if isinstance(first, TCQ4Linear):
+        gathers = [l.gather for l in layers]
+        g0 = gathers[0]
+        same = all(
+            (g is None and g0 is None)
+            or (g is not None and g0 is not None and bool(jnp.array_equal(g, g0)))
+            for g in gathers
+        )
+        if not same:
+            return None    # different perms -> can't share one rotation
+        bias = None
+        if any(l.bias is not None for l in layers):
+            bias = jnp.concatenate([
+                l.bias if l.bias is not None
+                else jnp.zeros((l.shape[1],), jnp.float32)
+                for l in layers
+            ])
+        return TCQ4Linear(
+            qs=jnp.concatenate([l.qs for l in layers], axis=1),
+            eff=jnp.concatenate([l.eff for l in layers], axis=1),
+            gather=g0,
+            bias=bias,
+        )
+    if isinstance(first, Q8Linear):
+        if any(l.n_logical and l.n_logical != l.q.shape[1] for l in layers):
+            return None
+        bias = None
+        if any(l.bias is not None for l in layers):
+            bias = jnp.concatenate([
+                l.bias if l.bias is not None
+                else jnp.zeros((l.q.shape[1],), jnp.float32)
+                for l in layers
+            ])
+        return Q8Linear(
+            q=jnp.concatenate([l.q for l in layers], axis=1),
+            scale=jnp.concatenate([l.scale for l in layers], axis=1),
+            bias=bias,
+        )
+    return None
+
+
 def _hadamard_f32():
     # hadamard_matrix is lru_cached; jnp.asarray here is constant-folded by
     # jit (a fresh conversion per trace avoids leaking tracers via globals)
@@ -123,8 +237,21 @@ def linear_apply(layer, x: jnp.ndarray, reduce_axis=None) -> jnp.ndarray:
     lead = x.shape[:-1]
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
+    lora = None
+    if type(layer).__name__ == "LoraLinear":
+        lora = layer
+        layer = layer.base
     if isinstance(layer, DenseLinear):
         y = jnp.dot(x2, layer.w, preferred_element_type=jnp.float32)
+    elif isinstance(layer, Q8Linear):
+        from rrs_tpu.ops import q8_matmul as q8_mm
+
+        if _auto_interpret():
+            y = q8_mm.q8_matmul_ref(x2, layer.q, layer.scale)
+        else:
+            y = q8_mm.q8_matmul(x2, layer.q, layer.scale)
+        if layer.n_logical and layer.n_logical != y.shape[-1]:
+            y = y[:, : layer.n_logical]
     elif isinstance(layer, TCQ4Linear):
         rot = rotate_activations(x2, layer.gather)
         a_q, a_s = quantize_activations_rrs(rot)
@@ -134,6 +261,10 @@ def linear_apply(layer, x: jnp.ndarray, reduce_axis=None) -> jnp.ndarray:
         )
     else:
         raise TypeError(f"unknown linear layer {type(layer)}")
+    if lora is not None:
+        from rrs_tpu.models.adapter import apply_lora_delta
+
+        y = apply_lora_delta(lora, x2, y)
     if reduce_axis is not None:
         y = jax.lax.psum(y.astype(jnp.float32), reduce_axis)
     if layer.bias is not None:

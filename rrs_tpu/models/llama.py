@@ -19,14 +19,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from rrs_tpu.models.config import ModelConfig
-from rrs_tpu.models.linear import DenseLinear, TCQ4Linear, linear_apply
+from rrs_tpu.models.linear import DenseLinear, Q8Linear, TCQ4Linear, linear_apply
 from rrs_tpu.ops.basic import RopeParams, apply_rope, rms_norm
 
 
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["attn_norm", "wq", "wk", "wv", "wo", "q_norm", "k_norm",
-                 "ffn_norm", "w_gate", "w_up", "w_down"],
+                 "ffn_norm", "w_gate", "w_up", "w_down", "moe", "wqkv",
+                 "w_gateup"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -42,6 +43,9 @@ class LayerWeights:
     w_gate: Any
     w_up: Any
     w_down: Any
+    moe: Any = None                   # MoEWeights for MoE layers
+    wqkv: Any = None                  # fused q|k|v projection (optional)
+    w_gateup: Any = None              # fused gate|up projection (optional)
 
 
 @partial(
@@ -97,9 +101,16 @@ def attention(
     _capture(cap, li, "attn_q.weight", x)
     _capture(cap, li, "attn_k.weight", x)
     _capture(cap, li, "attn_v.weight", x)
-    q = linear_apply(lw.wq, x).reshape(b, t, cfg.n_heads, d)
-    k = linear_apply(lw.wk, x).reshape(b, t, cfg.n_kv_heads, d)
-    v = linear_apply(lw.wv, x).reshape(b, t, cfg.n_kv_heads, d)
+    if lw.wqkv is not None:
+        qkv = linear_apply(lw.wqkv, x)
+        nq, nkv = cfg.n_q_dim, cfg.n_kv_dim
+        q = qkv[..., :nq].reshape(b, t, cfg.n_heads, d)
+        k = qkv[..., nq : nq + nkv].reshape(b, t, cfg.n_kv_heads, d)
+        v = qkv[..., nq + nkv :].reshape(b, t, cfg.n_kv_heads, d)
+    else:
+        q = linear_apply(lw.wq, x).reshape(b, t, cfg.n_heads, d)
+        k = linear_apply(lw.wk, x).reshape(b, t, cfg.n_kv_heads, d)
+        v = linear_apply(lw.wv, x).reshape(b, t, cfg.n_kv_heads, d)
 
     if cfg.qk_norm:
         q = rms_norm(q, lw.q_norm, cfg.rms_eps)
@@ -109,20 +120,45 @@ def attention(
     k = apply_rope(k, positions, rp)
 
     # scatter new K/V into the kv-head-major cache (ggml_set_rows analog,
-    # llama-graph.cpp:1736-1737)
+    # llama-graph.cpp:1736-1737). Caches may be quantized: a (int8 values,
+    # f32 scales [B,Hkv,1,S]) tuple — the KV-quantization option
+    # (cparams.type_k/v analog, llama-kv-cache.h:206-216).
     batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None, None]       # [B,1,1]
     head_idx = jnp.arange(cfg.n_kv_heads, dtype=jnp.int32)[None, :, None]
     slot_idx = cache_slots[:, None, :]                              # [B,1,T]
-    k_bh = k.transpose(0, 2, 1, 3).astype(k_cache.dtype)            # [B,Hkv,T,D]
-    v_bh = v.transpose(0, 2, 1, 3).astype(v_cache.dtype)
-    k_cache = k_cache.at[batch_idx, head_idx, slot_idx].set(k_bh)
-    v_cache = v_cache.at[batch_idx, head_idx, slot_idx].set(v_bh)
+    k_bh = k.transpose(0, 2, 1, 3)                                  # [B,Hkv,T,D]
+    v_bh = v.transpose(0, 2, 1, 3)
+
+    def store(cache, new):
+        if isinstance(cache, tuple):
+            arr, sc = cache
+            amax = jnp.max(jnp.abs(new.astype(jnp.float32)), axis=-1)
+            s_new = jnp.maximum(amax / 127.0, 1e-10)                # [B,Hkv,T]
+            q8 = jnp.clip(jnp.rint(new.astype(jnp.float32) / s_new[..., None]),
+                          -127, 127).astype(jnp.int8)
+            arr = arr.at[batch_idx, head_idx, slot_idx].set(q8)
+            sc = sc.at[batch_idx, head_idx, jnp.zeros_like(slot_idx), slot_idx].set(s_new)
+            return (arr, sc)
+        return cache.at[batch_idx, head_idx, slot_idx].set(new.astype(cache.dtype))
+
+    k_cache = store(k_cache, k_bh)
+    v_cache = store(v_cache, v_bh)
 
     # fused attention (FLASH_ATTN_EXT analog); jnp oracle on CPU
     from rrs_tpu.ops import flash_attention as fa
 
     scale = 1.0 / np.sqrt(d)
-    if jax.default_backend() == "cpu":
+    if isinstance(k_cache, tuple):
+        if jax.default_backend() == "cpu":
+            kd = k_cache[0].astype(jnp.float32) * k_cache[1].transpose(0, 1, 3, 2)
+            vd = v_cache[0].astype(jnp.float32) * v_cache[1].transpose(0, 1, 3, 2)
+            ctx = fa.attention_ref(q, kd, vd, mask_positions, scale)
+        else:
+            ctx = fa.flash_attention_q8(
+                q, k_cache[0], k_cache[1], v_cache[0], v_cache[1],
+                mask_positions, scale,
+            )
+    elif jax.default_backend() == "cpu":
         ctx = fa.attention_ref(q, k_cache, v_cache, mask_positions, scale)
     else:
         ctx = fa.flash_attention(q, k_cache, v_cache, mask_positions, scale)
@@ -135,10 +171,18 @@ def attention(
 
 
 def ffn(cfg: ModelConfig, lw: LayerWeights, x: jnp.ndarray, cap=None, li: int = 0) -> jnp.ndarray:
+    if lw.moe is not None:
+        from rrs_tpu.models.moe import moe_ffn
+
+        return moe_ffn(cfg, lw.moe, x)
     _capture(cap, li, "ffn_gate.weight", x)
     _capture(cap, li, "ffn_up.weight", x)
-    gate = linear_apply(lw.w_gate, x)
-    up = linear_apply(lw.w_up, x)
+    if lw.w_gateup is not None:
+        gu = linear_apply(lw.w_gateup, x)
+        gate, up = gu[..., : cfg.n_ff], gu[..., cfg.n_ff :]
+    else:
+        gate = linear_apply(lw.w_gate, x)
+        up = linear_apply(lw.w_up, x)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
     _capture(cap, li, "ffn_down.weight", act)
     return linear_apply(lw.w_down, act, reduce_axis=cfg.tp_axis)
@@ -154,6 +198,7 @@ def forward(
     mask_positions: jnp.ndarray, # [B, T] int32 (-1 = padded row)
     cache_slots: jnp.ndarray,    # [B, T] int32
     cap=None,
+    control_vector=None,         # models.adapter.ControlVector
 ):
     """One decode/prefill step. Returns (logits [B, T, V], new k/v caches)."""
     x = jnp.take(w.embed, tokens, axis=0)
@@ -169,6 +214,8 @@ def forward(
         x = x + attn_out
         h = rms_norm(x, lw.ffn_norm, cfg.rms_eps)
         x = x + ffn(cfg, lw, h, cap=cap, li=li)
+        if control_vector is not None:
+            x = control_vector.apply(x, li)
     x = rms_norm(x, w.final_norm, cfg.rms_eps)
     logits = linear_apply(w.lm_head, x)
     return logits.astype(jnp.float32), new_k, new_v
@@ -235,13 +282,27 @@ def random_weights(
     e, hq, hkv, d, f = cfg.n_embd, cfg.n_q_dim, cfg.n_kv_dim, cfg.head_dim, cfg.n_ff
     layers = []
     for _ in range(cfg.n_layers):
+        moe = None
+        if cfg.n_experts > 0:
+            from rrs_tpu.models.moe import MoEWeights
+
+            fe = cfg.n_ff_exp or f
+            moe = MoEWeights(
+                router=jnp.asarray(rng.standard_normal((e, cfg.n_experts)) * scale, dtype),
+                gate=jnp.asarray(rng.standard_normal((cfg.n_experts, e, fe)) * scale, dtype),
+                up=jnp.asarray(rng.standard_normal((cfg.n_experts, e, fe)) * scale, dtype),
+                down=jnp.asarray(rng.standard_normal((cfg.n_experts, fe, e)) * scale, dtype),
+            )
         layers.append(LayerWeights(
             attn_norm=jnp.ones((e,), dtype),
             wq=lin(e, hq), wk=lin(e, hkv), wv=lin(e, hkv), wo=lin(hq, e),
             q_norm=jnp.ones((d,), dtype) if cfg.qk_norm else None,
             k_norm=jnp.ones((d,), dtype) if cfg.qk_norm else None,
             ffn_norm=jnp.ones((e,), dtype),
-            w_gate=lin(e, f), w_up=lin(e, f), w_down=lin(f, e),
+            w_gate=lin(e, f) if moe is None else None,
+            w_up=lin(e, f) if moe is None else None,
+            w_down=lin(f, e) if moe is None else None,
+            moe=moe,
         ))
     embed = jnp.asarray(rng.standard_normal((cfg.vocab_size, e)) * scale, dtype)
     return ModelWeights(
@@ -252,7 +313,9 @@ def random_weights(
     )
 
 
-def fabricated_tcq4_weights(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16) -> ModelWeights:
+def fabricated_tcq4_weights(
+    cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16, fuse: bool = True
+) -> ModelWeights:
     """Structurally-valid random TCQ4 weights WITHOUT running the quantizer —
     qs/eff are drawn directly. For compile checks and throughput benchmarks
     where weight values are irrelevant (the compute cost is identical)."""
@@ -268,6 +331,18 @@ def fabricated_tcq4_weights(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16)
     e, hq, hkv, d, f = cfg.n_embd, cfg.n_q_dim, cfg.n_kv_dim, cfg.head_dim, cfg.n_ff
     layers = []
     for _ in range(cfg.n_layers):
+        if fuse:
+            layers.append(LayerWeights(
+                attn_norm=jnp.ones((e,), dtype),
+                wq=None, wk=None, wv=None, wo=qlin(hq, e),
+                q_norm=jnp.ones((d,), dtype) if cfg.qk_norm else None,
+                k_norm=jnp.ones((d,), dtype) if cfg.qk_norm else None,
+                ffn_norm=jnp.ones((e,), dtype),
+                w_gate=None, w_up=None, w_down=qlin(f, e),
+                wqkv=qlin(e, hq + 2 * hkv),
+                w_gateup=qlin(e, 2 * f),
+            ))
+            continue
         layers.append(LayerWeights(
             attn_norm=jnp.ones((e,), dtype),
             wq=qlin(e, hq), wk=qlin(e, hkv), wv=qlin(e, hkv), wo=qlin(hq, e),
@@ -279,9 +354,17 @@ def fabricated_tcq4_weights(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16)
     embed = jnp.asarray(
         rng.standard_normal((cfg.vocab_size, e)).astype(np.float32) * 0.02, dtype
     )
+    # lm_head at Q8_0 like the reference's output.weight policy
+    # (llama-quant.cpp:260-262); fabricated codes, realistic traffic
+    from rrs_tpu.models.linear import _pad_n
+
+    lm_q = jnp.asarray(_pad_n(
+        rng.integers(-127, 128, (e, cfg.vocab_size), dtype=np.int8)))
+    lm_s = jnp.asarray(_pad_n(
+        rng.random((e // 32, cfg.vocab_size), dtype=np.float32) * 1e-3))
     return ModelWeights(
         embed=embed,
         layers=layers,
         final_norm=jnp.ones((e,), dtype),
-        lm_head=DenseLinear(w=embed.T),
+        lm_head=Q8Linear(q=lm_q, scale=lm_s, n_logical=cfg.vocab_size),
     )

@@ -23,7 +23,7 @@ from rrs_tpu.gguf.constants import GGMLType, KEY_TCQ4_REORDER_ENABLED, tcq4_perm
 from rrs_tpu.gguf.reader import GGUFFile, read_gguf
 from rrs_tpu.formats.tile_codec import decode_tcq4_gguf
 from rrs_tpu.models.config import ModelConfig
-from rrs_tpu.models.linear import DenseLinear, TCQ4Linear
+from rrs_tpu.models.linear import DenseLinear, Q8Linear, TCQ4Linear
 from rrs_tpu.models.llama import LayerWeights, ModelWeights
 
 
@@ -60,13 +60,26 @@ def _linear(
         if perm is not None:
             t.perm = np.asarray(perm, np.int32)
         return TCQ4Linear.from_tensor(t, bias=bias)
+    if info.ggml_type == GGMLType.Q8_0 and len(info.shape) == 2 \
+            and info.shape[1] % 256 == 0:
+        return Q8Linear.from_q8_gguf(g.tensor_bytes(name), info.shape, bias=bias)
     w = g.tensor(name).astype(np.float32)        # [N, K]
     return DenseLinear(w=jnp.asarray(w.T, dtype), bias=bias)
 
 
-def load_model(path: str | Path, dtype=jnp.bfloat16):
-    """Load a GGUF model. Returns (config, weights, metadata)."""
-    g = read_gguf(path)
+def load_model(path: str | Path, dtype=jnp.bfloat16, fuse: bool = True):
+    """Load a GGUF model (single file or -NNNNN-of-NNNNN shard set).
+    Returns (config, weights, metadata).
+
+    ``fuse=True`` concatenates q|k|v and gate|up projections into single
+    kernels (fewer launches, wider tiles); use fuse=False when the weights
+    will be tensor-parallel-sharded."""
+    from rrs_tpu.tools.gguf_split import SPLIT_RE, MultiGGUF
+
+    if SPLIT_RE.match(Path(path).name):
+        g = MultiGGUF(path)
+    else:
+        g = read_gguf(path)
     cfg = ModelConfig.from_gguf(g.metadata)
     if cfg.vocab_size == 0:
         cfg = ModelConfig(**{**cfg.__dict__, "vocab_size": g.tensors["token_embd.weight"].shape[0]})
@@ -75,18 +88,54 @@ def load_model(path: str | Path, dtype=jnp.bfloat16):
     for i in range(cfg.n_layers):
         p = f"blk.{i}"
         has_qn = f"{p}.attn_q_norm.weight" in g.tensors
+        is_moe = f"{p}.ffn_gate_inp.weight" in g.tensors
+        moe = None
+        if is_moe:
+            from rrs_tpu.models.moe import MoEWeights
+
+            # GGUF expert tensors: gate/up [E, F, K], down [E, K, F]
+            moe = MoEWeights(
+                router=jnp.asarray(
+                    g.tensor(f"{p}.ffn_gate_inp.weight").astype(np.float32).T, dtype),
+                gate=jnp.asarray(
+                    g.tensor(f"{p}.ffn_gate_exps.weight").astype(np.float32)
+                    .transpose(0, 2, 1), dtype),
+                up=jnp.asarray(
+                    g.tensor(f"{p}.ffn_up_exps.weight").astype(np.float32)
+                    .transpose(0, 2, 1), dtype),
+                down=jnp.asarray(
+                    g.tensor(f"{p}.ffn_down_exps.weight").astype(np.float32)
+                    .transpose(0, 2, 1), dtype),
+            )
+        wq = _linear(g, f"{p}.attn_q.weight", dtype, f"{p}.attn_q.bias")
+        wk = _linear(g, f"{p}.attn_k.weight", dtype, f"{p}.attn_k.bias")
+        wv = _linear(g, f"{p}.attn_v.weight", dtype, f"{p}.attn_v.bias")
+        w_gate = None if is_moe else _linear(g, f"{p}.ffn_gate.weight", dtype)
+        w_up = None if is_moe else _linear(g, f"{p}.ffn_up.weight", dtype)
+        wqkv = w_gateup = None
+        if fuse:
+            from rrs_tpu.models.linear import fuse_linears
+
+            if type(wq) is type(wk) is type(wv):
+                wqkv = fuse_linears([wq, wk, wv])
+            if wqkv is not None:
+                wq = wk = wv = None
+            if not is_moe and type(w_gate) is type(w_up):
+                w_gateup = fuse_linears([w_gate, w_up])
+            if w_gateup is not None:
+                w_gate = w_up = None
         layers.append(LayerWeights(
             attn_norm=_norm(g, f"{p}.attn_norm.weight", dtype),
-            wq=_linear(g, f"{p}.attn_q.weight", dtype, f"{p}.attn_q.bias"),
-            wk=_linear(g, f"{p}.attn_k.weight", dtype, f"{p}.attn_k.bias"),
-            wv=_linear(g, f"{p}.attn_v.weight", dtype, f"{p}.attn_v.bias"),
+            wq=wq, wk=wk, wv=wv,
             wo=_linear(g, f"{p}.attn_output.weight", dtype),
             q_norm=_norm(g, f"{p}.attn_q_norm.weight", dtype) if has_qn else None,
             k_norm=_norm(g, f"{p}.attn_k_norm.weight", dtype) if has_qn else None,
             ffn_norm=_norm(g, f"{p}.ffn_norm.weight", dtype),
-            w_gate=_linear(g, f"{p}.ffn_gate.weight", dtype),
-            w_up=_linear(g, f"{p}.ffn_up.weight", dtype),
-            w_down=_linear(g, f"{p}.ffn_down.weight", dtype),
+            w_gate=w_gate, w_up=w_up,
+            w_down=None if is_moe else _linear(g, f"{p}.ffn_down.weight", dtype),
+            moe=moe,
+            wqkv=wqkv,
+            w_gateup=w_gateup,
         ))
 
     embed = jnp.asarray(g.tensor("token_embd.weight").astype(np.float32), dtype)

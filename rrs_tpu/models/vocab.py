@@ -122,6 +122,12 @@ class Vocab:
     def n_tokens(self) -> int:
         return len(self.tokens)
 
+    def pieces(self) -> list[str]:
+        """Decoded text of every token id (cached); used by grammar masking."""
+        if not hasattr(self, "_pieces"):
+            self._pieces = [self.decode([i]) for i in range(len(self.tokens))]
+        return self._pieces
+
     def token_to_id(self, t: str) -> Optional[int]:
         return self._token_to_id.get(t)
 

@@ -40,7 +40,7 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, out_ref, *, tq, g, d, s, scale, softca
         scores = jnp.tanh(scores / softcap) * softcap
 
     kv_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, s), 1)
-    pos = pos_ref[0, :]                                    # [TQ] i32
+    pos = pos_ref[0, 0, :]                                 # [TQ] i32
     mask = kv_pos <= pos[:, None]                          # [TQ, S]
     mask = jnp.broadcast_to(mask[:, None, :], (tq, g, s)).reshape(tq * g, s)
     scores = jnp.where(mask, scores, NEG_INF)
@@ -88,6 +88,7 @@ def flash_attention(
 
     # [B, Hkv, Tpad, G, D] so blocked dims stay out of the last two axes
     q5 = q.reshape(b, t_pad, hkv, g, d).transpose(0, 2, 1, 3, 4)
+    pos3 = positions.reshape(b, 1, t_pad)    # B must be a leading (grid) dim
     grid = (b, hkv, t_pad // tq)
     out = pl.pallas_call(
         functools.partial(
@@ -95,7 +96,8 @@ def flash_attention(
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tq), lambda b, h, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tq), lambda b, h, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tq, g, d), lambda b, h, i: (b, h, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s, d), lambda b, h, i: (b, h, 0, 0),
@@ -107,7 +109,93 @@ def flash_attention(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hkv, t_pad, g, d), q.dtype),
         interpret=interpret,
-    )(positions, q5, k_cache, v_cache)
+    )(pos3, q5, k_cache, v_cache)
+    return out.transpose(0, 2, 1, 3, 4).reshape(b, t_pad, h, d)[:, :t]
+
+
+def _kernel_q8(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref,
+               *, tq, g, d, s, scale, softcap):
+    ksc = ks_ref[0, 0, 0, :]                               # [S] f32
+    vsc = vs_ref[0, 0, 0, :]
+    k = k_ref[0, 0, :, :].astype(jnp.float32) * ksc[:, None]
+    v = v_ref[0, 0, :, :].astype(jnp.float32) * vsc[:, None]
+    q = q_ref[0, 0, :, :, :].reshape(tq * g, d).astype(jnp.float32)
+
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if softcap:
+        scores = jnp.tanh(scores / softcap) * softcap
+    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, s), 1)
+    pos = pos_ref[0, 0, :]
+    mask = kv_pos <= pos[:, None]
+    mask = jnp.broadcast_to(mask[:, None, :], (tq, g, s)).reshape(tq * g, s)
+    scores = jnp.where(mask, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    probs = e / jnp.maximum(l, 1e-30)
+    alive = jnp.any(mask, axis=-1, keepdims=True)
+    probs = jnp.where(alive, probs, 0.0)
+    ctx = jax.lax.dot_general(
+        probs, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0, 0, :, :, :] = ctx.reshape(tq, g, d).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "softcap", "tq", "interpret")
+)
+def flash_attention_q8(
+    q: jnp.ndarray,          # [B, T, H, D]
+    k_q: jnp.ndarray,        # int8 [B, Hkv, S, D]
+    k_s: jnp.ndarray,        # f32 [B, Hkv, 1, S]
+    v_q: jnp.ndarray,
+    v_s: jnp.ndarray,
+    positions: jnp.ndarray,  # [B, T] int32
+    scale: float,
+    softcap: float = 0.0,
+    tq: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Attention over an int8-quantized KV cache (the quantized-KV option of
+    llama-kv-cache cparams.type_k/v); dequantization happens in VMEM."""
+    b, t, h, d = q.shape
+    hkv, s = k_q.shape[1], k_q.shape[2]
+    g = h // hkv
+    if tq == 0:
+        tq = min(t, 256)
+    t_pad = (t + tq - 1) // tq * tq
+    if t_pad != t:
+        q = jnp.pad(q, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
+        positions = jnp.pad(positions, ((0, 0), (0, t_pad - t)),
+                            constant_values=-1)
+    q5 = q.reshape(b, t_pad, hkv, g, d).transpose(0, 2, 1, 3, 4)
+    pos3 = positions.reshape(b, 1, t_pad)
+    grid = (b, hkv, t_pad // tq)
+    spec_kv = pl.BlockSpec((1, 1, s, d), lambda b, h, i: (b, h, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_sc = pl.BlockSpec((1, 1, 1, s), lambda b, h, i: (b, h, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_q8, tq=tq, g=g, d=d, s=s, scale=scale, softcap=softcap
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, tq), lambda b, h, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tq, g, d), lambda b, h, i: (b, h, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            spec_kv, spec_sc, spec_kv, spec_sc,
+        ],
+        out_specs=pl.BlockSpec((1, 1, tq, g, d), lambda b, h, i: (b, h, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, t_pad, g, d), q.dtype),
+        interpret=interpret,
+    )(pos3, q5, k_q, k_s, v_q, v_s)
     return out.transpose(0, 2, 1, 3, 4).reshape(b, t_pad, h, d)[:, :t]
 
 

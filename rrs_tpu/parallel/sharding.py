@@ -38,7 +38,7 @@ from jax.experimental.shard_map import shard_map
 
 from rrs_tpu.models.config import ModelConfig
 from rrs_tpu.models import llama as llama_model
-from rrs_tpu.models.linear import DenseLinear, TCQ4Linear
+from rrs_tpu.models.linear import DenseLinear, Q8Linear, TCQ4Linear
 
 
 def make_mesh(n_devices: int = 0, dp: int = 1, devices=None) -> Mesh:
@@ -67,19 +67,32 @@ def _linear_spec(col: bool) -> object:
             bias=None if q.bias is None else (P("tp") if col else P(None)),
         )
 
-    return dense, quant
+    def q8(q: Q8Linear):
+        ws = P(None, "tp") if col else P("tp", None)
+        return Q8Linear(
+            q=ws, scale=ws,
+            bias=None if q.bias is None else (P("tp") if col else P(None)),
+            n_logical=q.n_logical,   # meta must match the weight pytree
+        )
+
+    return dense, quant, q8
 
 
 def weight_pspecs(weights: llama_model.ModelWeights) -> llama_model.ModelWeights:
     """Build a pytree of PartitionSpecs mirroring the weights pytree."""
 
     def spec_linear(lin, col: bool):
+        dense, quant, q8 = _linear_spec(col)
         if isinstance(lin, DenseLinear):
-            return _linear_spec(col)[0](lin)
-        return _linear_spec(col)[1](lin)
+            return dense(lin)
+        if isinstance(lin, Q8Linear):
+            return q8(lin)
+        return quant(lin)
 
     layers = []
     for lw in weights.layers:
+        assert lw.wqkv is None and lw.w_gateup is None, (
+            "fused projections cannot be TP-sharded; load with fuse=False")
         layers.append(llama_model.LayerWeights(
             attn_norm=P(None),
             wq=spec_linear(lw.wq, col=True),
@@ -102,7 +115,15 @@ def weight_pspecs(weights: llama_model.ModelWeights) -> llama_model.ModelWeights
 
 
 def shard_weights(weights, mesh: Mesh):
-    """device_put every weight leaf according to the plan."""
+    """device_put every weight leaf according to the plan.
+
+    A padded-vocab lm_head must not slice per-shard (local widths differ from
+    the global logical width); the sharded step slices after the all_gather
+    instead, so n_logical is cleared here."""
+    if isinstance(weights.lm_head, Q8Linear) and weights.lm_head.n_logical:
+        weights = dataclasses.replace(
+            weights, lm_head=dataclasses.replace(weights.lm_head, n_logical=0)
+        )
     specs = weight_pspecs(weights)
     return jax.tree.map(
         lambda w, s: jax.device_put(w, NamedSharding(mesh, s)),
@@ -148,8 +169,10 @@ def make_sharded_step(cfg: ModelConfig, mesh: Mesh):
             lcfg, weights, safe_tokens, pos, k_caches, v_caches, mask_pos,
             safe_slots,
         )
-        # lm_head is column-parallel: gather the vocab shards
+        # lm_head is column-parallel: gather the vocab shards, then drop
+        # any tile padding down to the logical vocab size
         logits = jax.lax.all_gather(logits, "tp", axis=-1, tiled=True)
+        logits = logits[..., : cfg.vocab_size]
         return logits, nk, nv
 
     def make(weights):

@@ -41,10 +41,11 @@ class InferenceContext:
         n_lanes: int = 1,
         max_seq: int = 2048,
         kv_dtype=jnp.bfloat16,
+        kv_quant: str = "none",
     ):
         self.cfg = cfg
         self.weights = weights
-        self.kv = KVCache.create(cfg, n_lanes, max_seq, kv_dtype)
+        self.kv = KVCache.create(cfg, n_lanes, max_seq, kv_dtype, quant=kv_quant)
         self._next_seq_id = 0
         # perf counters (llama_perf_context analog)
         self.n_prefill_tokens = 0
@@ -61,7 +62,8 @@ class InferenceContext:
         are masked out of the cache write by pointing their slot at position
         max_seq-1... they are instead handled by never advancing lengths."""
         b, t = tokens.shape
-        s = k_caches[0].shape[2]
+        kc0 = k_caches[0][0] if isinstance(k_caches[0], tuple) else k_caches[0]
+        s = kc0.shape[2]
         pos = start_pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
         slots = pos  # lane-local: slot == absolute position (no wraparound yet)
         # lanes whose row is entirely padding (start_pos < 0) attend nothing
@@ -137,6 +139,41 @@ class InferenceContext:
             self.kv.lengths[lane] += 1
             self.n_decode_tokens += 1
         return out
+
+    def embed(self, tokens: list[int], pooling: str = "mean") -> np.ndarray:
+        """Sequence embedding from the final hidden state (llama_encode +
+        pooling analog; causal-LM contexts support mean/last pooling).
+        Runs a standalone forward without the LM head or persistent cache."""
+        import jax
+
+        @jax.jit
+        def hidden(w, toks):
+            from rrs_tpu.models import llama as llama_model
+            from rrs_tpu.ops.basic import rms_norm
+
+            b, t = toks.shape
+            pos = jnp.arange(t, dtype=jnp.int32)[None, :]
+            shape = (b, self.cfg.n_kv_heads, t, self.cfg.head_dim)
+            kc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(self.cfg.n_layers)]
+            vc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(self.cfg.n_layers)]
+            x = jnp.take(w.embed, toks, axis=0)
+            for li, lw in enumerate(w.layers):
+                h = rms_norm(x, lw.attn_norm, self.cfg.rms_eps)
+                attn_out, kc[li], vc[li] = llama_model.attention(
+                    self.cfg, lw, h, pos, kc[li], vc[li], pos, pos, li=li)
+                x = x + attn_out
+                h = rms_norm(x, lw.ffn_norm, self.cfg.rms_eps)
+                x = x + llama_model.ffn(self.cfg, lw, h, li=li)
+            return rms_norm(x, w.final_norm, self.cfg.rms_eps)
+
+        hs = np.asarray(hidden(
+            self.weights, jnp.asarray(np.asarray(tokens, np.int32)[None, :])
+        ))[0]
+        if pooling == "last":
+            v = hs[-1]
+        else:
+            v = hs.mean(axis=0)
+        return v.astype(np.float32)
 
     def generate(
         self,

@@ -1,0 +1,378 @@
+"""GBNF grammar-constrained sampling (llama-grammar.cpp analog).
+
+Implements the llama.cpp GBNF dialect: rules of alternates, sequences,
+literals, char classes/ranges with negation, rule references, grouping and
+*/+/? repetition (expanded to auxiliary rules, as llama_grammar_parse does).
+
+Runtime model mirrors llama_grammar: a set of possible parse stacks over
+grammar positions; characters advance every stack; a token is admissible if
+at least one stack survives all its characters. The usual llama.cpp sampling
+trick applies (common_sampler: sample first, lazily build the full mask only
+on rejection).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+# element kinds
+END = 0         # end of alternate
+RULE = 1        # reference to rule id
+CHAR = 2        # single char / start of class
+CHAR_NOT = 3    # negated class
+CHAR_ALT = 4    # additional alternative char in a class
+CHAR_RNG = 5    # upper bound of a range (pairs with previous CHAR/CHAR_ALT)
+
+
+@dataclasses.dataclass(frozen=True)
+class Elem:
+    kind: int
+    value: int = 0    # rule id or codepoint
+
+
+class GrammarParseError(ValueError):
+    pass
+
+
+class _Parser:
+    """GBNF text -> rules: list[list[list[Elem]]] (rule -> alternates -> seq)."""
+
+    def __init__(self, text: str):
+        self.text = text
+        self.pos = 0
+        self.rule_ids: dict[str, int] = {}
+        self.rules: dict[int, list[list[Elem]]] = {}
+
+    def parse(self):
+        while self._skip_ws() < len(self.text):
+            self._parse_rule()
+        if "root" not in self.rule_ids:
+            raise GrammarParseError("grammar must define a 'root' rule")
+        n = len(self.rule_ids)
+        out = [[] for _ in range(n)]
+        for rid, alts in self.rules.items():
+            out[rid] = alts
+        for name, rid in self.rule_ids.items():
+            if not out[rid]:
+                raise GrammarParseError(f"undefined rule {name!r}")
+        return out, self.rule_ids["root"]
+
+    # -- lexing helpers ----------------------------------------------------
+
+    def _skip_ws(self):
+        t = self.text
+        while self.pos < len(t):
+            c = t[self.pos]
+            if c == "#":
+                while self.pos < len(t) and t[self.pos] != "\n":
+                    self.pos += 1
+            elif c in " \t\r\n":
+                self.pos += 1
+            else:
+                break
+        return self.pos
+
+    def _skip_ws_inline(self):
+        t = self.text
+        while self.pos < len(t):
+            c = t[self.pos]
+            if c == "#":
+                while self.pos < len(t) and t[self.pos] != "\n":
+                    self.pos += 1
+            elif c in " \t":
+                self.pos += 1
+            elif c in "\r\n":
+                # newline ends a rule unless continued
+                break
+            else:
+                break
+        return self.pos
+
+    def _name(self) -> str:
+        t = self.text
+        start = self.pos
+        while self.pos < len(t) and (t[self.pos].isalnum() or t[self.pos] in "-_"):
+            self.pos += 1
+        if self.pos == start:
+            raise GrammarParseError(f"expected name at {start}: {t[start:start+20]!r}")
+        return t[start : self.pos]
+
+    def _rule_id(self, name: str) -> int:
+        if name not in self.rule_ids:
+            self.rule_ids[name] = len(self.rule_ids)
+        return self.rule_ids[name]
+
+    def _fresh_rule(self, base: str) -> int:
+        i = 1
+        while f"{base}_{i}" in self.rule_ids:
+            i += 1
+        return self._rule_id(f"{base}_{i}")
+
+    def _char(self) -> int:
+        """One (possibly escaped) char inside quotes/class."""
+        t = self.text
+        c = t[self.pos]
+        self.pos += 1
+        if c != "\\":
+            return ord(c)
+        e = t[self.pos]
+        self.pos += 1
+        if e == "x":
+            v = int(t[self.pos : self.pos + 2], 16)
+            self.pos += 2
+            return v
+        if e == "u":
+            v = int(t[self.pos : self.pos + 4], 16)
+            self.pos += 4
+            return v
+        if e == "U":
+            v = int(t[self.pos : self.pos + 8], 16)
+            self.pos += 8
+            return v
+        return {"n": 10, "r": 13, "t": 9}.get(e, ord(e))
+
+    # -- grammar structure -------------------------------------------------
+
+    def _parse_rule(self):
+        name = self._name()
+        rid = self._rule_id(name)
+        self._skip_ws()
+        if not self.text.startswith("::=", self.pos):
+            raise GrammarParseError(f"expected ::= after {name}")
+        self.pos += 3
+        self._skip_ws()
+        self.rules[rid] = self._parse_alternates(name)
+
+    def _parse_alternates(self, base: str, nested: bool = False) -> list[list[Elem]]:
+        alts = [self._parse_sequence(base, nested)]
+        while True:
+            self._skip_ws() if nested else self._skip_ws_inline()
+            if self.pos < len(self.text) and self.text[self.pos] == "|":
+                self.pos += 1
+                self._skip_ws()
+                alts.append(self._parse_sequence(base, nested))
+            else:
+                break
+        return alts
+
+    def _parse_sequence(self, base: str, nested: bool) -> list[Elem]:
+        seq: list[Elem] = []
+        t = self.text
+        while True:
+            self._skip_ws() if nested else self._skip_ws_inline()
+            if self.pos >= len(t):
+                break
+            c = t[self.pos]
+            if c == '"':
+                self.pos += 1
+                while t[self.pos] != '"':
+                    seq.append(Elem(CHAR, self._char()))
+                self.pos += 1
+            elif c == "[":
+                self.pos += 1
+                neg = t[self.pos] == "^"
+                if neg:
+                    self.pos += 1
+                first = True
+                while t[self.pos] != "]":
+                    v = self._char()
+                    kind = (CHAR_NOT if neg else CHAR) if first else CHAR_ALT
+                    seq.append(Elem(kind, v))
+                    first = False
+                    if t[self.pos] == "-" and t[self.pos + 1] != "]":
+                        self.pos += 1
+                        seq.append(Elem(CHAR_RNG, self._char()))
+                self.pos += 1
+            elif c == "(":
+                self.pos += 1
+                sub = self._parse_alternates(base, nested=True)
+                self._skip_ws()
+                if t[self.pos] != ")":
+                    raise GrammarParseError(f"expected ) at {self.pos}")
+                self.pos += 1
+                rid = self._fresh_rule(base)
+                self.rules[rid] = sub
+                seq.append(Elem(RULE, rid))
+            elif c.isalnum() or c in "-_":
+                save = self.pos
+                name = self._name()
+                # lookahead: "name ::=" starts a new rule
+                save2 = self.pos
+                self._skip_ws()
+                if self.text.startswith("::=", self.pos):
+                    self.pos = save
+                    break
+                self.pos = save2
+                seq.append(Elem(RULE, self._rule_id(name)))
+            else:
+                break
+
+            # repetition operators bind to the last element (or char class)
+            self._maybe_repeat(seq, base)
+
+            if not nested and self.pos < len(t) and t[self.pos] in "\r\n":
+                break
+        return seq
+
+    def _last_group(self, seq: list[Elem]) -> list[Elem]:
+        """Pop the trailing atomic unit (char class or single elem)."""
+        i = len(seq) - 1
+        if seq[i].kind in (CHAR_ALT, CHAR_RNG):
+            while seq[i].kind in (CHAR_ALT, CHAR_RNG):
+                i -= 1
+        unit = seq[i:]
+        del seq[i:]
+        return unit
+
+    def _maybe_repeat(self, seq: list[Elem], base: str):
+        t = self.text
+        if self.pos >= len(t) or t[self.pos] not in "*+?{":
+            return
+        op = t[self.pos]
+        if op == "{":
+            # {m}, {m,}, {m,n}
+            self.pos += 1
+            j = t.index("}", self.pos)
+            body = t[self.pos : j]
+            self.pos = j + 1
+            if "," in body:
+                lo_s, hi_s = body.split(",")
+                lo = int(lo_s)
+                hi = int(hi_s) if hi_s.strip() else -1
+            else:
+                lo = hi = int(body)
+            unit = self._last_group(seq)
+            for _ in range(lo):
+                seq.extend(unit)
+            if hi < 0:
+                rid = self._fresh_rule(base)
+                self.rules[rid] = [unit + [Elem(RULE, rid)], []]
+                seq.append(Elem(RULE, rid))
+            else:
+                for _ in range(hi - lo):
+                    rid = self._fresh_rule(base)
+                    self.rules[rid] = [unit, []]
+                    seq.append(Elem(RULE, rid))
+            return
+        self.pos += 1
+        unit = self._last_group(seq)
+        rid = self._fresh_rule(base)
+        if op == "*":
+            self.rules[rid] = [unit + [Elem(RULE, rid)], []]
+            seq.append(Elem(RULE, rid))
+        elif op == "+":
+            self.rules[rid] = [unit + [Elem(RULE, rid)], unit]
+            seq.append(Elem(RULE, rid))
+        elif op == "?":
+            self.rules[rid] = [unit, []]
+            seq.append(Elem(RULE, rid))
+
+
+def _class_matches(seq: list[Elem], i: int, ch: int) -> tuple[bool, int]:
+    """Match char against the class starting at seq[i]; returns (ok, next_i)."""
+    neg = seq[i].kind == CHAR_NOT
+    found = False
+    lo = seq[i].value
+    j = i + 1
+    if j < len(seq) and seq[j].kind == CHAR_RNG:
+        found |= lo <= ch <= seq[j].value
+        j += 1
+    else:
+        found |= ch == lo
+    while j < len(seq) and seq[j].kind == CHAR_ALT:
+        lo = seq[j].value
+        j += 1
+        if j < len(seq) and seq[j].kind == CHAR_RNG:
+            found |= lo <= ch <= seq[j].value
+            j += 1
+        else:
+            found |= ch == lo
+    return (found != neg), j
+
+
+class Grammar:
+    """Push-down recognizer over parse stacks (llama_grammar semantics)."""
+
+    def __init__(self, gbnf: str):
+        self.rules, self.root = _Parser(gbnf).parse()
+        # stack entries are (rule_id, alt_idx, pos); expand to frames of
+        # remaining element tuples for hashability
+        self.stacks: set[tuple] = set()
+        for alt in self.rules[self.root]:
+            self._push(tuple(), tuple(alt), self.stacks, set())
+
+    # -- stack machinery ---------------------------------------------------
+
+    def _push(self, below: tuple, seq: tuple, out: set, seen: set):
+        """Advance over rule refs until the stack top is a char matcher."""
+        key = (below, seq)
+        if key in seen:
+            return
+        seen.add(key)
+        if not seq:
+            if below:
+                self._push(below[:-1], below[-1], out, seen)
+            else:
+                out.add(tuple())          # accepted (empty stack)
+            return
+        el = seq[0]
+        if el.kind == RULE:
+            rest = seq[1:]
+            for alt in self.rules[el.value]:
+                self._push(below + (rest,), tuple(alt), out, seen)
+        else:
+            out.add(below + (seq,))
+
+    def _advance_char(self, stacks: set, ch: int) -> set:
+        out: set = set()
+        seen: set = set()
+        for st in stacks:
+            if not st:
+                continue
+            seq = st[-1]
+            ok, nxt = _class_matches(list(seq), 0, ch)
+            if ok:
+                self._push(st[:-1], tuple(seq[nxt:]), out, seen)
+        return out
+
+    # -- public API --------------------------------------------------------
+
+    def accepts_text(self, text: str) -> bool:
+        """Would the grammar allow this continuation (prefix acceptance)?"""
+        stacks = self.stacks
+        for ch in text:
+            stacks = self._advance_char(stacks, ord(ch))
+            if not stacks:
+                return False
+        return True
+
+    def accept_text(self, text: str) -> bool:
+        """Consume text, updating state. Returns False (state unchanged) if rejected."""
+        stacks = self.stacks
+        for ch in text:
+            stacks = self._advance_char(stacks, ord(ch))
+            if not stacks:
+                return False
+        self.stacks = stacks
+        return True
+
+    @property
+    def done(self) -> bool:
+        """True if the grammar can terminate here."""
+        return tuple() in self.stacks
+
+    @property
+    def must_end(self) -> bool:
+        return self.stacks == {tuple()}
+
+    def allowed_mask(self, token_texts: list[str]) -> list[bool]:
+        """Admissibility of each candidate token (the full-mask fallback)."""
+        return [bool(t) and self.accepts_text(t) for t in token_texts]
+
+    def copy(self) -> "Grammar":
+        g = object.__new__(Grammar)
+        g.rules = self.rules
+        g.root = self.root
+        g.stacks = set(self.stacks)
+        return g

@@ -33,7 +33,12 @@ class KVCache:
 
     @property
     def n_lanes(self) -> int:
-        return self.k[0].shape[0]
+        k0 = self.k[0][0] if isinstance(self.k[0], tuple) else self.k[0]
+        return k0.shape[0]
+
+    @property
+    def quantized(self) -> bool:
+        return isinstance(self.k[0], tuple)
 
     @classmethod
     def create(
@@ -42,10 +47,18 @@ class KVCache:
         n_lanes: int,
         max_seq: int,
         dtype=jnp.bfloat16,
+        quant: str = "none",      # "none" | "q8" (int8 values + f32 scales)
     ) -> "KVCache":
         shape = (n_lanes, cfg.n_kv_heads, max_seq, cfg.head_dim)
-        k = [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)]
-        v = [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)]
+        if quant == "q8":
+            sshape = (n_lanes, cfg.n_kv_heads, 1, max_seq)
+            k = [(jnp.zeros(shape, jnp.int8), jnp.ones(sshape, jnp.float32))
+                 for _ in range(cfg.n_layers)]
+            v = [(jnp.zeros(shape, jnp.int8), jnp.ones(sshape, jnp.float32))
+                 for _ in range(cfg.n_layers)]
+        else:
+            k = [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)]
+            v = [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)]
         return cls(k=k, v=v, max_seq=max_seq,
                    lengths=[0] * n_lanes, seq_ids=[None] * n_lanes)
 
@@ -83,9 +96,18 @@ class KVCache:
         src = self.lane_of(src_seq)
         dst = self.seq_new(dst_seq)
         n = self.lengths[src]
+
+        def cp(c):
+            if isinstance(c, tuple):
+                arr, sc = c
+                arr = arr.at[dst, :, :n].set(arr[src, :, :n])
+                sc = sc.at[dst, :, :, :n].set(sc[src, :, :, :n])
+                return (arr, sc)
+            return c.at[dst, :, :n].set(c[src, :, :n])
+
         for li in range(len(self.k)):
-            self.k[li] = self.k[li].at[dst, :, :n].set(self.k[li][src, :, :n])
-            self.v[li] = self.v[li].at[dst, :, :n].set(self.v[li][src, :, :n])
+            self.k[li] = cp(self.k[li])
+            self.v[li] = cp(self.v[li])
         self.lengths[dst] = n
 
     def seq_keep(self, seq_id: int) -> None:
@@ -95,3 +117,74 @@ class KVCache:
 
     def lengths_array(self) -> jnp.ndarray:
         return jnp.asarray(self.lengths, jnp.int32)
+
+    def seq_shift(self, cfg, seq_id: int, n_keep: int, n_discard: int) -> None:
+        """Context shift (llama_memory_seq_add + build_rope_shift analog,
+        server-context.cpp:1988-2044): drop cells [n_keep, n_keep+n_discard),
+        slide the tail down, and re-rotate the cached K by -n_discard
+        positions (RoPE is additive in position, so a single delta rotation
+        corrects the moved keys — llama-kv-cache.h:262).
+        """
+        from rrs_tpu.models.llama import rope_params
+        from rrs_tpu.ops.basic import apply_rope
+
+        lane = self.lane_of(seq_id)
+        n = self.lengths[lane]
+        n_discard = min(n_discard, n - n_keep)
+        if n_discard <= 0:
+            return
+        rp = rope_params(cfg)
+        delta = jnp.full((1, 1), -n_discard, jnp.int32)
+
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def shift(ks, vs):
+            def rope_shift_k(lk):
+                """[H, S, D] -> rolled + rope(-delta) on the moved tail."""
+                tail = jnp.roll(lk, -n_discard, axis=1)
+                rk = apply_rope(
+                    tail.transpose(1, 0, 2)[None],     # [1, S, H, D]
+                    delta, rp,
+                )[0].transpose(1, 0, 2)
+                keep = jnp.arange(lk.shape[1])[None, :, None] < n_keep
+                return jnp.where(keep, lk, rk)
+
+            out_k, out_v = [], []
+            for k, v in zip(ks, vs):
+                if isinstance(k, tuple):
+                    # quantized: dequant the lane, shift+rope, requant
+                    arr, sc = k
+                    # sc[lane]: [H, 1, S] -> per-(head, slot) scale column
+                    lk = arr[lane].astype(jnp.float32) * sc[lane][:, 0, :][:, :, None]
+                    new_k = rope_shift_k(lk)
+                    amax = jnp.max(jnp.abs(new_k), axis=-1)
+                    s_new = jnp.maximum(amax / 127.0, 1e-10)
+                    q8 = jnp.clip(jnp.rint(new_k / s_new[..., None]),
+                                  -127, 127).astype(jnp.int8)
+                    out_k.append((arr.at[lane].set(q8),
+                                  sc.at[lane, :, 0, :].set(s_new)))
+                    varr, vsc = v
+                    lv = varr[lane]
+                    out_v.append((
+                        varr.at[lane].set(jnp.where(
+                            jnp.arange(lv.shape[1])[None, :, None] < n_keep,
+                            lv, jnp.roll(lv, -n_discard, axis=1))),
+                        vsc.at[lane, :, 0, :].set(jnp.where(
+                            jnp.arange(vsc.shape[3])[None, :] < n_keep,
+                            vsc[lane, :, 0, :],
+                            jnp.roll(vsc[lane, :, 0, :], -n_discard, axis=1))),
+                    ))
+                    continue
+                lk = k[lane]                       # [H, S, D]
+                lv = v[lane]
+                tail_v = jnp.roll(lv, -n_discard, axis=1)
+                new_k = rope_shift_k(lk).astype(k.dtype)
+                keep = jnp.arange(lk.shape[1])[None, :, None] < n_keep
+                new_v = jnp.where(keep, lv, tail_v).astype(v.dtype)
+                out_k.append(k.at[lane].set(new_k))
+                out_v.append(v.at[lane].set(new_v))
+            return out_k, out_v
+
+        self.k, self.v = shift(self.k, self.v)
+        self.lengths[lane] = n - n_discard

@@ -29,6 +29,21 @@ class SamplerParams:
     penalty_present: float = 0.0
     penalty_last_n: int = 64
     seed: int = 42
+    # XTC (exclude-the-common) sampler
+    xtc_probability: float = 0.0
+    xtc_threshold: float = 0.1
+    # top-n-sigma
+    top_n_sigma: float = 0.0        # 0 = disabled
+    # mirostat (stateful; engine carries mu per slot)
+    mirostat: int = 0               # 0 off, 2 = mirostat v2
+    mirostat_tau: float = 5.0
+    mirostat_eta: float = 0.1
+    # static per-token logit offsets
+    logit_bias: tuple = ()          # ((token_id, bias), ...)
+    # DRY repeat suppression
+    dry_multiplier: float = 0.0
+    dry_base: float = 1.75
+    dry_allowed_length: int = 2
 
     @property
     def greedy(self) -> bool:
@@ -98,6 +113,68 @@ def apply_typical(logits: jnp.ndarray, typ_p: float) -> jnp.ndarray:
     return jnp.where(keep, logits, NEG_INF)
 
 
+def apply_xtc(logits: jnp.ndarray, key: jax.Array, p: SamplerParams) -> jnp.ndarray:
+    """XTC (llama_sampler_xtc): with probability xtc_probability, drop every
+    token whose prob exceeds the threshold EXCEPT the least likely of them."""
+    if p.xtc_probability <= 0.0:
+        return logits
+    probs = jax.nn.softmax(logits, axis=-1)
+    over = probs >= p.xtc_threshold
+    n_over = over.sum(-1, keepdims=True)
+    # keep the lowest-probability qualifying token: mask others when >= 2 qualify
+    min_over = jnp.min(jnp.where(over, probs, jnp.inf), axis=-1, keepdims=True)
+    drop = over & (probs > min_over) & (n_over >= 2)
+    gate = jax.random.uniform(key, logits.shape[:-1] + (1,)) < p.xtc_probability
+    return jnp.where(drop & gate, NEG_INF, logits)
+
+
+def apply_top_n_sigma(logits: jnp.ndarray, n_sigma: float) -> jnp.ndarray:
+    """top-n-sigma (llama_sampler_top_n_sigma): keep logits within n*std of max."""
+    if n_sigma <= 0.0:
+        return logits
+    valid = logits > NEG_INF / 2
+    cnt = valid.sum(-1, keepdims=True)
+    mean = jnp.where(valid, logits, 0.0).sum(-1, keepdims=True) / cnt
+    var = (jnp.where(valid, logits - mean, 0.0) ** 2).sum(-1, keepdims=True) / cnt
+    std = jnp.sqrt(var)
+    cutoff = logits.max(-1, keepdims=True) - n_sigma * std
+    return jnp.where(logits < cutoff, NEG_INF, logits)
+
+
+def apply_logit_bias(logits: jnp.ndarray, bias: tuple) -> jnp.ndarray:
+    for tid, b in bias:
+        logits = logits.at[..., int(tid)].add(float(b))
+    return logits
+
+
+def mirostat_v2_sample(
+    logits: jnp.ndarray,            # [V]
+    key: jax.Array,
+    mu: float,
+    p: SamplerParams,
+) -> tuple[int, float]:
+    """Mirostat v2 (llama_sampler_mirostat_v2): truncate tokens with surprise
+    > mu, sample, then update mu toward the target entropy tau."""
+    import numpy as np
+
+    lg = np.asarray(logits, np.float64) / max(p.temperature, 1e-6)
+    lg -= lg.max()
+    probs = np.exp(lg)
+    probs /= probs.sum()
+    surprise = -np.log2(np.maximum(probs, 1e-30))
+    keep = surprise <= mu
+    if not keep.any():
+        keep[np.argmax(probs)] = True
+    pk = np.where(keep, probs, 0.0)
+    pk /= pk.sum()
+    u = float(jax.random.uniform(key))
+    token = int(np.searchsorted(np.cumsum(pk), u))
+    token = min(token, len(pk) - 1)
+    observed = float(surprise[token])
+    mu = mu - p.mirostat_eta * (observed - p.mirostat_tau)
+    return token, mu
+
+
 def sample(
     logits: jnp.ndarray,            # [B, V] f32
     key: jax.Array,
@@ -105,13 +182,51 @@ def sample(
     recent_counts: Optional[jnp.ndarray] = None,   # [B, V]
 ) -> jnp.ndarray:
     """Apply the sampler chain and draw one token per row. Returns [B] int32."""
+    if p.logit_bias:
+        logits = apply_logit_bias(logits, p.logit_bias)
     if recent_counts is not None:
         logits = jax.vmap(lambda l, c: apply_penalties(l, c, p))(logits, recent_counts)
     if p.greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    key, kx = jax.random.split(key)
     logits = logits / max(p.temperature, 1e-6)
+    logits = apply_xtc(logits, kx, p)
+    logits = apply_top_n_sigma(logits, p.top_n_sigma)
     logits = apply_top_k(logits, p.top_k)
     logits = apply_typical(logits, p.typical_p)
     logits = apply_top_p(logits, p.top_p)
     logits = apply_min_p(logits, p.min_p)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def dry_penalties(
+    tokens: list[int],
+    vocab_size: int,
+    multiplier: float = 0.0,
+    base: float = 1.75,
+    allowed_length: int = 2,
+    penalty_last_n: int = 1024,
+) -> Optional[dict[int, float]]:
+    """DRY sampler (llama_sampler_dry semantics, host-side): for each token z
+    that would extend a repeat of the recent suffix, penalize by
+    multiplier * base^(match_len - allowed_length)."""
+    if multiplier <= 0.0 or len(tokens) < allowed_length:
+        return None
+    window = tokens[-penalty_last_n:]
+    n = len(window)
+    penalties: dict[int, float] = {}
+    # longest suffix of `window` matching a substring ending at i (z = window[i])
+    for i in range(n - 1):
+        m = 0
+        while (
+            m < i + 1
+            and m < n - 1
+            and window[i - m] == window[n - 1 - m]
+        ):
+            m += 1
+        if m >= allowed_length:
+            z = window[i + 1] if i + 1 < n else None
+            if z is not None:
+                pen = multiplier * (base ** (m - allowed_length))
+                penalties[z] = max(penalties.get(z, 0.0), pen)
+    return penalties or None

@@ -56,10 +56,18 @@ def save_state(ctx, path: str | Path) -> int:
     }
     arrays = {"__meta__": np.frombuffer(json.dumps(meta).encode(), np.uint8)}
     max_len = max(ctx.kv.lengths, default=0)
+
+    def deq(c):
+        if isinstance(c, tuple):
+            arr, sc = c
+            return np.asarray(arr[:, :, :max_len]).astype(np.float32) * \
+                np.asarray(sc[:, :, 0, :max_len])[..., None]
+        return np.asarray(c[:, :, :max_len]).astype(np.float32)
+
     for li in range(len(ctx.kv.k)):
-        # only the live prefix of each lane needs saving
-        arrays[f"k{li}"] = np.asarray(ctx.kv.k[li][:, :, :max_len]).astype(np.float32)
-        arrays[f"v{li}"] = np.asarray(ctx.kv.v[li][:, :, :max_len]).astype(np.float32)
+        # only the live prefix of each lane needs saving (dequantized)
+        arrays[f"k{li}"] = deq(ctx.kv.k[li])
+        arrays[f"v{li}"] = deq(ctx.kv.v[li])
     path = Path(path)
     np.savez_compressed(path, **arrays)
     return path.stat().st_size
@@ -74,12 +82,20 @@ def load_state(ctx, path: str | Path) -> None:
         ctx.kv.lengths = list(meta["lengths"])
         ctx.kv.seq_ids = list(meta["seq_ids"])
         n = z["k0"].shape[2]
+
+        def req(c, data):
+            if isinstance(c, tuple):
+                arr, sc = c
+                amax = np.maximum(np.abs(data).max(-1), 1e-10)
+                q8 = np.clip(np.rint(data / amax[..., None] * 127), -127, 127)
+                arr = arr.at[:, :, :n].set(jnp.asarray(q8, jnp.int8))
+                sc = sc.at[:, :, 0, :n].set(jnp.asarray(amax / 127.0, jnp.float32))
+                return (arr, sc)
+            return c.at[:, :, :n].set(jnp.asarray(data, c.dtype))
+
         for li in range(len(ctx.kv.k)):
-            kd = ctx.kv.k[li].dtype
-            ctx.kv.k[li] = ctx.kv.k[li].at[:, :, :n].set(
-                jnp.asarray(z[f"k{li}"], kd))
-            ctx.kv.v[li] = ctx.kv.v[li].at[:, :, :n].set(
-                jnp.asarray(z[f"v{li}"], kd))
+            ctx.kv.k[li] = req(ctx.kv.k[li], z[f"k{li}"])
+            ctx.kv.v[li] = req(ctx.kv.v[li], z[f"v{li}"])
 
 
 def save_sequence(ctx, seq_id: int, path: str | Path, tokens=None) -> int:
@@ -94,9 +110,17 @@ def save_sequence(ctx, seq_id: int, path: str | Path, tokens=None) -> int:
         "tokens": list(tokens) if tokens is not None else None,
     }
     arrays = {"__meta__": np.frombuffer(json.dumps(meta).encode(), np.uint8)}
+
+    def deq_lane(c):
+        if isinstance(c, tuple):
+            arr, sc = c
+            return np.asarray(arr[lane, :, :n]).astype(np.float32) * \
+                np.asarray(sc[lane, :, 0, :n])[..., None]
+        return np.asarray(c[lane, :, :n]).astype(np.float32)
+
     for li in range(len(ctx.kv.k)):
-        arrays[f"k{li}"] = np.asarray(ctx.kv.k[li][lane, :, :n]).astype(np.float32)
-        arrays[f"v{li}"] = np.asarray(ctx.kv.v[li][lane, :, :n]).astype(np.float32)
+        arrays[f"k{li}"] = deq_lane(ctx.kv.k[li])
+        arrays[f"v{li}"] = deq_lane(ctx.kv.v[li])
     path = Path(path)
     np.savez_compressed(path, **arrays)
     return path.stat().st_size
@@ -114,11 +138,19 @@ def load_sequence(ctx, path: str | Path):
             raise ValueError(f"sequence length {n} exceeds context {ctx.kv.max_seq}")
         seq_id = ctx.new_sequence()
         lane = ctx.kv.lane_of(seq_id)
+
+        def req_lane(c, data):
+            if isinstance(c, tuple):
+                arr, sc = c
+                amax = np.maximum(np.abs(data).max(-1), 1e-10)
+                q8 = np.clip(np.rint(data / amax[..., None] * 127), -127, 127)
+                arr = arr.at[lane, :, :n].set(jnp.asarray(q8, jnp.int8))
+                sc = sc.at[lane, :, 0, :n].set(jnp.asarray(amax / 127.0, jnp.float32))
+                return (arr, sc)
+            return c.at[lane, :, :n].set(jnp.asarray(data, c.dtype))
+
         for li in range(len(ctx.kv.k)):
-            kd = ctx.kv.k[li].dtype
-            ctx.kv.k[li] = ctx.kv.k[li].at[lane, :, :n].set(
-                jnp.asarray(z[f"k{li}"], kd))
-            ctx.kv.v[li] = ctx.kv.v[li].at[lane, :, :n].set(
-                jnp.asarray(z[f"v{li}"], kd))
+            ctx.kv.k[li] = req_lane(ctx.kv.k[li], z[f"k{li}"])
+            ctx.kv.v[li] = req_lane(ctx.kv.v[li], z[f"v{li}"])
         ctx.kv.lengths[lane] = n
         return seq_id, meta.get("tokens")

@@ -43,6 +43,8 @@ class GenRequest:
     # callback(token_id, text_piece, finished, finish_reason)
     on_token: Optional[Callable] = None
     decode_fn: Optional[Callable[[list[int]], str]] = None  # ids -> text
+    grammar: Optional[object] = None          # runtime.grammar.Grammar
+    token_pieces: Optional[list[str]] = None  # vocab pieces for grammar masking
     id: int = 0
 
 
@@ -59,6 +61,8 @@ class Slot:
     key: Optional[jax.Array] = None
     t_start: float = 0.0
     n_prompt: int = 0
+    grammar: Optional[object] = None
+    mirostat_mu: float = 10.0
 
 
 class Engine:
@@ -114,6 +118,8 @@ class Engine:
         slot.key = jax.random.PRNGKey(req.params.seed + req.id)
         slot.t_start = time.time()
         slot.n_prompt = len(req.prompt_tokens)
+        slot.grammar = req.grammar.copy() if req.grammar is not None else None
+        slot.mirostat_mu = 2.0 * req.params.mirostat_tau
         self.n_requests += 1
 
     def _release(self, slot: Slot, reason: str):
@@ -161,10 +167,30 @@ class Engine:
     def _sample_token(self, slot: Slot) -> int:
         import jax.numpy as jnp
 
+        from rrs_tpu.runtime.sampler import dry_penalties, mirostat_v2_sample
+
         slot.key, sub = jax.random.split(slot.key)
-        logits = jnp.asarray(slot.last_logits[None, :])
-        counts = None
+        raw = slot.last_logits
         p = slot.req.params
+        if p.dry_multiplier > 0.0:
+            pen = dry_penalties(
+                slot.generated, raw.shape[-1],
+                multiplier=p.dry_multiplier, base=p.dry_base,
+                allowed_length=p.dry_allowed_length,
+                penalty_last_n=p.penalty_last_n,
+            )
+            if pen:
+                raw = raw.copy()
+                for tid, v in pen.items():
+                    if tid < raw.shape[-1]:
+                        raw[tid] -= v
+        if p.mirostat:
+            token, slot.mirostat_mu = mirostat_v2_sample(
+                jnp.asarray(raw), sub, slot.mirostat_mu, p
+            )
+            return self._grammar_check(slot, token)
+        logits = jnp.asarray(raw[None, :])
+        counts = None
         if p.penalty_repeat != 1.0 or p.penalty_freq or p.penalty_present:
             v = logits.shape[-1]
             window = slot.generated[-p.penalty_last_n :]
@@ -172,7 +198,37 @@ class Engine:
             for t in window:
                 c[0, t] += 1
             counts = jnp.asarray(c)
-        return int(sample(logits, sub, p, recent_counts=counts)[0])
+        token = int(sample(logits, sub, p, recent_counts=counts)[0])
+        return self._grammar_check(slot, token, counts)
+
+    def _grammar_check(self, slot: Slot, token: int, counts=None) -> int:
+        import jax.numpy as jnp
+
+        g = slot.grammar
+        p = slot.req.params
+        if g is not None:
+            pieces = slot.req.token_pieces
+            piece = pieces[token] if pieces and token < len(pieces) else ""
+            if token in slot.req.stop_tokens:
+                if g.done:
+                    return token    # grammar complete: EOS allowed
+            elif piece and g.accept_text(piece):
+                return token
+            # rejected: lazy full mask + resample (common_sampler strategy)
+            mask = np.asarray(g.allowed_mask(pieces), bool)
+            if g.done:
+                for st in slot.req.stop_tokens:
+                    if st < mask.shape[0]:
+                        mask[st] = True
+            masked = np.where(mask, slot.last_logits, -1e30)
+            slot.key, sub = jax.random.split(slot.key)
+            token = int(sample(jnp.asarray(masked[None, :]), sub, p,
+                               recent_counts=counts)[0])
+            if slot.req.stop_tokens and token in slot.req.stop_tokens:
+                return token
+            piece = pieces[token] if token < len(pieces) else ""
+            g.accept_text(piece)
+        return token
 
     def _loop(self):
         while not self._stop.is_set():
@@ -193,13 +249,16 @@ class Engine:
                 break
             self._launch(slot, req)
 
-        # context-shift: drop oldest half when a lane is about to overflow
-        # (server-context.cpp:1988-2044)
+        # context-shift: drop the oldest half (keeping the first cell) when a
+        # lane is about to overflow (server-context.cpp:1988-2044)
         for s in self.slots:
             if s.state == SlotState.GENERATING and s.seq_id >= 0:
                 lane = self.ctx.kv.lane_of(s.seq_id)
-                if self.ctx.kv.lengths[lane] >= self.ctx.kv.max_seq - 1:
-                    self._release(s, "length")
+                n = self.ctx.kv.lengths[lane]
+                if n >= self.ctx.kv.max_seq - 1:
+                    n_keep = 1
+                    n_discard = max((n - n_keep) // 2, 1)
+                    self.ctx.kv.seq_shift(self.ctx.cfg, s.seq_id, n_keep, n_discard)
 
         # 1) one prompt chunk for the first PROMPT slot
         for s in self.slots:

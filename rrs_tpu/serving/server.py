@@ -43,6 +43,19 @@ def _sampler_params(body: dict) -> SamplerParams:
         penalty_freq=float(body.get("frequency_penalty", 0.0)),
         penalty_present=float(body.get("presence_penalty", 0.0)),
         seed=int(body.get("seed", 42)),
+        xtc_probability=float(body.get("xtc_probability", 0.0)),
+        xtc_threshold=float(body.get("xtc_threshold", 0.1)),
+        top_n_sigma=float(body.get("top_n_sigma", 0.0)),
+        mirostat=int(body.get("mirostat", 0)),
+        mirostat_tau=float(body.get("mirostat_tau", 5.0)),
+        mirostat_eta=float(body.get("mirostat_eta", 0.1)),
+        dry_multiplier=float(body.get("dry_multiplier", 0.0)),
+        dry_base=float(body.get("dry_base", 1.75)),
+        dry_allowed_length=int(body.get("dry_allowed_length", 2)),
+        logit_bias=tuple(
+            (int(k), float(v))
+            for k, v in (body.get("logit_bias") or {}).items()
+        ) if isinstance(body.get("logit_bias"), dict) else (),
     )
 
 
@@ -77,6 +90,22 @@ def make_handler(state: ServerState):
             stops = body.get("stop") or []
             if isinstance(stops, str):
                 stops = [stops]
+            grammar = None
+            gbnf = body.get("grammar")
+            rf = body.get("response_format") or {}
+            if not gbnf and body.get("json_schema"):
+                from rrs_tpu.runtime.json_schema import json_schema_to_gbnf
+                gbnf = json_schema_to_gbnf(body["json_schema"])
+            if not gbnf and rf.get("type") == "json_schema":
+                from rrs_tpu.runtime.json_schema import json_schema_to_gbnf
+                gbnf = json_schema_to_gbnf(
+                    rf.get("json_schema", {}).get("schema", {}))
+            if not gbnf and rf.get("type") == "json_object":
+                from rrs_tpu.runtime.json_schema import json_schema_to_gbnf
+                gbnf = json_schema_to_gbnf({})
+            if gbnf:
+                from rrs_tpu.runtime.grammar import Grammar
+                grammar = Grammar(gbnf)
             req = GenRequest(
                 prompt_tokens=prompt_tokens,
                 max_tokens=int(body.get("max_tokens") or body.get("n_predict") or 128),
@@ -87,6 +116,8 @@ def make_handler(state: ServerState):
                 stop_strings=tuple(stops) + tuple(stop_strings),
                 on_token=on_token,
                 decode_fn=lambda ids: state.vocab.decode(ids),
+                grammar=grammar,
+                token_pieces=state.vocab.pieces() if grammar else None,
             )
             state.engine.submit(req)
             while True:
@@ -213,6 +244,21 @@ def make_handler(state: ServerState):
                     })
                 return
 
+            if self.path in ("/v1/embeddings", "/embeddings", "/embedding"):
+                inputs = body.get("input") or body.get("content") or ""
+                if isinstance(inputs, str):
+                    inputs = [inputs]
+                data = []
+                for i, text in enumerate(inputs):
+                    toks = (text if isinstance(text, list)
+                            else state.vocab.encode(str(text), add_special=True))
+                    vec = state.engine.ctx.embed(toks)
+                    data.append({"object": "embedding", "index": i,
+                                 "embedding": [float(x) for x in vec]})
+                self._json({"object": "list", "data": data,
+                            "model": state.model_name})
+                return
+
             if self.path in ("/v1/completions", "/completion", "/completions"):
                 prompt = body.get("prompt", "")
                 toks = (
@@ -256,7 +302,8 @@ def serve(args):
 
     cfg, weights, md = load_model(args.model)
     vocab = Vocab.from_gguf(md)
-    ctx = InferenceContext(cfg, weights, n_lanes=args.parallel, max_seq=args.ctx)
+    ctx = InferenceContext(cfg, weights, n_lanes=args.parallel, max_seq=args.ctx,
+                           kv_quant=getattr(args, "cache_type", "none"))
     engine = Engine(ctx)
     engine.start()
     state = ServerState(cfg, vocab, engine, md, model_name=str(args.model))

@@ -67,3 +67,29 @@ def test_causal_equivalence_with_full_recompute():
     # manual causal reference
     ref = np.asarray(attention_ref(q, k, v, pos, 0.125))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_q8_variant_matches_dequant_ref():
+    from rrs_tpu.ops.flash_attention import flash_attention_q8
+
+    b, t, h, hkv, d, s = 1, 2, 4, 2, 64, 32
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    kf = rng.standard_normal((b, hkv, s, d)).astype(np.float32)
+    vf = rng.standard_normal((b, hkv, s, d)).astype(np.float32)
+    ks = np.maximum(np.abs(kf).max(-1), 1e-10) / 127.0
+    vs = np.maximum(np.abs(vf).max(-1), 1e-10) / 127.0
+    kq = np.clip(np.rint(kf / ks[..., None]), -127, 127).astype(np.int8)
+    vq = np.clip(np.rint(vf / vs[..., None]), -127, 127).astype(np.int8)
+    pos = jnp.asarray(np.array([[5, 6]], np.int32))
+    scale = 0.125
+
+    kd = kq.astype(np.float32) * ks[..., None]
+    vd = vq.astype(np.float32) * vs[..., None]
+    ref = np.asarray(attention_ref(q, jnp.asarray(kd), jnp.asarray(vd), pos, scale))
+    got = np.asarray(flash_attention_q8(
+        q, jnp.asarray(kq), jnp.asarray(ks[:, :, None, :]),
+        jnp.asarray(vq), jnp.asarray(vs[:, :, None, :]),
+        pos, scale, interpret=True,
+    ))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)

@@ -1,0 +1,109 @@
+"""GBNF grammar tests (test-grammar-parser / test-grammar-integration analogs)."""
+
+import pytest
+
+from rrs_tpu.runtime.grammar import Grammar, GrammarParseError
+
+
+def test_literal_sequence():
+    g = Grammar('root ::= "ab" "c"')
+    assert g.accepts_text("abc")
+    assert g.accepts_text("ab")          # prefix ok
+    assert not g.accepts_text("abd")
+    assert not g.accepts_text("x")
+
+
+def test_alternates():
+    g = Grammar('root ::= "yes" | "no"')
+    assert g.accepts_text("yes")
+    assert g.accepts_text("no")
+    assert not g.accepts_text("maybe")
+
+
+def test_char_class_and_ranges():
+    g = Grammar("root ::= [a-z0-9]+")
+    assert g.accepts_text("abc123")
+    assert not g.accepts_text("ABC")
+    g2 = Grammar('root ::= [^"]* "\\""')
+    assert g2.accepts_text('hello"')
+    assert g2.accepts_text("hello")
+
+
+def test_repetition_star_plus_question():
+    g = Grammar('root ::= "a"* "b"')
+    for s in ("b", "ab", "aaab"):
+        assert g.accepts_text(s), s
+    g = Grammar('root ::= "a"+ "b"')
+    assert not _complete(g, "b")
+    assert _complete(g, "ab")
+    g = Grammar('root ::= "a"? "b"')
+    assert _complete(g, "b") and _complete(g, "ab")
+    assert not g.accepts_text("aab")
+
+
+def test_bounded_repetition():
+    g = Grammar('root ::= "a"{2,3}')
+    assert not _complete(g, "a")
+    assert _complete(g, "aa") and _complete(g, "aaa")
+    assert not g.accepts_text("aaaa")
+
+
+def test_rule_refs_and_grouping():
+    g = Grammar('''
+root ::= greeting " " name
+greeting ::= "hello" | "hi"
+name ::= ("world" | "there")
+''')
+    assert _complete(g, "hello world")
+    assert _complete(g, "hi there")
+    assert not g.accepts_text("hello  ")
+
+
+def test_recursive_balanced_parens():
+    g = Grammar('root ::= "(" inner ")"\ninner ::= root | ""')
+    assert _complete(g, "()")
+    assert _complete(g, "(())")
+    assert not g.accepts_text(")")
+
+
+def test_json_like_grammar():
+    g = Grammar(r'''
+root ::= object
+object ::= "{" ws ( string ":" ws value ("," ws string ":" ws value)* )? "}" ws
+value ::= object | array | string | number | ("true" | "false" | "null") ws
+array ::= "[" ws ( value ("," ws value)* )? "]" ws
+string ::= "\"" [^"\\]* "\"" ws
+number ::= ("-"? [0-9]+ ("." [0-9]+)?) ws
+ws ::= [ \t\n]*
+''')
+    assert _complete(g, '{"a": 1, "b": [true, null], "c": {"d": "x"}}')
+    assert g.accepts_text('{"a": ')
+    assert not g.accepts_text('{"a" 1')
+    assert not g.accepts_text("[1]")     # root must be an object
+
+
+def test_done_and_must_end():
+    g = Grammar('root ::= "hi"')
+    assert not g.done
+    assert g.accept_text("hi")
+    assert g.done and g.must_end
+    # rejected text leaves state unchanged
+    g2 = Grammar('root ::= "hi"')
+    assert not g2.accept_text("xx")
+    assert g2.accept_text("hi")
+
+
+def test_missing_root_raises():
+    with pytest.raises(GrammarParseError):
+        Grammar('start ::= "a"')
+
+
+def test_token_mask():
+    g = Grammar('root ::= "yes" | "no"')
+    mask = g.allowed_mask(["y", "n", "x", "yes", "no!", ""])
+    assert mask == [True, True, False, True, False, False]
+
+
+def _complete(g: Grammar, s: str) -> bool:
+    c = g.copy()
+    return c.accept_text(s) and c.done

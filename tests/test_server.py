@@ -118,3 +118,13 @@ def test_tokenize_roundtrip(server):
     ids = json.loads(data)["tokens"]
     status, data = _req(port, "POST", "/detokenize", {"tokens": ids})
     assert json.loads(data)["content"] == "AB"
+
+
+def test_embeddings_endpoint(server):
+    port, _ = server
+    status, data = _req(port, "POST", "/v1/embeddings", {"input": "AB"})
+    assert status == 200, data
+    body = json.loads(data)
+    v = body["data"][0]["embedding"]
+    assert len(v) == PRESETS["tiny"].n_embd
+    assert all(isinstance(x, float) for x in v[:4])
