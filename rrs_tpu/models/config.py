@@ -37,6 +37,21 @@ class ModelConfig:
     n_ff_exp: int = 0
     expert_gating_softmax: bool = True
     norm_topk_prob: bool = False
+    # sliding-window attention (llama_hparams.n_swa / swa_layers analog,
+    # src/llama-hparams.cpp:8-18). swa_pattern semantics: 0 => no SWA;
+    # 1 => every layer SWA; n>1 => layer il is SWA iff il % n < n-1
+    # (every n-th layer is global: gemma2 n=2, gemma3 n=6).
+    swa_window: int = 0
+    swa_pattern: int = 0
+    rope_theta_swa: float = 0.0      # 0 => same as rope_theta (gemma3: 10000)
+    # gemma-family extras
+    attn_softcap: float = 0.0        # attn logit softcapping (gemma2)
+    final_softcap: float = 0.0       # final logit softcapping (gemma2)
+    attn_scale: float = 0.0          # 0 => 1/sqrt(head_dim) (f_attention_scale)
+    embd_scale: float = 1.0          # gemma: sqrt(n_embd) on token embeddings
+    sandwich_norm: bool = False      # gemma2/3 post-attn + post-ffn norms
+    ffn_act: str = "silu"            # "silu" | "gelu"
+    rope_rot_dim: int = 0            # partial rotary (phi3); 0 => head_dim
     # set only inside shard_map: mesh axis name for tensor parallelism; when
     # set, row-parallel projections (wo, ffn_down) psum over it
     tp_axis: "str | None" = None
@@ -48,6 +63,18 @@ class ModelConfig:
     @property
     def n_kv_dim(self) -> int:
         return self.n_kv_heads * self.head_dim
+
+    def is_swa(self, li: int) -> bool:
+        """Is layer ``li`` sliding-window? (llama_hparams::is_swa analog)."""
+        if self.swa_window <= 0 or self.swa_pattern <= 0:
+            return False
+        if self.swa_pattern == 1:
+            return True
+        return li % self.swa_pattern < self.swa_pattern - 1
+
+    @property
+    def any_swa(self) -> bool:
+        return self.swa_window > 0 and self.swa_pattern > 0
 
     @staticmethod
     def from_gguf(md: Mapping[str, Any]) -> "ModelConfig":
@@ -65,10 +92,54 @@ class ModelConfig:
         scaling = str(key("rope.scaling.type", "none") or "none")
         vocab = md.get("tokenizer.ggml.tokens")
         vocab_size = int(key("vocab_size", len(vocab) if vocab is not None else 0))
+        n_layers = int(key("block_count"))
+
+        # arch-specific hparams (the load_hparams switch, llama-model.cpp)
+        extra: dict = {}
+        if arch == "gemma2":
+            # llama-model.cpp:1321-1347: pattern 2, default window 4096,
+            # softcaps, GELU, sqrt(E) embedding scale, sandwich norms
+            extra.update(
+                swa_window=int(key("attention.sliding_window", 4096) or 4096),
+                swa_pattern=2,
+                attn_softcap=float(key("attn_logit_softcapping", 50.0) or 0.0),
+                final_softcap=float(key("final_logit_softcapping", 30.0) or 0.0),
+                ffn_act="gelu",
+                embd_scale=float(n_embd) ** 0.5,
+                sandwich_norm=True,
+                # 27B (46 layers) scales by sqrt(n_embd/n_head) instead
+                attn_scale=(1.0 / (n_embd / n_heads) ** 0.5) if n_layers == 46
+                           else (1.0 / head_dim ** 0.5),
+            )
+        elif arch == "gemma3":
+            # llama-model.cpp:1348-1378: pattern 6, rope base 10k on SWA
+            # layers, qk-norm, GELU, sandwich norms
+            win = int(key("attention.sliding_window", 0) or 0)
+            extra.update(
+                swa_window=win,
+                swa_pattern=6 if win > 0 else 0,
+                rope_theta_swa=float(key("rope.freq_base_swa", 10000.0) or 10000.0),
+                final_softcap=float(key("final_logit_softcapping", 0.0) or 0.0),
+                ffn_act="gelu",
+                embd_scale=float(n_embd) ** 0.5,
+                sandwich_norm=True,
+                attn_scale=(1.0 / (n_embd / n_heads) ** 0.5) if n_layers == 62
+                           else (1.0 / head_dim ** 0.5),
+            )
+        elif arch in ("mistral", "llama", "phi3", "qwen2", "qwen3",
+                      "qwen2moe", "qwen3moe"):
+            # generic sliding window: all layers SWA when the KV is present
+            # (mistral-v1/phi3 style)
+            win = int(key("attention.sliding_window", 0) or 0)
+            if win > 0:
+                extra.update(swa_window=win, swa_pattern=1)
+        if arch == "phi3":
+            extra.update(rope_rot_dim=int(key("rope.dimension_count", 0) or 0))
 
         return ModelConfig(
+            **extra,
             arch=arch,
-            n_layers=int(key("block_count")),
+            n_layers=n_layers,
             n_embd=n_embd,
             n_heads=n_heads,
             n_kv_heads=n_kv,
@@ -84,7 +155,7 @@ class ModelConfig:
             # llama arch weights are pre-permuted by convert_hf_to_gguf for
             # interleaved (NORM) rope; qwen/neox-style archs use split-half.
             rope_neox=arch not in ("llama",),
-            qk_norm=arch in ("qwen3", "qwen3moe"),
+            qk_norm=arch in ("qwen3", "qwen3moe", "gemma3"),
             attn_bias=arch in ("qwen2", "qwen2moe"),
             tie_embeddings=bool(md.get(f"{arch}.tie_word_embeddings", False)),
             n_experts=int(key("expert_count", 0) or 0),
@@ -120,6 +191,29 @@ PRESETS: dict[str, ModelConfig] = {
         arch="qwen2", n_layers=64, n_embd=5120, n_heads=40, n_kv_heads=8,
         head_dim=128, n_ff=27648, vocab_size=152064, context_length=32768,
         rope_theta=1e6, attn_bias=True,
+    ),
+    "gemma3-4b": ModelConfig(
+        arch="gemma3", n_layers=34, n_embd=2560, n_heads=8, n_kv_heads=4,
+        head_dim=256, n_ff=10240, vocab_size=262208, context_length=131072,
+        rope_theta=1e6, rope_scaling_type="linear", rope_scale_factor=8.0,
+        qk_norm=True, tie_embeddings=True,
+        swa_window=1024, swa_pattern=6, rope_theta_swa=10000.0,
+        ffn_act="gelu", embd_scale=2560.0 ** 0.5, sandwich_norm=True,
+        attn_scale=1.0 / 256.0 ** 0.5,
+    ),
+    "gemma2-9b": ModelConfig(
+        arch="gemma2", n_layers=42, n_embd=3584, n_heads=16, n_kv_heads=8,
+        head_dim=256, n_ff=14336, vocab_size=256000, context_length=8192,
+        rope_theta=10000.0, tie_embeddings=True,
+        swa_window=4096, swa_pattern=2, attn_softcap=50.0, final_softcap=30.0,
+        ffn_act="gelu", embd_scale=3584.0 ** 0.5, sandwich_norm=True,
+        attn_scale=1.0 / 256.0 ** 0.5,
+    ),
+    "mistral-7b": ModelConfig(
+        arch="llama", n_layers=32, n_embd=4096, n_heads=32, n_kv_heads=8,
+        head_dim=128, n_ff=14336, vocab_size=32000, context_length=32768,
+        rope_theta=10000.0, rope_neox=False,
+        swa_window=4096, swa_pattern=1,
     ),
     # tiny debug model
     "tiny": ModelConfig(

@@ -27,7 +27,7 @@ from rrs_tpu.ops.basic import RopeParams, apply_rope, rms_norm
     jax.tree_util.register_dataclass,
     data_fields=["attn_norm", "wq", "wk", "wv", "wo", "q_norm", "k_norm",
                  "ffn_norm", "w_gate", "w_up", "w_down", "moe", "wqkv",
-                 "w_gateup"],
+                 "w_gateup", "attn_post_norm", "ffn_post_norm"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -46,6 +46,8 @@ class LayerWeights:
     moe: Any = None                   # MoEWeights for MoE layers
     wqkv: Any = None                  # fused q|k|v projection (optional)
     w_gateup: Any = None              # fused gate|up projection (optional)
+    attn_post_norm: Any = None        # gemma2/3 sandwich norm after attn out
+    ffn_post_norm: Any = None         # gemma2/3 sandwich norm after FFN
 
 
 @partial(
@@ -61,7 +63,16 @@ class ModelWeights:
     lm_head: Any                  # DenseLinear (possibly tied to embed)
 
 
-def rope_params(cfg: ModelConfig) -> RopeParams:
+def rope_params(cfg: ModelConfig, swa: bool = False) -> RopeParams:
+    if swa and cfg.rope_theta_swa > 0:
+        # SWA layers use their own freq base and no long-context scaling
+        # (rope_freq_base_train_swa, gemma3: 10000; llama-model.cpp:1355)
+        return RopeParams(
+            head_dim=cfg.head_dim,
+            theta=cfg.rope_theta_swa,
+            neox=cfg.rope_neox,
+            rot_dim=cfg.rope_rot_dim,
+        )
     return RopeParams(
         head_dim=cfg.head_dim,
         theta=cfg.rope_theta,
@@ -69,6 +80,7 @@ def rope_params(cfg: ModelConfig) -> RopeParams:
         scale_factor=cfg.rope_scale_factor,
         orig_context=cfg.rope_orig_context,
         neox=cfg.rope_neox,
+        rot_dim=cfg.rope_rot_dim,
     )
 
 
@@ -96,7 +108,9 @@ def attention(
 ):
     b, t, _ = x.shape
     d = cfg.head_dim
-    rp = rope_params(cfg)
+    swa = cfg.is_swa(li)
+    window = cfg.swa_window if swa else 0
+    rp = rope_params(cfg, swa=swa)
 
     _capture(cap, li, "attn_q.weight", x)
     _capture(cap, li, "attn_k.weight", x)
@@ -125,7 +139,10 @@ def attention(
     # (cparams.type_k/v analog, llama-kv-cache.h:206-216).
     batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None, None]       # [B,1,1]
     head_idx = jnp.arange(cfg.n_kv_heads, dtype=jnp.int32)[None, :, None]
-    slot_idx = cache_slots[:, None, :]                              # [B,1,T]
+    # SWA layers use a smaller RING cache (iSWA analog): slot = pos mod S_l.
+    # For full-size caches slots are already < S_l, so the mod is a no-op.
+    s_l = (k_cache[0] if isinstance(k_cache, tuple) else k_cache).shape[2]
+    slot_idx = (cache_slots % s_l)[:, None, :]                      # [B,1,T]
     k_bh = k.transpose(0, 2, 1, 3)                                  # [B,Hkv,T,D]
     v_bh = v.transpose(0, 2, 1, 3)
 
@@ -147,21 +164,25 @@ def attention(
     # fused attention (FLASH_ATTN_EXT analog); jnp oracle on CPU
     from rrs_tpu.ops import flash_attention as fa
 
-    scale = 1.0 / np.sqrt(d)
+    scale = cfg.attn_scale if cfg.attn_scale > 0 else 1.0 / np.sqrt(d)
+    softcap = cfg.attn_softcap
     if isinstance(k_cache, tuple):
         if jax.default_backend() == "cpu":
             kd = k_cache[0].astype(jnp.float32) * k_cache[1].transpose(0, 1, 3, 2)
             vd = v_cache[0].astype(jnp.float32) * v_cache[1].transpose(0, 1, 3, 2)
-            ctx = fa.attention_ref(q, kd, vd, mask_positions, scale)
+            ctx = fa.attention_ref(q, kd, vd, mask_positions, scale,
+                                   softcap=softcap, window=window)
         else:
             ctx = fa.flash_attention_q8(
                 q, k_cache[0], k_cache[1], v_cache[0], v_cache[1],
-                mask_positions, scale,
+                mask_positions, scale, softcap=softcap, window=window,
             )
     elif jax.default_backend() == "cpu":
-        ctx = fa.attention_ref(q, k_cache, v_cache, mask_positions, scale)
+        ctx = fa.attention_ref(q, k_cache, v_cache, mask_positions, scale,
+                               softcap=softcap, window=window)
     else:
-        ctx = fa.flash_attention(q, k_cache, v_cache, mask_positions, scale)
+        ctx = fa.flash_attention(q, k_cache, v_cache, mask_positions, scale,
+                                 softcap=softcap, window=window)
     ctx = ctx.reshape(b, t, cfg.n_heads * d).astype(x.dtype)
 
     _capture(cap, li, "attn_output.weight", ctx)
@@ -183,7 +204,12 @@ def ffn(cfg: ModelConfig, lw: LayerWeights, x: jnp.ndarray, cap=None, li: int = 
     else:
         gate = linear_apply(lw.w_gate, x)
         up = linear_apply(lw.w_up, x)
-    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    if cfg.ffn_act == "gelu":
+        # gemma-family GEGLU (LLM_FFN_GELU + LLM_FFN_PAR, gemma3.cpp)
+        act = jax.nn.gelu(gate.astype(jnp.float32),
+                          approximate=True).astype(x.dtype) * up
+    else:
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
     _capture(cap, li, "ffn_down.weight", act)
     return linear_apply(lw.w_down, act, reduce_axis=cfg.tp_axis)
 
@@ -202,6 +228,9 @@ def forward(
 ):
     """One decode/prefill step. Returns (logits [B, T, V], new k/v caches)."""
     x = jnp.take(w.embed, tokens, axis=0)
+    if cfg.embd_scale != 1.0:
+        # gemma scales token embeddings by sqrt(n_embd) (gemma3.cpp inp_scaled)
+        x = (x.astype(jnp.float32) * cfg.embd_scale).astype(x.dtype)
     new_k, new_v = [], []
     for li, lw in enumerate(w.layers):
         h = rms_norm(x, lw.attn_norm, cfg.rms_eps)
@@ -211,14 +240,23 @@ def forward(
         )
         new_k.append(kc)
         new_v.append(vc)
+        if lw.attn_post_norm is not None:
+            attn_out = rms_norm(attn_out, lw.attn_post_norm, cfg.rms_eps)
         x = x + attn_out
         h = rms_norm(x, lw.ffn_norm, cfg.rms_eps)
-        x = x + ffn(cfg, lw, h, cap=cap, li=li)
+        f = ffn(cfg, lw, h, cap=cap, li=li)
+        if lw.ffn_post_norm is not None:
+            f = rms_norm(f, lw.ffn_post_norm, cfg.rms_eps)
+        x = x + f
         if control_vector is not None:
             x = control_vector.apply(x, li)
     x = rms_norm(x, w.final_norm, cfg.rms_eps)
     logits = linear_apply(w.lm_head, x)
-    return logits.astype(jnp.float32), new_k, new_v
+    logits = logits.astype(jnp.float32)
+    if cfg.final_softcap > 0:
+        # final logit soft-capping (gemma2; llama-model.cpp GEMMA2 graph)
+        logits = jnp.tanh(logits / cfg.final_softcap) * cfg.final_softcap
+    return logits, new_k, new_v
 
 
 # ---------------------------------------------------------------------------
@@ -303,6 +341,8 @@ def random_weights(
             w_up=lin(e, f) if moe is None else None,
             w_down=lin(f, e) if moe is None else None,
             moe=moe,
+            attn_post_norm=jnp.ones((e,), dtype) if cfg.sandwich_norm else None,
+            ffn_post_norm=jnp.ones((e,), dtype) if cfg.sandwich_norm else None,
         ))
     embed = jnp.asarray(rng.standard_normal((cfg.vocab_size, e)) * scale, dtype)
     return ModelWeights(

@@ -136,6 +136,13 @@ def load_model(path: str | Path, dtype=jnp.bfloat16, fuse: bool = True):
             moe=moe,
             wqkv=wqkv,
             w_gateup=w_gateup,
+            # gemma2/3 sandwich norms (post_attention_norm / post_ffw_norm)
+            attn_post_norm=(_norm(g, f"{p}.post_attention_norm.weight", dtype)
+                            if f"{p}.post_attention_norm.weight" in g.tensors
+                            else None),
+            ffn_post_norm=(_norm(g, f"{p}.post_ffw_norm.weight", dtype)
+                           if f"{p}.post_ffw_norm.weight" in g.tensors
+                           else None),
         ))
 
     embed = jnp.asarray(g.tensor("token_embd.weight").astype(np.float32), dtype)

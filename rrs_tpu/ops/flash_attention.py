@@ -26,7 +26,29 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _kernel(pos_ref, q_ref, k_ref, v_ref, out_ref, *, tq, g, d, s, scale, softcap):
+def _causal_mask(pos, tq: int, s: int, window: int):
+    """[TQ, S] bool mask from per-row attend bounds ``pos``.
+
+    window == 0: plain causal over a linear cache (slot == position).
+    window  > 0: sliding window over a RING cache of size S (the iSWA cache,
+    llama-kv-cache-iswa.cpp analog): slot ``c`` holds the latest written
+    position p == c (mod S), so the position at slot c as seen by a row with
+    bound P is  P - ((P - c) mod S); it is attendable iff it lies in
+    (P - window, P] and >= 0. A linear (unwrapped) cache is the special case
+    P < S, so the same formula works for full-size caches with a window.
+    Padded rows (pos < 0) mask everything in both branches.
+    """
+    kv_slot = jax.lax.broadcasted_iota(jnp.int32, (tq, s), 1)
+    if window > 0:
+        off = jax.lax.rem(pos[:, None] - kv_slot, s)
+        off = jnp.where(off < 0, off + s, off)              # [0, S)
+        real = pos[:, None] - off
+        return (real >= 0) & (real > pos[:, None] - window)
+    return (kv_slot <= pos[:, None]) & (pos[:, None] >= 0)
+
+
+def _kernel(pos_ref, q_ref, k_ref, v_ref, out_ref, *, tq, g, d, s, scale,
+            softcap, window):
     q = q_ref[0, 0, :, :, :].reshape(tq * g, d).astype(jnp.float32)
     k = k_ref[0, 0, :, :].astype(jnp.float32)              # [S, D]
     v = v_ref[0, 0, :, :].astype(jnp.float32)
@@ -39,9 +61,8 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, out_ref, *, tq, g, d, s, scale, softca
     if softcap:
         scores = jnp.tanh(scores / softcap) * softcap
 
-    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, s), 1)
     pos = pos_ref[0, 0, :]                                 # [TQ] i32
-    mask = kv_pos <= pos[:, None]                          # [TQ, S]
+    mask = _causal_mask(pos, tq, s, window)                # [TQ, S]
     mask = jnp.broadcast_to(mask[:, None, :], (tq, g, s)).reshape(tq * g, s)
     scores = jnp.where(mask, scores, NEG_INF)
 
@@ -63,7 +84,7 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, out_ref, *, tq, g, d, s, scale, softca
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "softcap", "tq", "interpret")
+    jax.jit, static_argnames=("scale", "softcap", "tq", "interpret", "window")
 )
 def flash_attention(
     q: jnp.ndarray,          # [B, T, H, D]
@@ -74,6 +95,7 @@ def flash_attention(
     softcap: float = 0.0,
     tq: int = 0,             # q-tile length (0 => min(T, 256))
     interpret: bool = False,
+    window: int = 0,         # >0: sliding window over a ring cache (iSWA)
 ) -> jnp.ndarray:
     b, t, h, d = q.shape
     hkv, s = k_cache.shape[1], k_cache.shape[2]
@@ -92,7 +114,8 @@ def flash_attention(
     grid = (b, hkv, t_pad // tq)
     out = pl.pallas_call(
         functools.partial(
-            _kernel, tq=tq, g=g, d=d, s=s, scale=scale, softcap=softcap
+            _kernel, tq=tq, g=g, d=d, s=s, scale=scale, softcap=softcap,
+            window=window,
         ),
         grid=grid,
         in_specs=[
@@ -114,7 +137,7 @@ def flash_attention(
 
 
 def _kernel_q8(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref,
-               *, tq, g, d, s, scale, softcap):
+               *, tq, g, d, s, scale, softcap, window):
     ksc = ks_ref[0, 0, 0, :]                               # [S] f32
     vsc = vs_ref[0, 0, 0, :]
     k = k_ref[0, 0, :, :].astype(jnp.float32) * ksc[:, None]
@@ -127,9 +150,8 @@ def _kernel_q8(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref,
     ) * scale
     if softcap:
         scores = jnp.tanh(scores / softcap) * softcap
-    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, s), 1)
     pos = pos_ref[0, 0, :]
-    mask = kv_pos <= pos[:, None]
+    mask = _causal_mask(pos, tq, s, window)
     mask = jnp.broadcast_to(mask[:, None, :], (tq, g, s)).reshape(tq * g, s)
     scores = jnp.where(mask, scores, NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
@@ -146,7 +168,7 @@ def _kernel_q8(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "softcap", "tq", "interpret")
+    jax.jit, static_argnames=("scale", "softcap", "tq", "interpret", "window")
 )
 def flash_attention_q8(
     q: jnp.ndarray,          # [B, T, H, D]
@@ -159,6 +181,7 @@ def flash_attention_q8(
     softcap: float = 0.0,
     tq: int = 0,
     interpret: bool = False,
+    window: int = 0,
 ) -> jnp.ndarray:
     """Attention over an int8-quantized KV cache (the quantized-KV option of
     llama-kv-cache cparams.type_k/v); dequantization happens in VMEM."""
@@ -181,7 +204,8 @@ def flash_attention_q8(
                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
-            _kernel_q8, tq=tq, g=g, d=d, s=s, scale=scale, softcap=softcap
+            _kernel_q8, tq=tq, g=g, d=d, s=s, scale=scale, softcap=softcap,
+            window=window,
         ),
         grid=grid,
         in_specs=[
@@ -199,7 +223,8 @@ def flash_attention_q8(
     return out.transpose(0, 2, 1, 3, 4).reshape(b, t_pad, h, d)[:, :t]
 
 
-def attention_ref(q, k_cache, v_cache, positions, scale, softcap=0.0):
+def attention_ref(q, k_cache, v_cache, positions, scale, softcap=0.0,
+                  window: int = 0):
     """jnp oracle with identical semantics (the naive build_attn_mha path).
     Caches are [B, Hkv, S, D]."""
     b, t, h, d = q.shape
@@ -212,7 +237,12 @@ def attention_ref(q, k_cache, v_cache, positions, scale, softcap=0.0):
     if softcap:
         scores = jnp.tanh(scores / softcap) * softcap
     kv_pos = jnp.arange(s, dtype=jnp.int32)
-    mask = kv_pos[None, None, :] <= positions[:, :, None]   # [B, T, S]
+    if window > 0:
+        off = jnp.remainder(positions[:, :, None] - kv_pos[None, None, :], s)
+        real = positions[:, :, None] - off
+        mask = (real >= 0) & (real > positions[:, :, None] - window)
+    else:
+        mask = kv_pos[None, None, :] <= positions[:, :, None]   # [B, T, S]
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     probs = jnp.where(

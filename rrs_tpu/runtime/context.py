@@ -62,8 +62,11 @@ class InferenceContext:
         are masked out of the cache write by pointing their slot at position
         max_seq-1... they are instead handled by never advancing lengths."""
         b, t = tokens.shape
-        kc0 = k_caches[0][0] if isinstance(k_caches[0], tuple) else k_caches[0]
-        s = kc0.shape[2]
+        # the largest per-layer cache = the non-SWA (full) size; SWA layers
+        # hold smaller rings and mod the slot indices themselves (attention())
+        s = max(
+            (c[0] if isinstance(c, tuple) else c).shape[2] for c in k_caches
+        )
         pos = start_pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
         slots = pos  # lane-local: slot == absolute position (no wraparound yet)
         # lanes whose row is entirely padding (start_pos < 0) attend nothing

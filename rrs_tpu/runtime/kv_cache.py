@@ -24,12 +24,15 @@ from rrs_tpu.models.config import ModelConfig
 class KVCache:
     """Per-layer K/V device arrays plus host-side lane state."""
 
-    k: list[jnp.ndarray]          # L x [B, Hkv, S, D] (kv-head-major)
+    k: list[jnp.ndarray]          # L x [B, Hkv, S_l, D] (kv-head-major)
     v: list[jnp.ndarray]
     max_seq: int
     # host-side cell state per lane
     lengths: list[int]            # tokens currently stored per lane
     seq_ids: list[Optional[int]]  # sequence occupying each lane (None = free)
+    # per-layer cache sizes; SWA layers get small RING caches (the iSWA
+    # two-cache design, llama-kv-cache-iswa.cpp — here generalized per layer)
+    sizes: list[int] = dataclasses.field(default_factory=list)
 
     @property
     def n_lanes(self) -> int:
@@ -48,19 +51,32 @@ class KVCache:
         max_seq: int,
         dtype=jnp.bfloat16,
         quant: str = "none",      # "none" | "q8" (int8 values + f32 scales)
+        max_chunk: int = 512,     # largest ubatch; bounds SWA ring size
     ) -> "KVCache":
-        shape = (n_lanes, cfg.n_kv_heads, max_seq, cfg.head_dim)
-        if quant == "q8":
-            sshape = (n_lanes, cfg.n_kv_heads, 1, max_seq)
-            k = [(jnp.zeros(shape, jnp.int8), jnp.ones(sshape, jnp.float32))
-                 for _ in range(cfg.n_layers)]
-            v = [(jnp.zeros(shape, jnp.int8), jnp.ones(sshape, jnp.float32))
-                 for _ in range(cfg.n_layers)]
-        else:
-            k = [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)]
-            v = [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)]
+        # SWA layers only need window + max_chunk slots: within one ubatch a
+        # later token may overwrite a ring slot, so the ring must be at least
+        # window + T - 1 long for every attended slot to survive the batch
+        sizes = []
+        for li in range(cfg.n_layers):
+            if cfg.is_swa(li):
+                ring = -(-(cfg.swa_window + max_chunk) // 128) * 128
+                sizes.append(min(max_seq, ring))
+            else:
+                sizes.append(max_seq)
+
+        def make(li):
+            shape = (n_lanes, cfg.n_kv_heads, sizes[li], cfg.head_dim)
+            if quant == "q8":
+                sshape = (n_lanes, cfg.n_kv_heads, 1, sizes[li])
+                return (jnp.zeros(shape, jnp.int8),
+                        jnp.ones(sshape, jnp.float32))
+            return jnp.zeros(shape, dtype)
+
+        k = [make(li) for li in range(cfg.n_layers)]
+        v = [make(li) for li in range(cfg.n_layers)]
         return cls(k=k, v=v, max_seq=max_seq,
-                   lengths=[0] * n_lanes, seq_ids=[None] * n_lanes)
+                   lengths=[0] * n_lanes, seq_ids=[None] * n_lanes,
+                   sizes=sizes)
 
     # -- host-side cell ops (llama_memory_seq_* analogs) -------------------
 
@@ -98,12 +114,13 @@ class KVCache:
         n = self.lengths[src]
 
         def cp(c):
+            # whole-lane copy: correct for both linear and ring (SWA) layers
             if isinstance(c, tuple):
                 arr, sc = c
-                arr = arr.at[dst, :, :n].set(arr[src, :, :n])
-                sc = sc.at[dst, :, :, :n].set(sc[src, :, :, :n])
+                arr = arr.at[dst].set(arr[src])
+                sc = sc.at[dst].set(sc[src])
                 return (arr, sc)
-            return c.at[dst, :, :n].set(c[src, :, :n])
+            return c.at[dst].set(c[src])
 
         for li in range(len(self.k)):
             self.k[li] = cp(self.k[li])
@@ -128,6 +145,10 @@ class KVCache:
         from rrs_tpu.models.llama import rope_params
         from rrs_tpu.ops.basic import apply_rope
 
+        if cfg.any_swa:
+            # same restriction as the reference: context shift is unsupported
+            # with an iSWA cache (server rejects it; llama-kv-cache-iswa)
+            raise RuntimeError("context shift is not supported for SWA models")
         lane = self.lane_of(seq_id)
         n = self.lengths[lane]
         n_discard = min(n_discard, n - n_keep)
