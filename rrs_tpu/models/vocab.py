@@ -92,6 +92,10 @@ class Vocab:
     add_bos: bool = False
     add_eos: bool = False
     add_space_prefix: bool = True
+    # fill-in-the-middle special tokens (llama_vocab fim ids; /infill route)
+    fim_pre_id: int = -1
+    fim_suf_id: int = -1
+    fim_mid_id: int = -1
 
     def __post_init__(self):
         self._token_to_id = {t: i for i, t in enumerate(self.tokens)}
@@ -152,6 +156,13 @@ class Vocab:
             add_bos=bool(g("add_bos_token", model == "llama")),
             add_eos=bool(g("add_eos_token", False)),
             add_space_prefix=bool(g("add_space_prefix", model == "llama")),
+            # new-style fim_* keys with legacy prefix/suffix/middle fallback
+            fim_pre_id=int(g("fim_pre_token_id",
+                             g("prefix_token_id", -1)) or -1),
+            fim_suf_id=int(g("fim_suf_token_id",
+                             g("suffix_token_id", -1)) or -1),
+            fim_mid_id=int(g("fim_mid_token_id",
+                             g("middle_token_id", -1)) or -1),
         )
 
     # -- encoding ------------------------------------------------------

@@ -33,6 +33,9 @@ class KVCache:
     # per-layer cache sizes; SWA layers get small RING caches (the iSWA
     # two-cache design, llama-kv-cache-iswa.cpp — here generalized per layer)
     sizes: list[int] = dataclasses.field(default_factory=list)
+    # seq_id -> retention timestamp: lanes kept alive as prompt caches but
+    # evictable LRU when a new sequence needs a lane (server prompt-cache)
+    retained: dict = dataclasses.field(default_factory=dict)
 
     @property
     def n_lanes(self) -> int:
@@ -91,11 +94,28 @@ class KVCache:
 
     def seq_new(self, seq_id: int) -> int:
         lane = self.find_free_lane()
+        if lane is None and self.retained:
+            # evict the least-recently-retained prompt cache
+            victim = min(self.retained, key=self.retained.get)
+            self.seq_rm(victim)
+            lane = self.find_free_lane()
         if lane is None:
             raise RuntimeError("KV cache: no free lane")
         self.seq_ids[lane] = seq_id
         self.lengths[lane] = 0
         return lane
+
+    def mark_retained(self, seq_id: int) -> None:
+        import time
+
+        if seq_id in self.seq_ids:
+            self.retained[seq_id] = time.monotonic()
+
+    def unmark_retained(self, seq_id: int) -> None:
+        self.retained.pop(seq_id, None)
+
+    def has_seq(self, seq_id: int) -> bool:
+        return seq_id in self.seq_ids
 
     def seq_rm(self, seq_id: int, p0: int = 0) -> None:
         """Remove positions >= p0 of a sequence (llama_memory_seq_rm semantics
@@ -104,6 +124,7 @@ class KVCache:
         if p0 == 0:
             self.seq_ids[lane] = None
             self.lengths[lane] = 0
+            self.retained.pop(seq_id, None)
         else:
             self.lengths[lane] = min(self.lengths[lane], p0)
 

@@ -45,6 +45,9 @@ class GenRequest:
     decode_fn: Optional[Callable[[list[int]], str]] = None  # ids -> text
     grammar: Optional[object] = None          # runtime.grammar.Grammar
     token_pieces: Optional[list[str]] = None  # vocab pieces for grammar masking
+    n_probs: int = 0                          # top-k logprobs per token
+    # callback(token_id, logprob, [(tid, logprob) x n_probs])
+    on_probs: Optional[Callable] = None
     id: int = 0
 
 
@@ -63,6 +66,12 @@ class Slot:
     n_prompt: int = 0
     grammar: Optional[object] = None
     mirostat_mu: float = 10.0
+    # prompt-cache retention (server_slot prompt cache analog,
+    # server-context.cpp:105-121): the lane's KV survives release so the next
+    # request with a shared prefix skips re-prefilling it
+    retained_seq: int = -1
+    cache_tokens: list = dataclasses.field(default_factory=list)
+    n_reused: int = 0
 
 
 class Engine:
@@ -79,6 +88,11 @@ class Engine:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._next_id = 0
         self._lock = threading.Lock()
+        # side tasks: callables executed on the engine thread between
+        # batching iterations (embed/rerank/state-IO share the context
+        # safely with decode — the single-compute-thread rule of the
+        # reference's server loop)
+        self._side: "queue.Queue" = queue.Queue()
         # metrics (/metrics analog)
         self.n_prompt_tokens = 0
         self.n_generated_tokens = 0
@@ -100,6 +114,28 @@ class Engine:
         self._wake.set()
         return req.id
 
+    def call(self, fn, timeout: float = 300.0):
+        """Run ``fn()`` on the engine thread; return its result (or raise)."""
+        if not self._thread.is_alive():
+            return fn()
+        done = threading.Event()
+        box: dict = {}
+
+        def task():
+            try:
+                box["r"] = fn()
+            except Exception as e:          # noqa: BLE001
+                box["e"] = e
+            done.set()
+
+        self._side.put(task)
+        self._wake.set()
+        if not done.wait(timeout):
+            raise TimeoutError("engine side task timed out")
+        if "e" in box:
+            raise box["e"]
+        return box.get("r")
+
     # -- engine loop -------------------------------------------------------
 
     def _free_slot(self) -> Optional[Slot]:
@@ -111,8 +147,33 @@ class Engine:
     def _launch(self, slot: Slot, req: GenRequest):
         slot.state = SlotState.PROMPT
         slot.req = req
-        slot.seq_id = self.ctx.new_sequence()
-        slot.prompt_pos = 0
+        slot.n_reused = 0
+        if slot.retained_seq >= 0 and not self.ctx.kv.has_seq(slot.retained_seq):
+            slot.retained_seq = -1      # prompt cache was LRU-evicted
+            slot.cache_tokens = []
+        if slot.retained_seq >= 0:
+            # prompt-cache reuse: keep the common prefix of the retained KV
+            # (update_slots prompt reuse, server-context.cpp); at least one
+            # prompt token must be re-evaluated to produce logits
+            n_common = 0
+            limit = min(len(slot.cache_tokens), len(req.prompt_tokens) - 1)
+            while n_common < limit and \
+                    slot.cache_tokens[n_common] == req.prompt_tokens[n_common]:
+                n_common += 1
+            slot.seq_id = slot.retained_seq
+            slot.retained_seq = -1
+            self.ctx.kv.unmark_retained(slot.seq_id)
+            if n_common > 0:
+                self.ctx.kv.seq_rm(slot.seq_id, p0=n_common)
+            else:
+                self.ctx.kv.seq_rm(slot.seq_id)
+                slot.seq_id = self.ctx.new_sequence()
+            slot.prompt_pos = n_common
+            slot.n_reused = n_common
+        else:
+            slot.seq_id = self.ctx.new_sequence()
+            slot.prompt_pos = 0
+        slot.cache_tokens = []
         slot.generated = []
         slot.sent_text_len = 0
         slot.key = jax.random.PRNGKey(req.params.seed + req.id)
@@ -127,14 +188,60 @@ class Engine:
         if req and req.on_token:
             req.on_token(None, "", True, reason)
         if slot.seq_id >= 0:
-            try:
-                self.ctx.kv.seq_rm(slot.seq_id)
-            except ValueError:
-                pass
+            # retain the lane's KV as a prompt cache for the next request
+            slot.retained_seq = slot.seq_id
+            slot.cache_tokens = list(req.prompt_tokens) + list(slot.generated) \
+                if req else []
+            self.ctx.kv.mark_retained(slot.seq_id)
         slot.state = SlotState.IDLE
         slot.req = None
         slot.seq_id = -1
         slot.last_logits = None
+
+    def erase_slot(self, index: int) -> None:
+        """Drop a slot's retained prompt cache (/slots erase action)."""
+        s = self.slots[index]
+        if s.retained_seq >= 0:
+            try:
+                self.ctx.kv.seq_rm(s.retained_seq)
+            except ValueError:
+                pass
+            s.retained_seq = -1
+            s.cache_tokens = []
+
+    # -- slot state save/restore (/slots/{id}?action=save|restore,
+    #    server-context.cpp:105-121 + llama_state_seq_* analog) ------------
+
+    def save_slot(self, index: int, path: str) -> dict:
+        from rrs_tpu.runtime import state as state_io
+
+        s = self.slots[index]
+        seq = s.seq_id if s.seq_id >= 0 else s.retained_seq
+        if seq < 0:
+            raise ValueError(f"slot {index} has no sequence to save")
+        def do():
+            return state_io.save_sequence(self.ctx, seq, path,
+                                          tokens=s.cache_tokens or None)
+        n_bytes = self.call(do)
+        return {"id_slot": index, "filename": str(path),
+                "n_saved": self.ctx.kv.lengths[self.ctx.kv.lane_of(seq)],
+                "n_written": n_bytes}
+
+    def restore_slot(self, index: int, path: str) -> dict:
+        from rrs_tpu.runtime import state as state_io
+
+        s = self.slots[index]
+        if s.state != SlotState.IDLE:
+            raise ValueError(f"slot {index} is busy")
+        def do():
+            self.erase_slot(index)
+            seq_id, tokens = state_io.load_sequence(self.ctx, path)
+            s.retained_seq = seq_id
+            s.cache_tokens = list(tokens or [])
+            self.ctx.kv.mark_retained(seq_id)
+            return self.ctx.kv.lengths[self.ctx.kv.lane_of(seq_id)]
+        n = self.call(do)
+        return {"id_slot": index, "filename": str(path), "n_restored": n}
 
     def _emit(self, slot: Slot, token: int) -> bool:
         """Append a generated token, stream text, check stop conditions.
@@ -163,6 +270,23 @@ class Engine:
         if req.on_token:
             req.on_token(token, piece, False, None)
         return len(slot.generated) >= req.max_tokens
+
+    def _emit_probs(self, slot: Slot, token: int) -> None:
+        """Report the sampled token's logprob + top-n alternatives
+        (completion n_probs / OAI logprobs)."""
+        req = slot.req
+        if not req or req.n_probs <= 0 or req.on_probs is None \
+                or slot.last_logits is None:
+            return
+        raw = slot.last_logits.astype(np.float64)
+        m = raw.max()
+        logz = m + np.log(np.exp(raw - m).sum())
+        lp = raw - logz
+        k = min(req.n_probs, lp.shape[-1])
+        top = np.argpartition(-lp, k - 1)[:k]
+        top = top[np.argsort(-lp[top])]
+        req.on_probs(token, float(lp[token]),
+                     [(int(t), float(lp[t])) for t in top])
 
     def _sample_token(self, slot: Slot) -> int:
         import jax.numpy as jnp
@@ -238,6 +362,16 @@ class Engine:
                 self._wake.clear()
 
     def _iterate(self) -> bool:
+        # run queued side tasks first (embed/rerank/state IO)
+        ran_side = False
+        while True:
+            try:
+                task = self._side.get_nowait()
+            except queue.Empty:
+                break
+            task()
+            ran_side = True
+
         # admit pending requests into free slots
         while True:
             slot = self._free_slot()
@@ -258,7 +392,13 @@ class Engine:
                 if n >= self.ctx.kv.max_seq - 1:
                     n_keep = 1
                     n_discard = max((n - n_keep) // 2, 1)
-                    self.ctx.kv.seq_shift(self.ctx.cfg, s.seq_id, n_keep, n_discard)
+                    try:
+                        self.ctx.kv.seq_shift(self.ctx.cfg, s.seq_id,
+                                              n_keep, n_discard)
+                    except RuntimeError:
+                        # SWA models can't context-shift (iSWA restriction);
+                        # finish the slot at the context limit instead
+                        self._release(s, "length")
 
         # 1) one prompt chunk for the first PROMPT slot
         for s in self.slots:
@@ -274,6 +414,7 @@ class Engine:
                 s.last_logits = logits[-1]
                 s.state = SlotState.GENERATING
                 tok = self._sample_token(s)
+                self._emit_probs(s, tok)
                 if self._emit(s, tok):
                     self._release(s, "stop")
             return True
@@ -281,12 +422,13 @@ class Engine:
         # 2) batched decode for all GENERATING slots
         gen = [s for s in self.slots if s.state == SlotState.GENERATING]
         if not gen:
-            return False
+            return ran_side
         step = {s.seq_id: s.generated[-1] for s in gen}
         out = self.ctx.decode(step)
         for s in gen:
             s.last_logits = out[s.seq_id]
             tok = self._sample_token(s)
+            self._emit_probs(s, tok)
             if self._emit(s, tok):
                 self._release(s, "stop" if tok in s.req.stop_tokens else "length")
         return True

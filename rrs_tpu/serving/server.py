@@ -80,12 +80,23 @@ def make_handler(state: ServerState):
             n = int(self.headers.get("Content-Length", 0))
             return json.loads(self.rfile.read(n) or b"{}")
 
-        def _run_request(self, prompt_tokens, body, stop_strings=()):
+        def _run_request(self, prompt_tokens, body, stop_strings=(),
+                         probs_out=None):
             """Submit and collect; yields (piece, finished, reason)."""
             q: "queue.Queue" = queue.Queue()
 
             def on_token(token, piece, finished, reason):
                 q.put((piece, finished, reason))
+
+            n_probs = int(body.get("n_probs") or 0)
+            if body.get("logprobs") not in (None, False):
+                lp = body["logprobs"]
+                n_probs = max(n_probs, lp if isinstance(lp, int) else 0, 1)
+            n_probs = max(n_probs, int(body.get("top_logprobs") or 0))
+            on_probs = None
+            if n_probs and probs_out is not None:
+                def on_probs(token, logprob, top):
+                    probs_out.append((token, logprob, top))
 
             stops = body.get("stop") or []
             if isinstance(stops, str):
@@ -118,6 +129,8 @@ def make_handler(state: ServerState):
                 decode_fn=lambda ids: state.vocab.decode(ids),
                 grammar=grammar,
                 token_pieces=state.vocab.pieces() if grammar else None,
+                n_probs=n_probs,
+                on_probs=on_probs,
             )
             state.engine.submit(req)
             while True:
@@ -143,6 +156,171 @@ def make_handler(state: ServerState):
             data = b"data: [DONE]\n\n"
             self.wfile.write(hex(len(data))[2:].encode() + b"\r\n" + data + b"\r\n")
             self.wfile.write(b"0\r\n\r\n")
+
+        # -- feature handlers -------------------------------------------
+
+        def _handle_anthropic(self, body):
+            """Anthropic /v1/messages (non-stream + stream event protocol)."""
+            messages = list(body.get("messages", []))
+            if body.get("system"):
+                messages = [{"role": "system", "content": body["system"]}] + messages
+            text = apply_template(state.template, messages)
+            toks = state.vocab.encode(text, add_special=False)
+            rid = f"msg_{uuid.uuid4().hex[:16]}"
+            body = dict(body)
+            body.setdefault("max_tokens", 256)
+            gen = self._run_request(
+                toks, body, stop_strings=stop_strings_for(state.template))
+            if body.get("stream"):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def ev(name, obj):
+                    data = (f"event: {name}\n"
+                            f"data: {json.dumps(obj)}\n\n").encode()
+                    self.wfile.write(hex(len(data))[2:].encode() + b"\r\n"
+                                     + data + b"\r\n")
+
+                ev("message_start", {"type": "message_start", "message": {
+                    "id": rid, "type": "message", "role": "assistant",
+                    "content": [], "model": state.model_name,
+                    "usage": {"input_tokens": len(toks), "output_tokens": 0}}})
+                ev("content_block_start", {
+                    "type": "content_block_start", "index": 0,
+                    "content_block": {"type": "text", "text": ""}})
+                n_out = 0
+                stop_reason = "end_turn"
+                for piece, finished, reason in gen:
+                    if piece:
+                        n_out += 1
+                        ev("content_block_delta", {
+                            "type": "content_block_delta", "index": 0,
+                            "delta": {"type": "text_delta", "text": piece}})
+                    if finished:
+                        stop_reason = ("max_tokens" if reason == "length"
+                                       else "end_turn")
+                ev("content_block_stop",
+                   {"type": "content_block_stop", "index": 0})
+                ev("message_delta", {"type": "message_delta",
+                                     "delta": {"stop_reason": stop_reason},
+                                     "usage": {"output_tokens": n_out}})
+                ev("message_stop", {"type": "message_stop"})
+                self.wfile.write(b"0\r\n\r\n")
+            else:
+                parts, reason = [], "end_turn"
+                for piece, finished, r in gen:
+                    parts.append(piece)
+                    if finished:
+                        reason = "max_tokens" if r == "length" else "end_turn"
+                content = "".join(parts)
+                self._json({
+                    "id": rid, "type": "message", "role": "assistant",
+                    "model": state.model_name,
+                    "content": [{"type": "text", "text": content}],
+                    "stop_reason": reason,
+                    "usage": {"input_tokens": len(toks),
+                              "output_tokens": len(parts)},
+                })
+
+        def _handle_infill(self, body):
+            """Fill-in-the-middle completion (tools/server /infill route):
+            fim_pre + prefix + fim_suf + suffix + fim_mid [+ prompt]."""
+            v = state.vocab
+            if v.fim_pre_id < 0 or v.fim_suf_id < 0 or v.fim_mid_id < 0:
+                self._json({"error": "model has no FIM tokens"}, 400)
+                return
+            prefix = str(body.get("input_prefix", ""))
+            suffix = str(body.get("input_suffix", ""))
+            extra = str(body.get("prompt", "") or "")
+            toks = ([v.fim_pre_id] + v.encode(prefix, add_special=False)
+                    + [v.fim_suf_id] + v.encode(suffix, add_special=False)
+                    + [v.fim_mid_id]
+                    + (v.encode(extra, add_special=False) if extra else []))
+            gen = self._run_request(toks, body)
+            parts, reason = [], "stop"
+            for piece, finished, r in gen:
+                parts.append(piece)
+                if finished:
+                    reason = r or "stop"
+            self._json({"content": "".join(parts),
+                        "stop_type": reason,
+                        "tokens_evaluated": len(toks),
+                        "tokens_predicted": len(parts)})
+
+        def _handle_rerank(self, body):
+            """Causal-LM reranking: score(doc | query) = mean logprob of the
+            document tokens conditioned on the query. (The reference serves
+            dedicated rank-pooling models, tools/server rerank; this engine
+            scores with the loaded causal LM instead.)"""
+            query = str(body.get("query", ""))
+            docs = body.get("documents") or []
+            top_n = int(body.get("top_n") or len(docs))
+            results = []
+            for i, doc in enumerate(docs):
+                q_toks = state.vocab.encode(
+                    f"Query: {query}\nDocument: ", add_special=True)
+                d_toks = state.vocab.encode(str(doc), add_special=False)
+                if not d_toks:
+                    results.append({"index": i, "relevance_score": -1e30})
+                    continue
+                toks = (q_toks + d_toks)[: state.engine.ctx.kv.max_seq - 1]
+                nd = len(toks) - len(q_toks)
+
+                def score(toks=toks, nd=nd):
+                    import numpy as np
+
+                    ctx = state.engine.ctx
+                    seq = ctx.new_sequence()
+                    try:
+                        logits = ctx.prefill(seq, toks)
+                    finally:
+                        ctx.kv.seq_rm(seq)
+                    lp = 0.0
+                    for t in range(len(toks) - nd - 1, len(toks) - 1):
+                        row = logits[t].astype(np.float64)
+                        m = row.max()
+                        lp += float(row[toks[t + 1]] - m
+                                    - np.log(np.exp(row - m).sum()))
+                    return lp / max(nd, 1)
+
+                results.append({"index": i,
+                                "relevance_score": state.engine.call(score)})
+            results.sort(key=lambda r: -r["relevance_score"])
+            self._json({"model": state.model_name,
+                        "object": "list",
+                        "results": results[:top_n],
+                        "usage": {"total_tokens": 0}})
+
+        def _handle_slot_action(self, body):
+            import re as _re
+            from urllib.parse import parse_qs, urlparse
+
+            u = urlparse(self.path)
+            m = _re.match(r"^/slots/(\d+)$", u.path)
+            if not m:
+                self._json({"error": "not found"}, 404)
+                return
+            idx = int(m.group(1))
+            if idx >= len(state.engine.slots):
+                self._json({"error": "no such slot"}, 400)
+                return
+            action = (parse_qs(u.query).get("action") or [""])[0]
+            try:
+                if action == "save":
+                    self._json(state.engine.save_slot(
+                        idx, body.get("filename", f"slot{idx}.rrsstate")))
+                elif action == "restore":
+                    self._json(state.engine.restore_slot(
+                        idx, body.get("filename", f"slot{idx}.rrsstate")))
+                elif action == "erase":
+                    state.engine.call(lambda: state.engine.erase_slot(idx))
+                    self._json({"id_slot": idx, "success": True})
+                else:
+                    self._json({"error": f"unknown action '{action}'"}, 400)
+            except Exception as e:                        # noqa: BLE001
+                self._json({"error": str(e)}, 400)
 
         # -- routes ----------------------------------------------------
 
@@ -209,12 +387,17 @@ def make_handler(state: ServerState):
                 return
 
             if self.path == "/v1/chat/completions":
+                from rrs_tpu.serving.chat import extract_reasoning, parse_tool_calls
+
                 messages = body.get("messages", [])
-                text = apply_template(state.template, messages)
+                tools = body.get("tools") or None
+                text = apply_template(state.template, messages, tools=tools)
                 toks = state.vocab.encode(text, add_special=False)
                 rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
+                probs = []
                 gen = self._run_request(
-                    toks, body, stop_strings=stop_strings_for(state.template)
+                    toks, body, stop_strings=stop_strings_for(state.template),
+                    probs_out=probs,
                 )
                 if body.get("stream"):
                     def wrap(piece, finished, reason):
@@ -233,15 +416,59 @@ def make_handler(state: ServerState):
                         if finished:
                             reason = r or "stop"
                     content = "".join(parts)
+                    reasoning, content = extract_reasoning(content)
+                    tool_calls = []
+                    if tools:
+                        content, tool_calls = parse_tool_calls(content)
+                    msg = {"role": "assistant", "content": content}
+                    if reasoning is not None:
+                        msg["reasoning_content"] = reasoning
+                    if tool_calls:
+                        msg["tool_calls"] = tool_calls
+                        reason = "tool_calls"
+                    n_out = len(probs) if probs else len(content.split())
+                    resp_choice = {"index": 0, "finish_reason": reason,
+                                   "message": msg}
+                    if probs:
+                        resp_choice["logprobs"] = {"content": [
+                            {"token": state.vocab.decode([t]),
+                             "logprob": lp,
+                             "top_logprobs": [
+                                 {"token": state.vocab.decode([tt]),
+                                  "logprob": tlp} for tt, tlp in top]}
+                            for t, lp, top in probs]}
                     self._json({
                         "id": rid, "object": "chat.completion",
                         "model": state.model_name, "created": int(time.time()),
-                        "choices": [{"index": 0, "finish_reason": reason,
-                                     "message": {"role": "assistant", "content": content}}],
+                        "choices": [resp_choice],
                         "usage": {"prompt_tokens": len(toks),
-                                  "completion_tokens": len(content.split()),
-                                  "total_tokens": 0},
+                                  "completion_tokens": n_out,
+                                  "total_tokens": len(toks) + n_out},
                     })
+                return
+
+            if self.path == "/v1/messages":
+                # Anthropic Messages API (server.cpp:179 route analog)
+                self._handle_anthropic(body)
+                return
+
+            if self.path == "/apply-template":
+                messages = body.get("messages", [])
+                self._json({"prompt": apply_template(
+                    state.template, messages,
+                    tools=body.get("tools") or None)})
+                return
+
+            if self.path == "/infill":
+                self._handle_infill(body)
+                return
+
+            if self.path in ("/rerank", "/v1/rerank", "/reranking"):
+                self._handle_rerank(body)
+                return
+
+            if self.path.startswith("/slots/"):
+                self._handle_slot_action(body)
                 return
 
             if self.path in ("/v1/embeddings", "/embeddings", "/embedding"):
@@ -252,7 +479,8 @@ def make_handler(state: ServerState):
                 for i, text in enumerate(inputs):
                     toks = (text if isinstance(text, list)
                             else state.vocab.encode(str(text), add_special=True))
-                    vec = state.engine.ctx.embed(toks)
+                    vec = state.engine.call(
+                        lambda toks=toks: state.engine.ctx.embed(toks))
                     data.append({"object": "embedding", "index": i,
                                  "embedding": [float(x) for x in vec]})
                 self._json({"object": "list", "data": data,
@@ -266,7 +494,8 @@ def make_handler(state: ServerState):
                     else state.vocab.encode(str(prompt), add_special=True)
                 )
                 rid = f"cmpl-{uuid.uuid4().hex[:12]}"
-                gen = self._run_request(toks, body)
+                probs = []
+                gen = self._run_request(toks, body, probs_out=probs)
                 if body.get("stream"):
                     def wrap(piece, finished, reason):
                         return {
@@ -282,11 +511,22 @@ def make_handler(state: ServerState):
                         parts.append(piece)
                         if finished:
                             reason = r or "stop"
+                    choice = {"index": 0, "text": "".join(parts),
+                              "finish_reason": reason}
+                    if probs:
+                        choice["logprobs"] = {
+                            "tokens": [state.vocab.decode([t])
+                                       for t, _, _ in probs],
+                            "token_logprobs": [lp for _, lp, _ in probs],
+                            "top_logprobs": [
+                                {state.vocab.decode([tt]): tlp
+                                 for tt, tlp in top}
+                                for _, _, top in probs],
+                        }
                     self._json({
                         "id": rid, "object": "text_completion",
                         "model": state.model_name, "created": int(time.time()),
-                        "choices": [{"index": 0, "text": "".join(parts),
-                                     "finish_reason": reason}],
+                        "choices": [choice],
                     })
                 return
 

@@ -128,3 +128,92 @@ def test_embeddings_endpoint(server):
     v = body["data"][0]["embedding"]
     assert len(v) == PRESETS["tiny"].n_embd
     assert all(isinstance(x, float) for x in v[:4])
+
+
+def test_logprobs_completion(server):
+    port, _ = server
+    status, data = _req(port, "POST", "/v1/completions", {
+        "prompt": [5, 6, 7], "max_tokens": 3, "temperature": 0.0,
+        "logprobs": 2,
+    })
+    assert status == 200, data
+    lp = json.loads(data)["choices"][0]["logprobs"]
+    assert len(lp["tokens"]) == len(lp["token_logprobs"]) >= 1
+    assert all(v <= 0.0 for v in lp["token_logprobs"])
+    assert all(len(t) == 2 for t in lp["top_logprobs"])
+
+
+def test_anthropic_messages(server):
+    port, _ = server
+    status, data = _req(port, "POST", "/v1/messages", {
+        "messages": [{"role": "user", "content": "hi"}],
+        "system": "be brief", "max_tokens": 3,
+    })
+    assert status == 200, data
+    body = json.loads(data)
+    assert body["type"] == "message" and body["role"] == "assistant"
+    assert body["content"][0]["type"] == "text"
+    assert body["stop_reason"] in ("end_turn", "max_tokens")
+    assert body["usage"]["input_tokens"] > 0
+
+
+def test_rerank(server):
+    port, _ = server
+    status, data = _req(port, "POST", "/v1/rerank", {
+        "query": "abc", "documents": ["abc abc", "zzzz"], "top_n": 2,
+    })
+    assert status == 200, data
+    body = json.loads(data)
+    assert len(body["results"]) == 2
+    scores = [r["relevance_score"] for r in body["results"]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_infill_no_fim_tokens(server):
+    port, _ = server
+    status, data = _req(port, "POST", "/infill", {
+        "input_prefix": "a", "input_suffix": "b", "max_tokens": 2,
+    })
+    assert status == 400          # tiny vocab has no FIM tokens
+
+
+def test_slot_save_restore(server, tmp_path_factory):
+    port, engine = server
+    # produce a retained prompt cache on some slot
+    _req(port, "POST", "/v1/completions",
+         {"prompt": [9, 10, 11, 12], "max_tokens": 2, "temperature": 0.0})
+    idx = next(i for i, s in enumerate(engine.slots) if s.retained_seq >= 0
+               or s.cache_tokens)
+    fn = str(tmp_path_factory.mktemp("slots") / "s.rrsstate.npz")
+    status, data = _req(port, "POST", f"/slots/{idx}?action=save",
+                        {"filename": fn})
+    assert status == 200, data
+    saved = json.loads(data)
+    assert saved["n_saved"] > 0
+
+    status, data = _req(port, "POST", f"/slots/{idx}?action=erase", {})
+    assert status == 200 and json.loads(data)["success"]
+
+    status, data = _req(port, "POST", f"/slots/{idx}?action=restore",
+                        {"filename": fn})
+    assert status == 200, data
+    assert json.loads(data)["n_restored"] == saved["n_saved"]
+
+
+def test_prompt_cache_reuse(server):
+    port, engine = server
+    prompt = [20, 21, 22, 23, 24, 25]
+    _req(port, "POST", "/v1/completions",
+         {"prompt": prompt, "max_tokens": 2, "temperature": 0.0})
+    # same prefix again: engine should reuse the retained KV prefix
+    _req(port, "POST", "/v1/completions",
+         {"prompt": prompt + [26], "max_tokens": 2, "temperature": 0.0})
+    assert any(s.n_reused > 0 for s in engine.slots)
+
+
+def test_apply_template_endpoint(server):
+    port, _ = server
+    status, data = _req(port, "POST", "/apply-template", {
+        "messages": [{"role": "user", "content": "hello"}]})
+    assert status == 200
+    assert "hello" in json.loads(data)["prompt"]
