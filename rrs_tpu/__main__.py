@@ -137,11 +137,11 @@ def main(argv=None):
 def _load(model_path, n_lanes=1, max_seq=2048, kv_quant="none"):
     from rrs_tpu.models.loader import load_model
     from rrs_tpu.models.vocab import Vocab
-    from rrs_tpu.runtime.context import InferenceContext
+    from rrs_tpu.runtime.recurrent import make_context
 
     cfg, weights, md = load_model(model_path)
     vocab = Vocab.from_gguf(md)
-    ctx = InferenceContext(cfg, weights, n_lanes=n_lanes, max_seq=max_seq,
+    ctx = make_context(cfg, weights, n_lanes=n_lanes, max_seq=max_seq,
                            kv_quant=kv_quant)
     return cfg, vocab, ctx
 

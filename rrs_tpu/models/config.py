@@ -52,6 +52,12 @@ class ModelConfig:
     sandwich_norm: bool = False      # gemma2/3 post-attn + post-ffn norms
     ffn_act: str = "silu"            # "silu" | "gelu"
     rope_rot_dim: int = 0            # partial rotary (phi3); 0 => head_dim
+    # recurrent (Mamba) hparams (llama-hparams.h:133-136)
+    ssm_d_conv: int = 0
+    ssm_d_inner: int = 0
+    ssm_d_state: int = 0
+    ssm_dt_rank: int = 0
+    ssm_dt_b_c_rms: bool = False     # falcon-mamba RMS on dt/B/C
     # set only inside shard_map: mesh axis name for tensor parallelism; when
     # set, row-parallel projections (wo, ffn_down) psum over it
     tp_axis: "str | None" = None
@@ -63,6 +69,10 @@ class ModelConfig:
     @property
     def n_kv_dim(self) -> int:
         return self.n_kv_heads * self.head_dim
+
+    @property
+    def is_recurrent(self) -> bool:
+        return self.ssm_d_inner > 0
 
     def is_swa(self, li: int) -> bool:
         """Is layer ``li`` sliding-window? (llama_hparams::is_swa analog)."""
@@ -85,9 +95,10 @@ class ModelConfig:
             return v
 
         n_embd = int(key("embedding_length"))
-        n_heads = int(key("attention.head_count"))
-        n_kv = int(key("attention.head_count_kv", n_heads))
-        head_dim = int(key("attention.key_length", n_embd // n_heads))
+        n_heads = int(key("attention.head_count", 0) or 0)
+        n_kv = int(key("attention.head_count_kv", n_heads) or 0)
+        head_dim = int(key("attention.key_length",
+                           n_embd // n_heads if n_heads else 0) or 0)
 
         scaling = str(key("rope.scaling.type", "none") or "none")
         vocab = md.get("tokenizer.ggml.tokens")
@@ -135,6 +146,15 @@ class ModelConfig:
                 extra.update(swa_window=win, swa_pattern=1)
         if arch == "phi3":
             extra.update(rope_rot_dim=int(key("rope.dimension_count", 0) or 0))
+        if arch in ("mamba", "mamba2", "falcon_mamba", "jamba"):
+            extra.update(
+                ssm_d_conv=int(key("ssm.conv_kernel", 4) or 4),
+                ssm_d_inner=int(key("ssm.inner_size", 2 * n_embd) or 2 * n_embd),
+                ssm_d_state=int(key("ssm.state_size", 16) or 16),
+                ssm_dt_rank=int(key("ssm.time_step_rank",
+                                    -(-n_embd // 16)) or -(-n_embd // 16)),
+                ssm_dt_b_c_rms=bool(key("ssm.dt_b_c_rms", False)),
+            )
 
         return ModelConfig(
             **extra,
@@ -144,7 +164,7 @@ class ModelConfig:
             n_heads=n_heads,
             n_kv_heads=n_kv,
             head_dim=head_dim,
-            n_ff=int(key("feed_forward_length")),
+            n_ff=int(key("feed_forward_length", 0) or 0),
             vocab_size=vocab_size,
             context_length=int(key("context_length", 4096)),
             rms_eps=float(key("attention.layer_norm_rms_epsilon", 1e-6)),

@@ -40,6 +40,13 @@ def export_random_gguf(
     w.add_float32(f"{a}.attention.layer_norm_rms_epsilon", cfg.rms_eps)
     w.add_float32(f"{a}.rope.freq_base", cfg.rope_theta)
     w.add_uint32(f"{a}.vocab_size", cfg.vocab_size)
+    if cfg.is_recurrent:
+        w.add_uint32(f"{a}.ssm.conv_kernel", cfg.ssm_d_conv)
+        w.add_uint32(f"{a}.ssm.inner_size", cfg.ssm_d_inner)
+        w.add_uint32(f"{a}.ssm.state_size", cfg.ssm_d_state)
+        w.add_uint32(f"{a}.ssm.time_step_rank", cfg.ssm_dt_rank)
+    if cfg.swa_window:
+        w.add_uint32(f"{a}.attention.sliding_window", cfg.swa_window)
     if vocab_tokens is not None:
         w.add_string("tokenizer.ggml.model", "gpt2")
         w.add_array("tokenizer.ggml.tokens", vocab_tokens)
@@ -53,6 +60,29 @@ def export_random_gguf(
 
     e, hq, hkv, d, f = cfg.n_embd, cfg.n_q_dim, cfg.n_kv_dim, cfg.head_dim, cfg.n_ff
     t("token_embd.weight", (cfg.vocab_size, e))
+    if cfg.is_recurrent:
+        di, ds, dtr, dc = (cfg.ssm_d_inner, cfg.ssm_d_state,
+                           cfg.ssm_dt_rank, cfg.ssm_d_conv)
+        for i in range(cfg.n_layers):
+            p = f"blk.{i}"
+            norm(f"{p}.attn_norm.weight", e)
+            t(f"{p}.ssm_in.weight", (2 * di, e))
+            t(f"{p}.ssm_conv1d.weight", (di, dc))
+            t(f"{p}.ssm_conv1d.bias", (di,))
+            t(f"{p}.ssm_x.weight", (dtr + 2 * ds, di))
+            t(f"{p}.ssm_dt.weight", (di, dtr))
+            t(f"{p}.ssm_dt.bias", (di,))
+            # ssm_a / ssm_d are suffix-less (llama-model.cpp:3907-3908)
+            w.add_tensor(f"{p}.ssm_a",
+                         (-np.exp(rng.standard_normal((di, ds)) * 0.5)
+                          ).astype(dtype))
+            w.add_tensor(f"{p}.ssm_d", np.ones((di,), dtype))
+            t(f"{p}.ssm_out.weight", (e, di))
+        norm("output_norm.weight", e)
+        if not cfg.tie_embeddings:
+            t("output.weight", (cfg.vocab_size, e))
+        w.write()
+        return path
     for i in range(cfg.n_layers):
         p = f"blk.{i}"
         norm(f"{p}.attn_norm.weight", e)
@@ -67,6 +97,9 @@ def export_random_gguf(
         t(f"{p}.ffn_gate.weight", (f, e))
         t(f"{p}.ffn_up.weight", (f, e))
         t(f"{p}.ffn_down.weight", (e, f))
+        if cfg.sandwich_norm:
+            norm(f"{p}.post_attention_norm.weight", e)
+            norm(f"{p}.post_ffw_norm.weight", e)
     norm("output_norm.weight", e)
     if not cfg.tie_embeddings:
         t("output.weight", (cfg.vocab_size, e))

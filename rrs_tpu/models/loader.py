@@ -84,6 +84,9 @@ def load_model(path: str | Path, dtype=jnp.bfloat16, fuse: bool = True):
     if cfg.vocab_size == 0:
         cfg = ModelConfig(**{**cfg.__dict__, "vocab_size": g.tensors["token_embd.weight"].shape[0]})
 
+    if cfg.is_recurrent:
+        return _load_mamba(g, cfg, dtype)
+
     layers = []
     for i in range(cfg.n_layers):
         p = f"blk.{i}"
@@ -154,6 +157,56 @@ def load_model(path: str | Path, dtype=jnp.bfloat16, fuse: bool = True):
     weights = ModelWeights(
         embed=embed,
         layers=layers,
+        final_norm=_norm(g, "output_norm.weight", dtype),
+        lm_head=lm_head,
+    )
+    md = dict(g.metadata)
+    g.close()
+    return cfg, weights, md
+
+
+def _load_mamba(g, cfg: ModelConfig, dtype):
+    """Mamba-family tensor mapping (src/models/mamba.cpp load_tensors names:
+    blk.N.{ssm_in,ssm_conv1d,ssm_x,ssm_dt,ssm_a,ssm_d,ssm_out,attn_norm})."""
+    from rrs_tpu.models.mamba import MambaLayer, MambaWeights
+
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}"
+
+        def t32(name):
+            return g.tensor(f"{p}.{name}").astype(np.float32)
+
+        conv_w = t32("ssm_conv1d.weight")          # [d_inner, d_conv]
+        layers.append(MambaLayer(
+            norm=_norm(g, f"{p}.attn_norm.weight", dtype),
+            w_in=_linear(g, f"{p}.ssm_in.weight", dtype),
+            conv_w=jnp.asarray(conv_w.T),          # -> [d_conv, d_inner]
+            conv_b=jnp.asarray(t32("ssm_conv1d.bias")),
+            w_x=_linear(g, f"{p}.ssm_x.weight", dtype),
+            w_dt=_linear(g, f"{p}.ssm_dt.weight", dtype),
+            dt_bias=jnp.asarray(t32("ssm_dt.bias")),
+            A=jnp.asarray(t32("ssm_a.weight")
+                          if f"{p}.ssm_a.weight" in g.tensors
+                          else t32("ssm_a")),
+            D=jnp.asarray(t32("ssm_d.weight")
+                          if f"{p}.ssm_d.weight" in g.tensors
+                          else t32("ssm_d")),
+            w_out=_linear(g, f"{p}.ssm_out.weight", dtype),
+            dt_norm=(_norm(g, f"{p}.ssm_dt_norm.weight", dtype)
+                     if f"{p}.ssm_dt_norm.weight" in g.tensors else None),
+            b_norm=(_norm(g, f"{p}.ssm_b_norm.weight", dtype)
+                    if f"{p}.ssm_b_norm.weight" in g.tensors else None),
+            c_norm=(_norm(g, f"{p}.ssm_c_norm.weight", dtype)
+                    if f"{p}.ssm_c_norm.weight" in g.tensors else None),
+        ))
+    embed = jnp.asarray(g.tensor("token_embd.weight").astype(np.float32), dtype)
+    if "output.weight" in g.tensors:
+        lm_head = _linear(g, "output.weight", dtype)
+    else:
+        lm_head = DenseLinear(w=embed.T)
+    weights = MambaWeights(
+        embed=embed, layers=layers,
         final_norm=_norm(g, "output_norm.weight", dtype),
         lm_head=lm_head,
     )

@@ -5,26 +5,32 @@ Pipeline (reference call path ggml_cuda_rrs_mul_mat, rrs.cu:241-344):
 
     x --[perm-gather + 256-pt FWHT + 1/16]--> x_rot        (one MXU matmul,
                                                             rrs_tpu.formats.fwht)
-    x_rot --[per-256-block absmax int4 quant-dequant]--> a (XLA-fused elementwise;
-                                                            a = clip(rint(x*7/amax))*amax/7)
-    a x (qs, sc, S) --[this kernel]--> C f32
+    x_rot --[per-256-block absmax int4 quant]--> (a_q, a_scale)
+    (a_q, a_scale) x (qs, eff) --[kernels below]--> C f32
 
 Epilogue math (tcq4_k32.cu:11):
-    C[m,n] = sum_kb dot256(a_q, q*sc) * (a_scale[m,kb]/7) * (S[kb,n]/127)
+    C[m,n] = sum_sb (a_scale[m,sb]/7) * sum_g eff[sb,g,n] * dot32(a_q, w_q)
 
-TPU-native factoring: the scales distribute INTO the operands —
-    C = sum_k (a_q * a_scale/7)[m,k] * (q * sc * S/127)[k,n]
-so the kernel is an in-VMEM weight dequant + f32 matmul at HIGHEST precision
-(bf16x6 passes). All products are exact-or-1ulp f32; accumulation error is
-~1e-7 relative, 5+ orders below the int4 quantization noise the reference's
-integer pipeline shares. Decode stays HBM-bound: weights stream at 4.625 bpw.
+Two kernels, picked by M:
 
-Grid: (N tiles, M tiles, K superblocks), superblock innermost so the output
-block stays resident and accumulates while weight blocks stream with
-automatic double-buffering. Weight layout is K-major (rrs_tpu.formats.tcq4):
-qs [K//2, N] uint8 (per-superblock nibble packing) and eff [K//32, N] f32,
-the precomputed effective group scale fp32(fp16(S))*sc/127 — bit-identical to
-the value the reference epilogue derives from (S, sc) at runtime.
+* ``tcq4_matmul_a8`` (decode, M <= 32): int8 x int4->int8 MXU dots per
+  32-group with an f32 scale epilogue — the INTEGER arithmetic of the
+  reference's IMMA path (mma.sync.m16n8k32.s4 analog), exact to f32 rounding
+  of the epilogue. HBM-bound: weights stream at 4.625 bpw at ~550 GB/s
+  measured on v5e.
+* ``tcq4_matmul`` (prefill): in-VMEM weight dequant (sign-extending shifts +
+  ``pltpu.repeat``-broadcast group scales, all 2D — 3D broadcasts and
+  xor-unpack trigger a pathological Mosaic schedule, 20x slower) into a bf16
+  MXU matmul; ``fast=False`` runs the dot in f32 HIGHEST for the
+  quantize-time oracle.
+
+Weight layout is K-major (rrs_tpu.formats.tcq4): qs [K//2, N] uint8 holding
+k and k+128 of each superblock in the low/high nibble, and eff [K//32, N]
+f32, the precomputed effective group scale fp32(fp16(S))*sc/127 —
+bit-identical to what the reference epilogue derives from (S, sc) at runtime.
+
+Grid: (N tiles, M tiles, K superblocks), K innermost so the output block
+stays resident while weight blocks stream with automatic double-buffering.
 """
 
 from __future__ import annotations
@@ -39,36 +45,124 @@ from jax.experimental.pallas import tpu as pltpu
 from rrs_tpu.formats.tcq4 import TILE_K, GROUP_SIZE
 
 GROUPS = TILE_K // GROUP_SIZE  # 8
-_INV127 = 1.0 / 127.0
+A8_MAX_M = 32                  # decode-path kernel cutoff
 
+
+def _unpack_w4(qsb):
+    """[bk/2, bn] uint8 -> [bk, bn] int32 in [-8, 7] via sign-extending
+    shifts (cheapest stable unpack on the VPU)."""
+    q32 = qsb.astype(jnp.int32)
+    lo = (q32 << 28) >> 28
+    hi = (q32 << 24) >> 28
+    return jnp.concatenate([lo, hi], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Decode kernel: int8 MXU group-dots (integer-exact)
+# ---------------------------------------------------------------------------
+
+def _kernel_a8(aq_ref, ascale_ref, qs_ref, eff_ref, out_ref, *, bm, bn, bk):
+    # bk == K always (whole reduction in one grid step): superblock indices
+    # stay static, and the n-axis grid provides the streaming double-buffer
+    acc = jnp.zeros((bm, bn), jnp.float32)
+    for sb in range(bk // TILE_K):                              # static unroll
+        w_q = _unpack_w4(qs_ref[sb * (TILE_K // 2):(sb + 1) * (TILE_K // 2), :]
+                         ).astype(jnp.int8)                     # [256, bn]
+        e = eff_ref[sb * GROUPS:(sb + 1) * GROUPS, :]           # [8, bn]
+        a_sb = aq_ref[:, sb * TILE_K:(sb + 1) * TILE_K]         # [bm, 256] i8
+        sbacc = jnp.zeros((bm, bn), jnp.float32)
+        for g in range(GROUPS):
+            p = jax.lax.dot_general(
+                a_sb[:, g * GROUP_SIZE:(g + 1) * GROUP_SIZE],
+                w_q[g * GROUP_SIZE:(g + 1) * GROUP_SIZE, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)               # exact int32
+            sbacc += p.astype(jnp.float32) * e[g][None, :]
+        acc += sbacc * (ascale_ref[:, sb : sb + 1] * (1.0 / 7.0))
+
+    out_ref[...] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bn", "bm", "bk", "interpret")
+)
+def tcq4_matmul_a8(
+    a_q: jnp.ndarray,       # int8 [M, K] quantized rotated activations (+-7)
+    a_scale: jnp.ndarray,   # f32 [M, K//256] per-block absmax
+    qs: jnp.ndarray,        # uint8 [K//2, N]
+    eff: jnp.ndarray,       # f32 [K//32, N]
+    *,
+    bn: int = 0,
+    bm: int = 8,
+    bk: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Integer decode path: C = (a_q/7*a_scale) @ dequant(w), f32 [M, N]."""
+    m, k = a_q.shape
+    n = qs.shape[1]
+    assert k % TILE_K == 0 and qs.shape[0] == k // 2, (a_q.shape, qs.shape)
+    if bn == 0:
+        # whole K lives in the block, so bound the qs block bytes to keep
+        # several n-tiles in flight (DMA/compute double-buffering rides the
+        # n-axis grid here)
+        bn = _pick_bn(n, limit=max(128, (3 * 1024 * 1024) // (k // 2) // 128 * 128))
+    bn = min(bn, n)
+    assert n % bn == 0, (n, bn)
+    bm = max(bm, _round_up(m, 8))
+    bk = k  # whole-K reduction: static superblock indexing (see _kernel_a8)
+
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        a_q = jnp.pad(a_q, ((0, m_pad - m), (0, 0)))
+        a_scale = jnp.pad(a_scale, ((0, m_pad - m), (0, 0)))
+
+    grid = (n // bn, m_pad // bm)
+    out = pl.pallas_call(
+        functools.partial(_kernel_a8, bm=bm, bn=bn, bk=bk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k // TILE_K), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // GROUP_SIZE, bn), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        interpret=interpret,
+    )(a_q, a_scale, qs, eff)
+    return out[:m]
+
+
+# ---------------------------------------------------------------------------
+# Prefill kernel: in-VMEM dequant + bf16 (or f32-HIGHEST) MXU matmul
+# ---------------------------------------------------------------------------
 
 def _kernel(a_ref, qs_ref, eff_ref, out_ref, *, bm: int, bn: int, bk: int,
             fast: bool):
     acc = jnp.zeros((bm, bn), jnp.float32)
     for sb in range(bk // TILE_K):                            # static unroll
-        qs = qs_ref[sb * (TILE_K // 2) : (sb + 1) * (TILE_K // 2), :].astype(jnp.int32)
-        lo = ((qs & 0xF) ^ 8) - 8
-        hi = (((qs >> 4) & 0xF) ^ 8) - 8
-        w_q = jnp.concatenate([lo, hi], axis=0)                       # [256, BN]
-        eff = eff_ref[sb * GROUPS : (sb + 1) * GROUPS, :]             # [8, BN]
+        w_q = _unpack_w4(qs_ref[sb * (TILE_K // 2):(sb + 1) * (TILE_K // 2), :])
+        e = eff_ref[sb * GROUPS:(sb + 1) * GROUPS, :]         # [8, bn]
+        # group-scale broadcast in f32 (the bf16 3D broadcast hits a
+        # pathological Mosaic schedule; f32 is fused fine)
+        w32 = (w_q.astype(jnp.float32).reshape(GROUPS, GROUP_SIZE, bn)
+               * e[:, None, :]).reshape(TILE_K, bn)
         a_sb = a_ref[:, sb * TILE_K : (sb + 1) * TILE_K]
         if fast:
             # bf16 operands, single MXU pass: w rounding (<=0.4%) is 1/20 of
-            # the int4 quantization noise; decode-path throughput 2.6x exact
-            w = (w_q.astype(jnp.bfloat16).reshape(GROUPS, GROUP_SIZE, bn)
-                 * eff[:, None, :]).reshape(TILE_K, bn)
+            # the int4 quantization noise
             acc += jax.lax.dot_general(
-                a_sb.astype(jnp.bfloat16), w,
+                a_sb.astype(jnp.bfloat16), w32.astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         else:
             # exact: f32 products of exact ints, HIGHEST = bf16x6 emulation,
             # reproduces the reference's int32+f32-epilogue arithmetic
-            w = (w_q.astype(jnp.float32).reshape(GROUPS, GROUP_SIZE, bn)
-                 * eff[:, None, :]).reshape(TILE_K, bn)
             acc += jax.lax.dot_general(
-                a_sb, w,
+                a_sb, w32,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
@@ -82,13 +176,16 @@ def _kernel(a_ref, qs_ref, eff_ref, out_ref, *, bm: int, bn: int, bk: int,
 
 
 def _pick_bk(k: int, bn: int, vmem_budget: int = 4 * 1024 * 1024) -> int:
-    """Largest multiple of 256 dividing K whose qs block fits the budget."""
+    """Largest multiple of 256 dividing K whose qs block fits the budget,
+    with (bk//32) staying a multiple of 8 (Pallas sublane constraint)."""
     nsb = k // TILE_K
     best = TILE_K
     for nper in range(1, nsb + 1):
         if nsb % nper:
             continue
         bk = nper * TILE_K
+        if (bk // GROUP_SIZE) % 8 and bk != k:
+            continue
         if (bk // 2) * bn <= vmem_budget:
             best = bk
     return best
@@ -114,7 +211,7 @@ def tcq4_matmul(
     eff: jnp.ndarray,       # f32 [K//32, N] effective group scales fp32(S)*sc/127
     *,
     bn: int = 0,            # 0 => auto
-    bm: int = 256,
+    bm: int = 128,
     bk: int = 0,            # 0 => auto (largest divisor of K fitting VMEM)
     interpret: bool = False,
     fast: bool = True,
@@ -158,8 +255,8 @@ def _round_up(x: int, m: int) -> int:
 
 # ---------------------------------------------------------------------------
 # Pure oracle (the "CPU backend" of the reference's test-backend-ops strategy):
-# integer emulation of the CUDA epilogue. The Pallas kernel differs only in
-# where f32 rounding lands (scales folded into operands), ~1e-6 relative.
+# integer emulation of the CUDA epilogue. tcq4_matmul_a8 reproduces this
+# arithmetic exactly up to f32 group-summation order.
 # ---------------------------------------------------------------------------
 
 def tcq4_matmul_ref(a_q, a_scale, qs, eff):

@@ -538,11 +538,11 @@ def make_handler(state: ServerState):
 def serve(args):
     from rrs_tpu.models.loader import load_model
     from rrs_tpu.models.vocab import Vocab
-    from rrs_tpu.runtime.context import InferenceContext
+    from rrs_tpu.runtime.recurrent import make_context
 
     cfg, weights, md = load_model(args.model)
     vocab = Vocab.from_gguf(md)
-    ctx = InferenceContext(cfg, weights, n_lanes=args.parallel, max_seq=args.ctx,
+    ctx = make_context(cfg, weights, n_lanes=args.parallel, max_seq=args.ctx,
                            kv_quant=getattr(args, "cache_type", "none"))
     engine = Engine(ctx)
     engine.start()

@@ -61,3 +61,40 @@ def test_fast_mode_close_to_exact():
     fast = np.asarray(tcq4_matmul(a, *wargs, bn=128, interpret=True, fast=True))
     rel = np.linalg.norm(fast - exact) / np.linalg.norm(exact)
     assert rel < 0.02, rel   # bf16 operand rounding only
+
+
+def test_a8_kernel_matches_ref():
+    """The int8 decode kernel reproduces the integer oracle exactly
+    (same epilogue summation order, f32)."""
+    import jax.numpy as jnp
+    from rrs_tpu.ops.tcq4_matmul import tcq4_matmul_a8, tcq4_matmul_ref
+
+    rng = np.random.default_rng(11)
+    m, k, n = 3, 512, 256
+    a_q = rng.integers(-7, 8, (m, k)).astype(np.int8)
+    a_s = (rng.random((m, k // 256), dtype=np.float32) + 0.1)
+    qs = rng.integers(0, 256, (k // 2, n), dtype=np.uint8)
+    eff = (rng.random((k // 32, n), dtype=np.float32) * 0.02 + 1e-3)
+    ref = np.asarray(tcq4_matmul_ref(a_q, a_s, qs, eff))
+    got = np.asarray(tcq4_matmul_a8(
+        jnp.asarray(a_q), jnp.asarray(a_s), jnp.asarray(qs), jnp.asarray(eff),
+        bn=128, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_a8_kernel_multi_kblock():
+    """bk < K exercises the a_scale program-id offset."""
+    import jax.numpy as jnp
+    from rrs_tpu.ops.tcq4_matmul import tcq4_matmul_a8, tcq4_matmul_ref
+
+    rng = np.random.default_rng(12)
+    m, k, n = 1, 1024, 128
+    a_q = rng.integers(-7, 8, (m, k)).astype(np.int8)
+    a_s = (rng.random((m, k // 256), dtype=np.float32) + 0.1)
+    qs = rng.integers(0, 256, (k // 2, n), dtype=np.uint8)
+    eff = (rng.random((k // 32, n), dtype=np.float32) * 0.02 + 1e-3)
+    ref = np.asarray(tcq4_matmul_ref(a_q, a_s, qs, eff))
+    got = np.asarray(tcq4_matmul_a8(
+        jnp.asarray(a_q), jnp.asarray(a_s), jnp.asarray(qs), jnp.asarray(eff),
+        bn=128, bk=512, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
