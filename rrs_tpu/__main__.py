@@ -77,6 +77,12 @@ def main(argv=None):
     tk.add_argument("--prompt", "-p", required=True)
     tk.add_argument("--ids-only", action="store_true")
 
+    ch = sub.add_parser("convert-hf",
+                        help="convert a local HF checkpoint dir to GGUF")
+    ch.add_argument("model_dir")
+    ch.add_argument("out")
+    ch.add_argument("--outtype", default="f32", choices=["f32", "f16"])
+
     s = sub.add_parser("serve", help="OpenAI-compatible HTTP server")
     s.add_argument("--model", "-m", required=True)
     s.add_argument("--host", default="127.0.0.1")
@@ -129,6 +135,13 @@ def main(argv=None):
         else:
             for i in ids:
                 print(f"{i:>8} -> {vocab.tokens[i]!r}")
+    elif args.cmd == "convert-hf":
+        import numpy as np
+        from rrs_tpu.tools.convert_hf import convert_hf_to_gguf
+        out = convert_hf_to_gguf(
+            args.model_dir, args.out,
+            out_dtype=np.float16 if args.outtype == "f16" else np.float32)
+        print(f"wrote {out}")
     elif args.cmd == "serve":
         from rrs_tpu.serving.server import serve
         serve(args)

@@ -133,18 +133,42 @@ def attention(
     q = apply_rope(q, positions, rp)
     k = apply_rope(k, positions, rp)
 
-    # scatter new K/V into the kv-head-major cache (ggml_set_rows analog,
-    # llama-graph.cpp:1736-1737). Caches may be quantized: a (int8 values,
-    # f32 scales [B,Hkv,1,S]) tuple — the KV-quantization option
-    # (cparams.type_k/v analog, llama-kv-cache.h:206-216).
-    batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None, None]       # [B,1,1]
-    head_idx = jnp.arange(cfg.n_kv_heads, dtype=jnp.int32)[None, :, None]
-    # SWA layers use a smaller RING cache (iSWA analog): slot = pos mod S_l.
-    # For full-size caches slots are already < S_l, so the mod is a no-op.
+    # store new K/V into the kv-head-major cache (ggml_set_rows analog,
+    # llama-graph.cpp:1736-1737). Per-lane slots are always a CONTIGUOUS run
+    # (pos..pos+T), so the write is a per-lane dynamic_update_slice — XLA
+    # updates in place. A general scatter here costs ~0.25 ms per store on
+    # TPU (serialized) and was the dominant decode cost. Ring (SWA) caches
+    # can wrap mid-chunk during prefill; those use a one-hot rewrite instead
+    # (the ring is small, window + chunk). Caches may be quantized: a
+    # (int8 values, f32 scales [B,Hkv,1,S]) tuple (cparams.type_k/v analog).
     s_l = (k_cache[0] if isinstance(k_cache, tuple) else k_cache).shape[2]
-    slot_idx = (cache_slots % s_l)[:, None, :]                      # [B,1,T]
+    slot_mod = cache_slots % s_l                                    # [B, T]
     k_bh = k.transpose(0, 2, 1, 3)                                  # [B,Hkv,T,D]
     v_bh = v.transpose(0, 2, 1, 3)
+    ring_wrap = window > 0 and t > 1
+    # padded lanes (mask -1) park their write at the top of the cache: a
+    # sequence only attends slots it has itself written, and growth into the
+    # parked region rewrites each slot before the first attend (any
+    # read-modify-write here would force whole-cache copies instead of
+    # XLA's in-place dynamic-update-slice)
+    active = mask_positions[:, 0] >= 0                              # [B]
+    park = jnp.int32(s_l - t)
+    start_slot = jnp.where(active, slot_mod[:, 0], park)            # [B]
+
+    def store_arr(cache, new):
+        """new [B, Hkv, T, *]; cache [B, Hkv, S, *]."""
+        if ring_wrap:
+            oh = jax.nn.one_hot(slot_mod, s_l, dtype=jnp.float32)   # [B,T,S]
+            oh = oh * active[:, None, None].astype(jnp.float32)
+            upd = jnp.einsum("bts,bhtx->bhsx", oh,
+                             new.astype(jnp.float32)).astype(cache.dtype)
+            keep = (1.0 - oh.sum(1))[:, None, :, None].astype(cache.dtype)
+            return cache * keep + upd
+        new = new.astype(cache.dtype)
+        for lane in range(b):
+            cache = jax.lax.dynamic_update_slice(
+                cache, new[lane : lane + 1], (lane, 0, start_slot[lane], 0))
+        return cache
 
     def store(cache, new):
         if isinstance(cache, tuple):
@@ -153,10 +177,10 @@ def attention(
             s_new = jnp.maximum(amax / 127.0, 1e-10)                # [B,Hkv,T]
             q8 = jnp.clip(jnp.rint(new.astype(jnp.float32) / s_new[..., None]),
                           -127, 127).astype(jnp.int8)
-            arr = arr.at[batch_idx, head_idx, slot_idx].set(q8)
-            sc = sc.at[batch_idx, head_idx, jnp.zeros_like(slot_idx), slot_idx].set(s_new)
+            arr = store_arr(arr, q8)
+            sc = store_arr(sc.swapaxes(2, 3), s_new[..., None]).swapaxes(2, 3)
             return (arr, sc)
-        return cache.at[batch_idx, head_idx, slot_idx].set(new.astype(cache.dtype))
+        return store_arr(cache, new)
 
     k_cache = store(k_cache, k_bh)
     v_cache = store(v_cache, v_bh)
@@ -250,6 +274,11 @@ def forward(
         x = x + f
         if control_vector is not None:
             x = control_vector.apply(x, li)
+        if cap is not None and "__hidden__" in cap:
+            # per-layer mean hidden state (cvector-generator's activation
+            # collection; tools/cvector-generator analog)
+            cap["__hidden__"][li] = x.reshape(-1, x.shape[-1]).astype(
+                jnp.float32).mean(0)
     x = rms_norm(x, w.final_norm, cfg.rms_eps)
     logits = linear_apply(w.lm_head, x)
     logits = logits.astype(jnp.float32)

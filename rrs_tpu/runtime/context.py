@@ -108,11 +108,12 @@ class InferenceContext:
         """Feed prompt tokens; returns logits for every position [T, V]."""
         lane = self.kv.lane_of(seq_id)
         b = self.kv.n_lanes
+        max_chunk = min(PREFILL_BUCKETS[-1], self.kv.max_seq)
         out = []
         i = 0
         while i < len(tokens):
-            chunk = tokens[i : i + PREFILL_BUCKETS[-1]]
-            t = _bucket(len(chunk))
+            chunk = tokens[i : i + max_chunk]
+            t = min(_bucket(len(chunk)), max_chunk)
             tok = np.full((b, t), -1, np.int32)
             start = np.full((b,), -1, np.int32)
             tok[lane, : len(chunk)] = chunk

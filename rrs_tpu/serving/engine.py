@@ -188,11 +188,19 @@ class Engine:
         if req and req.on_token:
             req.on_token(None, "", True, reason)
         if slot.seq_id >= 0:
-            # retain the lane's KV as a prompt cache for the next request
-            slot.retained_seq = slot.seq_id
-            slot.cache_tokens = list(req.prompt_tokens) + list(slot.generated) \
-                if req else []
-            self.ctx.kv.mark_retained(slot.seq_id)
+            if getattr(self.ctx.cfg, "any_swa", False):
+                # SWA ring caches can't be safely parked-over while idle;
+                # don't retain them as prompt caches
+                try:
+                    self.ctx.kv.seq_rm(slot.seq_id)
+                except ValueError:
+                    pass
+            else:
+                # retain the lane's KV as a prompt cache for the next request
+                slot.retained_seq = slot.seq_id
+                slot.cache_tokens = (list(req.prompt_tokens)
+                                     + list(slot.generated)) if req else []
+                self.ctx.kv.mark_retained(slot.seq_id)
         slot.state = SlotState.IDLE
         slot.req = None
         slot.seq_id = -1

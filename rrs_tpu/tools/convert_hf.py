@@ -1,0 +1,283 @@
+"""HF checkpoint -> GGUF converter (convert_hf_to_gguf.py analog).
+
+Reads a local HuggingFace model directory (config.json + *.safetensors or
+pytorch_model*.bin) and writes an F32/F16 GGUF with llama.cpp tensor names
+and metadata keys, loadable by rrs_tpu.models.loader (and by llama.cpp).
+
+Covered architectures (the BASELINE set + the SWA families):
+  LlamaForCausalLM / MistralForCausalLM      -> arch "llama"
+  Qwen2ForCausalLM                           -> arch "qwen2"
+  Qwen3ForCausalLM                           -> arch "qwen3"
+  Gemma2ForCausalLM                          -> arch "gemma2"
+  Gemma3ForCausalLM / Gemma3ForConditionalGeneration -> arch "gemma3"
+  MambaForCausalLM                           -> arch "mamba"
+
+Key conversion details mirrored from the reference converter:
+  * llama/mistral q/k weights are PERMUTED for interleaved (NORM) rope
+    (LlamaModel.permute in convert_hf_to_gguf.py).
+  * gemma norm weights are stored +1 (Gemma2Model/Gemma3Model modify_tensors).
+  * tokenizer: BPE vocab + merges exported from tokenizer.json (fast
+    tokenizer); sentencepiece models need the `tokenizer.json` variant since
+    the sentencepiece package is not available here.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from rrs_tpu.gguf.writer import GGUFWriter
+
+
+def _load_state_dict(model_dir: Path) -> dict:
+    tensors = {}
+    st_files = sorted(model_dir.glob("*.safetensors"))
+    if st_files:
+        from safetensors import safe_open
+
+        for f in st_files:
+            with safe_open(str(f), framework="np") as sf:
+                for k in sf.keys():
+                    tensors[k] = sf.get_tensor(k)
+        return tensors
+    bins = sorted(model_dir.glob("pytorch_model*.bin")) \
+        or sorted(model_dir.glob("*.pt"))
+    if not bins:
+        raise FileNotFoundError(f"no safetensors or .bin weights in {model_dir}")
+    import torch
+
+    for f in bins:
+        sd = torch.load(str(f), map_location="cpu", weights_only=True)
+        for k, v in sd.items():
+            tensors[k] = v.float().numpy()
+    return tensors
+
+
+def _permute_rope(w: np.ndarray, n_head: int) -> np.ndarray:
+    """llama interleaved-rope permutation (convert_hf_to_gguf LlamaModel.permute)."""
+    out_dim = w.shape[0]
+    return (w.reshape(n_head, 2, out_dim // n_head // 2, *w.shape[1:])
+            .swapaxes(1, 2)
+            .reshape(w.shape))
+
+
+_ARCH_MAP = {
+    "LlamaForCausalLM": "llama",
+    "MistralForCausalLM": "llama",
+    "Qwen2ForCausalLM": "qwen2",
+    "Qwen3ForCausalLM": "qwen3",
+    "Qwen2MoeForCausalLM": "qwen2moe",
+    "Qwen3MoeForCausalLM": "qwen3moe",
+    "Gemma2ForCausalLM": "gemma2",
+    "Gemma3ForCausalLM": "gemma3",
+    "Gemma3ForConditionalGeneration": "gemma3",
+    "MambaForCausalLM": "mamba",
+}
+
+
+def _export_tokenizer(w: GGUFWriter, model_dir: Path):
+    tj = model_dir / "tokenizer.json"
+    if not tj.exists():
+        return False
+    data = json.loads(tj.read_text())
+    model = data.get("model", {})
+    if model.get("type") != "BPE":
+        # unigram/wordpiece would need score export; BPE covers qwen/llama3/gpt2
+        return False
+    vocab = model.get("vocab", {})
+    tokens = [None] * len(vocab)
+    for tok, tid in vocab.items():
+        if tid < len(tokens):
+            tokens[tid] = tok
+    added = data.get("added_tokens", [])
+    max_id = max([len(tokens) - 1] + [a["id"] for a in added]) if added else len(tokens) - 1
+    if max_id >= len(tokens):
+        tokens.extend([None] * (max_id + 1 - len(tokens)))
+    ttypes = [1] * len(tokens)            # NORMAL
+    for a in added:
+        tokens[a["id"]] = a["content"]
+        ttypes[a["id"]] = 3               # CONTROL
+    tokens = [t if t is not None else f"<unused{i}>" for i, t in enumerate(tokens)]
+    merges = model.get("merges", [])
+    merges = [m if isinstance(m, str) else " ".join(m) for m in merges]
+    w.add_string("tokenizer.ggml.model", "gpt2")
+    w.add_string("tokenizer.ggml.pre", "default")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.token_type", ttypes)
+    w.add_array("tokenizer.ggml.merges", merges)
+    cfg_file = model_dir / "tokenizer_config.json"
+    gc = model_dir / "generation_config.json"
+    bos = eos = None
+    if gc.exists():
+        g = json.loads(gc.read_text())
+        bos, eos = g.get("bos_token_id"), g.get("eos_token_id")
+        if isinstance(eos, list):
+            eos = eos[0]
+    if cfg_file.exists() and (bos is None or eos is None):
+        tc = json.loads(cfg_file.read_text())
+        tok_to_id = {t: i for i, t in enumerate(tokens)}
+
+        def tid(key):
+            v = tc.get(key)
+            if isinstance(v, dict):
+                v = v.get("content")
+            return tok_to_id.get(v) if isinstance(v, str) else None
+
+        bos = bos if bos is not None else tid("bos_token")
+        eos = eos if eos is not None else tid("eos_token")
+    if bos is not None:
+        w.add_uint32("tokenizer.ggml.bos_token_id", int(bos))
+    if eos is not None:
+        w.add_uint32("tokenizer.ggml.eos_token_id", int(eos))
+    if cfg_file.exists():
+        tc = json.loads(cfg_file.read_text())
+        if tc.get("chat_template"):
+            w.add_string("tokenizer.chat_template", str(tc["chat_template"]))
+    return True
+
+
+def convert_hf_to_gguf(model_dir: str | Path, out_path: str | Path,
+                       out_dtype=np.float32) -> Path:
+    model_dir = Path(model_dir)
+    cfg = json.loads((model_dir / "config.json").read_text())
+    if cfg.get("model_type") == "gemma3" and "text_config" in cfg:
+        arch_list = cfg.get("architectures", [])
+        cfg = {**cfg["text_config"], "architectures": arch_list}
+    arch_name = (cfg.get("architectures") or ["?"])[0]
+    if arch_name not in _ARCH_MAP:
+        raise ValueError(f"unsupported architecture {arch_name}; "
+                         f"supported: {sorted(_ARCH_MAP)}")
+    a = _ARCH_MAP[arch_name]
+    sd = _load_state_dict(model_dir)
+
+    n_layers = cfg["num_hidden_layers"]
+    n_embd = cfg["hidden_size"]
+    w = GGUFWriter(out_path)
+    w.add_string("general.architecture", a)
+    w.add_string("general.name", model_dir.name)
+    w.add_uint32(f"{a}.block_count", n_layers)
+    w.add_uint32(f"{a}.context_length", cfg.get("max_position_embeddings", 4096))
+    w.add_uint32(f"{a}.embedding_length", n_embd)
+    w.add_uint32(f"{a}.vocab_size", cfg["vocab_size"])
+
+    if a == "mamba":
+        w.add_uint32(f"{a}.ssm.conv_kernel", cfg.get("conv_kernel", 4))
+        w.add_uint32(f"{a}.ssm.inner_size",
+                     cfg.get("intermediate_size", 2 * n_embd))
+        w.add_uint32(f"{a}.ssm.state_size", cfg.get("state_size", 16))
+        dt_rank = cfg.get("time_step_rank")
+        if dt_rank in (None, "auto"):
+            dt_rank = -(-n_embd // 16)
+        w.add_uint32(f"{a}.ssm.time_step_rank", int(dt_rank))
+        w.add_float32(f"{a}.attention.layer_norm_rms_epsilon",
+                      cfg.get("layer_norm_epsilon", 1e-5))
+    else:
+        n_heads = cfg["num_attention_heads"]
+        n_kv = cfg.get("num_key_value_heads", n_heads)
+        head_dim = cfg.get("head_dim", n_embd // n_heads)
+        w.add_uint32(f"{a}.feed_forward_length", cfg["intermediate_size"])
+        w.add_uint32(f"{a}.attention.head_count", n_heads)
+        w.add_uint32(f"{a}.attention.head_count_kv", n_kv)
+        w.add_uint32(f"{a}.attention.key_length", head_dim)
+        w.add_uint32(f"{a}.attention.value_length", head_dim)
+        w.add_float32(f"{a}.attention.layer_norm_rms_epsilon",
+                      cfg.get("rms_norm_eps", 1e-6))
+        w.add_float32(f"{a}.rope.freq_base", cfg.get("rope_theta", 10000.0))
+        if cfg.get("sliding_window") and a in ("gemma2", "gemma3", "llama",
+                                               "qwen2", "qwen3"):
+            w.add_uint32(f"{a}.attention.sliding_window", cfg["sliding_window"])
+        if a == "gemma2":
+            w.add_float32(f"{a}.attn_logit_softcapping",
+                          cfg.get("attn_logit_softcapping", 50.0))
+            w.add_float32(f"{a}.final_logit_softcapping",
+                          cfg.get("final_logit_softcapping", 30.0))
+        rs = cfg.get("rope_scaling") or {}
+        if rs.get("rope_type") == "llama3" or rs.get("type") == "llama3":
+            w.add_string(f"{a}.rope.scaling.type", "llama3")
+            w.add_float32(f"{a}.rope.scaling.factor", rs.get("factor", 8.0))
+            w.add_uint32(f"{a}.rope.scaling.original_context_length",
+                         rs.get("original_max_position_embeddings", 8192))
+    tie = bool(cfg.get("tie_word_embeddings", False))
+    w.add_bool(f"{a}.tie_word_embeddings", tie)
+
+    _export_tokenizer(w, model_dir)
+
+    def put(name: str, arr: np.ndarray):
+        w.add_tensor(name, np.ascontiguousarray(arr.astype(out_dtype)))
+
+    gemma = a in ("gemma2", "gemma3")
+
+    def put_norm(name: str, arr: np.ndarray):
+        # gemma stores norm weights +1 in GGUF (Gemma2Model.modify_tensors)
+        put(name, arr + 1.0 if gemma else arr)
+
+    pfx = ""
+    for cand in ("model.", "backbone."):
+        if any(k.startswith(cand) for k in sd):
+            pfx = cand
+            break
+    if a == "mamba":
+        emb = sd[f"{pfx}embeddings.weight"] if f"{pfx}embeddings.weight" in sd \
+            else sd[f"{pfx}embed_tokens.weight"]
+        put("token_embd.weight", emb)
+        for i in range(n_layers):
+            hp = f"{pfx}layers.{i}."
+            gp = f"blk.{i}."
+            put_norm(gp + "attn_norm.weight", sd[hp + "norm.weight"])
+            put(gp + "ssm_in.weight", sd[hp + "mixer.in_proj.weight"])
+            conv_w = sd[hp + "mixer.conv1d.weight"]      # [di, 1, d_conv]
+            put(gp + "ssm_conv1d.weight", conv_w[:, 0, :])
+            put(gp + "ssm_conv1d.bias", sd[hp + "mixer.conv1d.bias"])
+            put(gp + "ssm_x.weight", sd[hp + "mixer.x_proj.weight"])
+            put(gp + "ssm_dt.weight", sd[hp + "mixer.dt_proj.weight"])
+            put(gp + "ssm_dt.bias", sd[hp + "mixer.dt_proj.bias"])
+            put(f"blk.{i}.ssm_a", -np.exp(sd[hp + "mixer.A_log"]))
+            put(f"blk.{i}.ssm_d", sd[hp + "mixer.D"])
+            put(gp + "ssm_out.weight", sd[hp + "mixer.out_proj.weight"])
+        put_norm("output_norm.weight", sd[f"{pfx}norm_f.weight"])
+        if not tie and "lm_head.weight" in sd:
+            put("output.weight", sd["lm_head.weight"])
+        w.write()
+        return Path(out_path)
+
+    put("token_embd.weight", sd[f"{pfx}embed_tokens.weight"])
+    for i in range(n_layers):
+        hp = f"{pfx}layers.{i}."
+        gp = f"blk.{i}."
+        put_norm(gp + "attn_norm.weight", sd[hp + "input_layernorm.weight"])
+        wq = sd[hp + "self_attn.q_proj.weight"]
+        wk = sd[hp + "self_attn.k_proj.weight"]
+        if a == "llama":
+            wq = _permute_rope(wq, n_heads)
+            wk = _permute_rope(wk, n_kv)
+        put(gp + "attn_q.weight", wq)
+        put(gp + "attn_k.weight", wk)
+        put(gp + "attn_v.weight", sd[hp + "self_attn.v_proj.weight"])
+        put(gp + "attn_output.weight", sd[hp + "self_attn.o_proj.weight"])
+        for b_name in ("q", "k", "v"):
+            hb = hp + f"self_attn.{b_name}_proj.bias"
+            if hb in sd:
+                put(gp + f"attn_{b_name}.bias", sd[hb])
+        if hp + "self_attn.q_norm.weight" in sd:
+            put_norm(gp + "attn_q_norm.weight", sd[hp + "self_attn.q_norm.weight"])
+            put_norm(gp + "attn_k_norm.weight", sd[hp + "self_attn.k_norm.weight"])
+        if hp + "post_attention_layernorm.weight" in sd and gemma:
+            put_norm(gp + "post_attention_norm.weight",
+                     sd[hp + "post_attention_layernorm.weight"])
+            put_norm(gp + "ffn_norm.weight",
+                     sd[hp + "pre_feedforward_layernorm.weight"])
+            put_norm(gp + "post_ffw_norm.weight",
+                     sd[hp + "post_feedforward_layernorm.weight"])
+        else:
+            put_norm(gp + "ffn_norm.weight",
+                     sd[hp + "post_attention_layernorm.weight"])
+        put(gp + "ffn_gate.weight", sd[hp + "mlp.gate_proj.weight"])
+        put(gp + "ffn_up.weight", sd[hp + "mlp.up_proj.weight"])
+        put(gp + "ffn_down.weight", sd[hp + "mlp.down_proj.weight"])
+    put_norm("output_norm.weight", sd[f"{pfx}norm.weight"])
+    if not tie and "lm_head.weight" in sd:
+        put("output.weight", sd["lm_head.weight"])
+    w.write()
+    return Path(out_path)
