@@ -77,6 +77,27 @@ def main(argv=None):
     tk.add_argument("--prompt", "-p", required=True)
     tk.add_argument("--ids-only", action="store_true")
 
+    el = sub.add_parser("export-lora", help="merge a LoRA adapter into a GGUF")
+    el.add_argument("--model", "-m", required=True)
+    el.add_argument("--lora", required=True)
+    el.add_argument("--output", "-o", required=True)
+    el.add_argument("--lora-scale", type=float, default=1.0)
+
+    cv = sub.add_parser("cvector", help="generate a control vector GGUF")
+    cv.add_argument("--model", "-m", required=True)
+    cv.add_argument("--positive-file", required=True,
+                    help="one positive prompt per line")
+    cv.add_argument("--negative-file", required=True)
+    cv.add_argument("--output", "-o", default="control_vector.gguf")
+
+    fp = sub.add_parser("fit-params",
+                        help="max context/lanes for a memory budget")
+    fp.add_argument("--model", "-m", required=True)
+    fp.add_argument("--hbm-gib", type=float, default=16.0)
+    fp.add_argument("--parallel", type=int, default=1)
+    fp.add_argument("--ctx", type=int, default=0)
+    fp.add_argument("--cache-type", default="none", choices=["none", "q8"])
+
     ch = sub.add_parser("convert-hf",
                         help="convert a local HF checkpoint dir to GGUF")
     ch.add_argument("model_dir")
@@ -135,6 +156,37 @@ def main(argv=None):
         else:
             for i in ids:
                 print(f"{i:>8} -> {vocab.tokens[i]!r}")
+    elif args.cmd == "export-lora":
+        from rrs_tpu.tools.export_lora import export_lora_merged
+        out = export_lora_merged(args.model, args.lora, args.output,
+                                 scale=args.lora_scale)
+        print(f"wrote merged model -> {out}")
+    elif args.cmd == "cvector":
+        from rrs_tpu.models.loader import load_model
+        from rrs_tpu.models.vocab import Vocab
+        from rrs_tpu.tools.cvector import build_control_vector, save_control_vector
+        cfg, weights, md = load_model(args.model)
+        vocab = Vocab.from_gguf(md)
+        pos = [vocab.encode(l, add_special=True)
+               for l in open(args.positive_file).read().splitlines() if l]
+        neg = [vocab.encode(l, add_special=True)
+               for l in open(args.negative_file).read().splitlines() if l]
+        dirs = build_control_vector(cfg, weights, pos, neg)
+        out = save_control_vector(args.output, dirs,
+                                  model_hint=str(md.get("general.name", "")))
+        print(f"wrote control vector ({dirs.shape[0]} layers) -> {out}")
+    elif args.cmd == "fit-params":
+        from rrs_tpu.gguf.reader import read_gguf
+        from rrs_tpu.models.config import ModelConfig
+        from rrs_tpu.utils.fit_params import fit_params
+        with read_gguf(args.model) as g:
+            cfg = ModelConfig.from_gguf(g.metadata)
+        r = fit_params(cfg, hbm_bytes=int(args.hbm_gib * 1024**3),
+                       n_lanes=args.parallel, n_ctx=args.ctx,
+                       kv_quant=args.cache_type)
+        print(f"fits={r.fits} n_ctx={r.n_ctx} n_lanes={r.n_lanes} "
+              f"model={r.model_bytes/1e9:.2f}GB kv={r.kv_bytes/1e9:.2f}GB "
+              f"free={r.free_bytes/1e9:.2f}GB")
     elif args.cmd == "convert-hf":
         import numpy as np
         from rrs_tpu.tools.convert_hf import convert_hf_to_gguf

@@ -21,7 +21,7 @@ def export_lora_merged(
     """Stream the base GGUF, adding scale*(B@A) to each adapted tensor.
     Quantized base tensors are dequantized to F32 before merging (the
     reference requires F16/F32 bases for merge too, export-lora.cpp)."""
-    from rrs_tpu.formats.kquants import dequantize_tensor
+    from rrs_tpu.formats.kquants import dequantize
 
     adapters: dict[str, tuple] = {}
     with read_gguf(lora_path) as g:
@@ -46,15 +46,16 @@ def export_lora_merged(
                 if info.ggml_type in (GGMLType.F32, GGMLType.F16):
                     base = g.tensor(name).astype(np.float32)
                 else:
-                    base = dequantize_tensor(
+                    base = dequantize(
                         g.tensor_bytes(name), info.ggml_type, info.shape)
                 merged = base + eff * (bm @ a)           # [N,K]
                 w.add_tensor(name, merged.astype(np.float32))
                 n_merged += 1
             else:
                 # pass through raw payload unchanged
-                w.add_raw_tensor(name, info.ggml_type, info.shape,
-                                 g.tensor_bytes(name))
+                w.add_tensor(name, g.tensor_bytes(name),
+                             shape=tuple(info.shape),
+                             ggml_type=info.ggml_type)
         w.write()
     if n_merged == 0:
         raise ValueError("no adapter tensors matched the base model")
