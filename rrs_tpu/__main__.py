@@ -112,6 +112,9 @@ def main(argv=None):
     s.add_argument("--ctx", type=int, default=4096)
     s.add_argument("--cache-type", default="none", choices=["none", "q8"],
                    help="KV cache quantization (-ctk/-ctv analog)")
+    s.add_argument("--models", nargs="*", default=None,
+                   help="extra routable models: name=path.gguf ... "
+                        "(multi-model router)")
 
     args = p.parse_args(argv)
 

@@ -58,6 +58,7 @@ class ModelConfig:
     ssm_d_state: int = 0
     ssm_dt_rank: int = 0
     ssm_dt_b_c_rms: bool = False     # falcon-mamba RMS on dt/B/C
+    no_rope: bool = False            # jamba attention layers skip RoPE
     # set only inside shard_map: mesh axis name for tensor parallelism; when
     # set, row-parallel projections (wo, ffn_down) psum over it
     tp_axis: "str | None" = None
@@ -71,8 +72,13 @@ class ModelConfig:
         return self.n_kv_heads * self.head_dim
 
     @property
+    def is_hybrid(self) -> bool:
+        """Mixed attention + recurrent layers (Jamba; llama-memory-hybrid)."""
+        return self.arch == "jamba"
+
+    @property
     def is_recurrent(self) -> bool:
-        return self.ssm_d_inner > 0
+        return self.ssm_d_inner > 0 and not self.is_hybrid
 
     def is_swa(self, li: int) -> bool:
         """Is layer ``li`` sliding-window? (llama_hparams::is_swa analog)."""
@@ -146,6 +152,8 @@ class ModelConfig:
                 extra.update(swa_window=win, swa_pattern=1)
         if arch == "phi3":
             extra.update(rope_rot_dim=int(key("rope.dimension_count", 0) or 0))
+        if arch == "jamba":
+            extra.update(no_rope=True)
         if arch in ("mamba", "mamba2", "falcon_mamba", "jamba"):
             extra.update(
                 ssm_d_conv=int(key("ssm.conv_kernel", 4) or 4),

@@ -130,8 +130,9 @@ def attention(
         q = rms_norm(q, lw.q_norm, cfg.rms_eps)
         k = rms_norm(k, lw.k_norm, cfg.rms_eps)
 
-    q = apply_rope(q, positions, rp)
-    k = apply_rope(k, positions, rp)
+    if not cfg.no_rope:
+        q = apply_rope(q, positions, rp)
+        k = apply_rope(k, positions, rp)
 
     # store new K/V into the kv-head-major cache (ggml_set_rows analog,
     # llama-graph.cpp:1736-1737). Per-lane slots are always a CONTIGUOUS run

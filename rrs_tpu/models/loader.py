@@ -84,6 +84,8 @@ def load_model(path: str | Path, dtype=jnp.bfloat16, fuse: bool = True):
     if cfg.vocab_size == 0:
         cfg = ModelConfig(**{**cfg.__dict__, "vocab_size": g.tensors["token_embd.weight"].shape[0]})
 
+    if cfg.is_hybrid:
+        return _load_hybrid(g, cfg, dtype)
     if cfg.is_recurrent:
         return _load_mamba(g, cfg, dtype)
 
@@ -206,6 +208,95 @@ def _load_mamba(g, cfg: ModelConfig, dtype):
     else:
         lm_head = DenseLinear(w=embed.T)
     weights = MambaWeights(
+        embed=embed, layers=layers,
+        final_norm=_norm(g, "output_norm.weight", dtype),
+        lm_head=lm_head,
+    )
+    md = dict(g.metadata)
+    g.close()
+    return cfg, weights, md
+
+
+def _load_hybrid(g, cfg: ModelConfig, dtype):
+    """Jamba-style hybrid: per-layer kind detected by tensor presence
+    (src/models/jamba.cpp loads ssm_* or wq/wk/wv per layer)."""
+    from rrs_tpu.models.hybrid import HybridLayer, HybridWeights
+    from rrs_tpu.models.llama import LayerWeights
+    from rrs_tpu.models.mamba import MambaLayer
+
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}"
+        is_ssm = f"{p}.ssm_in.weight" in g.tensors
+
+        def t32(name):
+            return g.tensor(f"{p}.{name}").astype(np.float32)
+
+        attn = ssm = None
+        if is_ssm:
+            conv_w = t32("ssm_conv1d.weight")
+            ssm = MambaLayer(
+                norm=_norm(g, f"{p}.attn_norm.weight", dtype),
+                w_in=_linear(g, f"{p}.ssm_in.weight", dtype),
+                conv_w=jnp.asarray(conv_w.T),
+                conv_b=jnp.asarray(t32("ssm_conv1d.bias")),
+                w_x=_linear(g, f"{p}.ssm_x.weight", dtype),
+                w_dt=_linear(g, f"{p}.ssm_dt.weight", dtype),
+                dt_bias=jnp.asarray(t32("ssm_dt.bias")),
+                A=jnp.asarray(t32("ssm_a")),
+                D=jnp.asarray(t32("ssm_d")),
+                w_out=_linear(g, f"{p}.ssm_out.weight", dtype),
+                dt_norm=(_norm(g, f"{p}.ssm_dt_norm.weight", dtype)
+                         if f"{p}.ssm_dt_norm.weight" in g.tensors else None),
+                b_norm=(_norm(g, f"{p}.ssm_b_norm.weight", dtype)
+                        if f"{p}.ssm_b_norm.weight" in g.tensors else None),
+                c_norm=(_norm(g, f"{p}.ssm_c_norm.weight", dtype)
+                        if f"{p}.ssm_c_norm.weight" in g.tensors else None),
+            )
+        else:
+            attn = LayerWeights(
+                attn_norm=_norm(g, f"{p}.attn_norm.weight", dtype),
+                wq=_linear(g, f"{p}.attn_q.weight", dtype),
+                wk=_linear(g, f"{p}.attn_k.weight", dtype),
+                wv=_linear(g, f"{p}.attn_v.weight", dtype),
+                wo=_linear(g, f"{p}.attn_output.weight", dtype),
+                q_norm=None, k_norm=None,
+                ffn_norm=jnp.ones((cfg.n_embd,), dtype),
+                w_gate=None, w_up=None, w_down=None,
+            )
+        is_moe = f"{p}.ffn_gate_inp.weight" in g.tensors
+        moe = None
+        if is_moe:
+            from rrs_tpu.models.moe import MoEWeights
+
+            moe = MoEWeights(
+                router=jnp.asarray(
+                    g.tensor(f"{p}.ffn_gate_inp.weight").astype(np.float32).T, dtype),
+                gate=jnp.asarray(
+                    g.tensor(f"{p}.ffn_gate_exps.weight").astype(np.float32)
+                    .transpose(0, 2, 1), dtype),
+                up=jnp.asarray(
+                    g.tensor(f"{p}.ffn_up_exps.weight").astype(np.float32)
+                    .transpose(0, 2, 1), dtype),
+                down=jnp.asarray(
+                    g.tensor(f"{p}.ffn_down_exps.weight").astype(np.float32)
+                    .transpose(0, 2, 1), dtype),
+            )
+        layers.append(HybridLayer(
+            kind="ssm" if is_ssm else "attn",
+            attn=attn, ssm=ssm,
+            ffn_norm=_norm(g, f"{p}.ffn_norm.weight", dtype),
+            w_gate=None if is_moe else _linear(g, f"{p}.ffn_gate.weight", dtype),
+            w_up=None if is_moe else _linear(g, f"{p}.ffn_up.weight", dtype),
+            w_down=None if is_moe else _linear(g, f"{p}.ffn_down.weight", dtype),
+            moe=moe,
+        ))
+    embed = jnp.asarray(g.tensor("token_embd.weight").astype(np.float32), dtype)
+    if "output.weight" in g.tensors:
+        lm_head = _linear(g, "output.weight", dtype)
+    else:
+        lm_head = DenseLinear(w=embed.T)
+    weights = HybridWeights(
         embed=embed, layers=layers,
         final_norm=_norm(g, "output_norm.weight", dtype),
         lm_head=lm_head,

@@ -1,13 +1,7 @@
-"""Recurrent-state memory + context for Mamba-family models — the
-llama-memory-recurrent.cpp analog.
-
-Device state per layer per lane: conv_state [d_conv-1, d_inner] and
-ssm_state [d_inner, d_state]; host state is the same lane bookkeeping as
-KVCache (one sequence per lane = the reference's rs_cell per seq). The
-reference's constraint carries over: a recurrent state cannot be rewound to
-an arbitrary position (llama_memory_recurrent::seq_rm only supports full
-removal or tail-keep), so seq_rm with 0 < p0 < length raises.
-"""
+"""Hybrid memory + context (llama-memory-hybrid.cpp analog): attention
+layers get KV lanes, recurrent layers get conv/ssm state lanes, one unified
+lane bookkeeping. Same restrictions as the recurrent memory: no mid-sequence
+rewind, no context shift."""
 
 from __future__ import annotations
 
@@ -19,23 +13,35 @@ import jax.numpy as jnp
 import numpy as np
 
 from rrs_tpu.models.config import ModelConfig
-from rrs_tpu.models import mamba as mamba_model
+from rrs_tpu.models import hybrid as hybrid_model
 from rrs_tpu.runtime.sampler import SamplerParams, sample
 
 PREFILL_CHUNK = 128
 
 
-class RecurrentCache:
-    """Lane-based recurrent state store (duck-types KVCache's host API)."""
+class HybridCache:
+    """Per-layer: (k, v) for attention layers, (conv, ssm) for recurrent."""
 
-    def __init__(self, cfg: ModelConfig, n_lanes: int, max_seq: int,
-                 dtype=jnp.bfloat16):
+    def __init__(self, cfg: ModelConfig, kinds: list[str], n_lanes: int,
+                 max_seq: int, dtype=jnp.bfloat16):
         self.cfg = cfg
+        self.kinds = kinds
         self.max_seq = max_seq
-        shape_c = (n_lanes, cfg.ssm_d_conv - 1, cfg.ssm_d_inner)
-        shape_s = (n_lanes, cfg.ssm_d_inner, cfg.ssm_d_state)
-        self.conv = [jnp.zeros(shape_c, dtype) for _ in range(cfg.n_layers)]
-        self.ssm = [jnp.zeros(shape_s, jnp.float32) for _ in range(cfg.n_layers)]
+        self.k, self.v, self.conv, self.ssm = [], [], [], []
+        for kind in kinds:
+            if kind == "attn":
+                shape = (n_lanes, cfg.n_kv_heads, max_seq, cfg.head_dim)
+                self.k.append(jnp.zeros(shape, dtype))
+                self.v.append(jnp.zeros(shape, dtype))
+                self.conv.append(None)
+                self.ssm.append(None)
+            else:
+                self.k.append(None)
+                self.v.append(None)
+                self.conv.append(jnp.zeros(
+                    (n_lanes, cfg.ssm_d_conv - 1, cfg.ssm_d_inner), dtype))
+                self.ssm.append(jnp.zeros(
+                    (n_lanes, cfg.ssm_d_inner, cfg.ssm_d_state), jnp.float32))
         self.lengths = [0] * n_lanes
         self.seq_ids: list[Optional[int]] = [None] * n_lanes
         self.retained: dict = {}
@@ -43,13 +49,11 @@ class RecurrentCache:
 
     @property
     def n_lanes(self) -> int:
-        return self.conv[0].shape[0]
+        return len(self.lengths)
 
     @property
     def quantized(self) -> bool:
         return False
-
-    # -- host-side lane ops (mirror KVCache) -------------------------------
 
     def find_free_lane(self):
         for i, s in enumerate(self.seq_ids):
@@ -79,13 +83,13 @@ class RecurrentCache:
             self.seq_rm(victim)
             lane = self.find_free_lane()
         if lane is None:
-            raise RuntimeError("recurrent cache: no free lane")
+            raise RuntimeError("hybrid cache: no free lane")
         self.seq_ids[lane] = seq_id
         self.lengths[lane] = 0
-        # zero the lane's states
-        for li in range(len(self.conv)):
-            self.conv[li] = self.conv[li].at[lane].set(0)
-            self.ssm[li] = self.ssm[li].at[lane].set(0)
+        for li, kind in enumerate(self.kinds):
+            if kind != "attn":
+                self.conv[li] = self.conv[li].at[lane].set(0)
+                self.ssm[li] = self.ssm[li].at[lane].set(0)
         return lane
 
     def seq_rm(self, seq_id: int, p0: int = 0) -> None:
@@ -95,19 +99,22 @@ class RecurrentCache:
             self.lengths[lane] = 0
             self.retained.pop(seq_id, None)
         elif p0 >= self.lengths[lane]:
-            pass          # nothing to remove
+            pass
         else:
-            # the recurrent state cannot be rewound mid-sequence
-            # (llama_memory_recurrent::seq_rm restriction)
             raise RuntimeError(
-                "recurrent memory cannot remove a sequence suffix")
+                "hybrid memory cannot remove a sequence suffix "
+                "(recurrent layers cannot rewind)")
 
     def seq_cp(self, src_seq: int, dst_seq: int) -> None:
         src = self.lane_of(src_seq)
         dst = self.seq_new(dst_seq)
-        for li in range(len(self.conv)):
-            self.conv[li] = self.conv[li].at[dst].set(self.conv[li][src])
-            self.ssm[li] = self.ssm[li].at[dst].set(self.ssm[li][src])
+        for li, kind in enumerate(self.kinds):
+            if kind == "attn":
+                self.k[li] = self.k[li].at[dst].set(self.k[li][src])
+                self.v[li] = self.v[li].at[dst].set(self.v[li][src])
+            else:
+                self.conv[li] = self.conv[li].at[dst].set(self.conv[li][src])
+                self.ssm[li] = self.ssm[li].at[dst].set(self.ssm[li][src])
         self.lengths[dst] = self.lengths[src]
 
     def seq_keep(self, seq_id: int) -> None:
@@ -116,41 +123,48 @@ class RecurrentCache:
                 self.seq_rm(s)
 
     def seq_shift(self, cfg, seq_id, n_keep, n_discard):
-        raise RuntimeError("context shift is not supported for recurrent models")
+        raise RuntimeError("context shift is not supported for hybrid models")
+
+    def lengths_array(self):
+        return jnp.asarray(self.lengths, jnp.int32)
 
 
-class RecurrentContext:
-    """InferenceContext counterpart for recurrent models (same surface the
-    engine/CLI use: prefill / decode / generate / new_sequence / kv)."""
+class HybridContext:
+    """Context for Jamba-style models (same surface as InferenceContext)."""
 
     def __init__(self, cfg: ModelConfig, weights, n_lanes: int = 1,
                  max_seq: int = 4096, kv_dtype=jnp.bfloat16, kv_quant="none"):
         self.cfg = cfg
         self.weights = weights
-        self.kv = RecurrentCache(cfg, n_lanes, max_seq, dtype=kv_dtype)
+        kinds = [l.kind for l in weights.layers]
+        self.kv = HybridCache(cfg, kinds, n_lanes, max_seq, dtype=kv_dtype)
         self._next_seq_id = 0
         self.n_prefill_tokens = 0
         self.n_decode_tokens = 0
         self._step_fn = jax.jit(functools.partial(self._step, cfg))
 
     @staticmethod
-    def _step(cfg, weights, tokens, active, conv_states, ssm_states):
-        logits, nc, ns = mamba_model.forward(
-            cfg, weights, tokens, conv_states, ssm_states, active=active)
-        return logits, nc, ns
+    def _step(cfg, weights, tokens, start_pos, k, v, conv, ssm):
+        b, t = tokens.shape
+        smax = max((c.shape[2] for c in k if c is not None), default=1)
+        pos = start_pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+        mask_pos = jnp.where(start_pos[:, None] < 0, -1, pos)
+        safe_slots = jnp.where(start_pos[:, None] < 0, smax - t,
+                               jnp.clip(pos, 0, smax - 1))
+        return hybrid_model.forward(
+            cfg, weights, jnp.maximum(tokens, 0), pos, k, v, conv, ssm,
+            mask_pos, safe_slots)
 
-    def _run(self, tokens_np: np.ndarray, active_np: np.ndarray):
-        logits, nc, ns = self._step_fn(
+    def _run(self, tokens_np, start_np):
+        logits, nk, nv, nc, ns = self._step_fn(
             self.weights,
             jnp.asarray(tokens_np, jnp.int32),
-            jnp.asarray(active_np, bool),
-            self.kv.conv, self.kv.ssm,
+            jnp.asarray(start_np, jnp.int32),
+            self.kv.k, self.kv.v, self.kv.conv, self.kv.ssm,
         )
-        self.kv.conv = nc
-        self.kv.ssm = ns
+        self.kv.k, self.kv.v = nk, nv
+        self.kv.conv, self.kv.ssm = nc, ns
         return logits
-
-    # -- public API ---------------------------------------------------------
 
     def new_sequence(self) -> int:
         seq_id = self._next_seq_id
@@ -159,9 +173,7 @@ class RecurrentContext:
         return seq_id
 
     def prefill(self, seq_id: int, tokens: list[int]) -> np.ndarray:
-        """Chunked prefill. The recurrent state advances exactly one step per
-        token, so chunks are EXACT sizes (no padding): PREFILL_CHUNK-sized
-        chunks, then power-of-two tail pieces -> at most log2 jit shapes."""
+        """Exact-size chunks (recurrent layers advance per real token)."""
         lane = self.kv.lane_of(seq_id)
         b = self.kv.n_lanes
         out = []
@@ -170,12 +182,11 @@ class RecurrentContext:
             rem = len(tokens) - i
             step = PREFILL_CHUNK if rem >= PREFILL_CHUNK \
                 else 1 << (rem.bit_length() - 1)
-            chunk = tokens[i : i + step]
             tok = np.zeros((b, step), np.int32)
-            act = np.zeros((b,), bool)
-            tok[lane, :] = chunk
-            act[lane] = True
-            logits = self._run(tok, act)
+            start = np.full((b,), -1, np.int32)
+            tok[lane, :] = tokens[i : i + step]
+            start[lane] = self.kv.lengths[lane]
+            logits = self._run(tok, start)
             out.append(np.asarray(logits[lane, :step]))
             self.kv.lengths[lane] += step
             self.n_prefill_tokens += step
@@ -185,14 +196,14 @@ class RecurrentContext:
     def decode(self, seq_tokens: dict[int, int]) -> dict[int, np.ndarray]:
         b = self.kv.n_lanes
         tok = np.zeros((b, 1), np.int32)
-        act = np.zeros((b,), bool)
+        start = np.full((b,), -1, np.int32)
         lanes = {}
         for seq_id, token in seq_tokens.items():
             lane = self.kv.lane_of(seq_id)
             tok[lane, 0] = token
-            act[lane] = True
+            start[lane] = self.kv.lengths[lane]
             lanes[seq_id] = lane
-        logits = self._run(tok, act)
+        logits = self._run(tok, start)
         out = {}
         for seq_id, lane in lanes.items():
             out[seq_id] = np.asarray(logits[lane, 0])
@@ -204,9 +215,13 @@ class RecurrentContext:
         seq = self.new_sequence()
         try:
             self.prefill(seq, tokens)
-            # pool over nothing useful for recurrent: use final ssm state mean
             lane = self.kv.lane_of(seq)
-            v = np.asarray(self.kv.ssm[-1][lane]).mean(axis=-1)
+            for li, kind in enumerate(self.kv.kinds):
+                if kind != "attn":
+                    v = np.asarray(self.kv.ssm[li][lane]).mean(axis=-1)
+                    break
+            else:
+                v = np.zeros((self.cfg.n_embd,), np.float32)
         finally:
             self.kv.seq_rm(seq)
         return v.astype(np.float32)
@@ -228,17 +243,3 @@ class RecurrentContext:
             last = step_logits[seq][None, :]
         self.kv.seq_rm(seq)
         return out
-
-
-def make_context(cfg: ModelConfig, weights, **kw):
-    """Context factory: hybrid vs recurrent vs attention (the memory-variant
-    switch in llama_model::create_memory)."""
-    if cfg.is_hybrid:
-        from rrs_tpu.runtime.hybrid import HybridContext
-
-        return HybridContext(cfg, weights, **kw)
-    if cfg.is_recurrent:
-        return RecurrentContext(cfg, weights, **kw)
-    from rrs_tpu.runtime.context import InferenceContext
-
-    return InferenceContext(cfg, weights, **kw)

@@ -22,6 +22,47 @@ from rrs_tpu.serving.chat import apply_template, detect_template, stop_strings_f
 from rrs_tpu.serving.engine import Engine, GenRequest
 
 
+class ModelHandle:
+    """One loadable model in the router (server-models.cpp analog): lazily
+    loaded on first request, unloadable to free HBM."""
+
+    def __init__(self, name: str, path: str, n_lanes: int = 2,
+                 max_seq: int = 2048, kv_quant: str = "none"):
+        self.name = name
+        self.path = path
+        self.n_lanes = n_lanes
+        self.max_seq = max_seq
+        self.kv_quant = kv_quant
+        self.state: "ServerState | None" = None
+
+    @property
+    def loaded(self) -> bool:
+        return self.state is not None
+
+    def load(self) -> "ServerState":
+        if self.state is None:
+            from rrs_tpu.models.loader import load_model
+            from rrs_tpu.models.vocab import Vocab
+            from rrs_tpu.runtime.recurrent import make_context
+
+            cfg, weights, md = load_model(self.path)
+            vocab = Vocab.from_gguf(md)
+            ctx = make_context(cfg, weights, n_lanes=self.n_lanes,
+                               max_seq=self.max_seq, kv_quant=self.kv_quant)
+            engine = Engine(ctx)
+            engine.start()
+            self.state = ServerState(cfg, vocab, engine, md, self.name)
+        return self.state
+
+    def unload(self) -> None:
+        if self.state is not None:
+            self.state.engine.stop()
+            self.state = None
+            import gc
+
+            gc.collect()
+
+
 class ServerState:
     def __init__(self, cfg, vocab, engine: Engine, md: dict, model_name: str):
         self.cfg = cfg
@@ -31,6 +72,9 @@ class ServerState:
         self.model_name = model_name
         self.template = detect_template(md)
         self.t_start = time.time()
+        # multi-model router (server-models.cpp): name -> ModelHandle;
+        # requests with a different "model" field route to that handle
+        self.models: dict[str, ModelHandle] = {}
 
 
 def _sampler_params(body: dict) -> SamplerParams:
@@ -62,6 +106,7 @@ def _sampler_params(body: dict) -> SamplerParams:
 def make_handler(state: ServerState):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        st = state      # default model; rebound per request by _route
 
         def log_message(self, fmt, *args):
             pass
@@ -122,17 +167,17 @@ def make_handler(state: ServerState):
                 max_tokens=int(body.get("max_tokens") or body.get("n_predict") or 128),
                 params=_sampler_params(body),
                 stop_tokens=tuple(
-                    t for t in (state.vocab.eos_id,) if t is not None and t >= 0
+                    t for t in (self.st.vocab.eos_id,) if t is not None and t >= 0
                 ),
                 stop_strings=tuple(stops) + tuple(stop_strings),
                 on_token=on_token,
-                decode_fn=lambda ids: state.vocab.decode(ids),
+                decode_fn=lambda ids: self.st.vocab.decode(ids),
                 grammar=grammar,
-                token_pieces=state.vocab.pieces() if grammar else None,
+                token_pieces=self.st.vocab.pieces() if grammar else None,
                 n_probs=n_probs,
                 on_probs=on_probs,
             )
-            state.engine.submit(req)
+            self.st.engine.submit(req)
             while True:
                 piece, finished, reason = q.get()
                 yield piece, finished, reason
@@ -164,13 +209,13 @@ def make_handler(state: ServerState):
             messages = list(body.get("messages", []))
             if body.get("system"):
                 messages = [{"role": "system", "content": body["system"]}] + messages
-            text = apply_template(state.template, messages)
-            toks = state.vocab.encode(text, add_special=False)
+            text = apply_template(self.st.template, messages)
+            toks = self.st.vocab.encode(text, add_special=False)
             rid = f"msg_{uuid.uuid4().hex[:16]}"
             body = dict(body)
             body.setdefault("max_tokens", 256)
             gen = self._run_request(
-                toks, body, stop_strings=stop_strings_for(state.template))
+                toks, body, stop_strings=stop_strings_for(self.st.template))
             if body.get("stream"):
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
@@ -185,7 +230,7 @@ def make_handler(state: ServerState):
 
                 ev("message_start", {"type": "message_start", "message": {
                     "id": rid, "type": "message", "role": "assistant",
-                    "content": [], "model": state.model_name,
+                    "content": [], "model": self.st.model_name,
                     "usage": {"input_tokens": len(toks), "output_tokens": 0}}})
                 ev("content_block_start", {
                     "type": "content_block_start", "index": 0,
@@ -217,7 +262,7 @@ def make_handler(state: ServerState):
                 content = "".join(parts)
                 self._json({
                     "id": rid, "type": "message", "role": "assistant",
-                    "model": state.model_name,
+                    "model": self.st.model_name,
                     "content": [{"type": "text", "text": content}],
                     "stop_reason": reason,
                     "usage": {"input_tokens": len(toks),
@@ -227,7 +272,7 @@ def make_handler(state: ServerState):
         def _handle_infill(self, body):
             """Fill-in-the-middle completion (tools/server /infill route):
             fim_pre + prefix + fim_suf + suffix + fim_mid [+ prompt]."""
-            v = state.vocab
+            v = self.st.vocab
             if v.fim_pre_id < 0 or v.fim_suf_id < 0 or v.fim_mid_id < 0:
                 self._json({"error": "model has no FIM tokens"}, 400)
                 return
@@ -259,19 +304,19 @@ def make_handler(state: ServerState):
             top_n = int(body.get("top_n") or len(docs))
             results = []
             for i, doc in enumerate(docs):
-                q_toks = state.vocab.encode(
+                q_toks = self.st.vocab.encode(
                     f"Query: {query}\nDocument: ", add_special=True)
-                d_toks = state.vocab.encode(str(doc), add_special=False)
+                d_toks = self.st.vocab.encode(str(doc), add_special=False)
                 if not d_toks:
                     results.append({"index": i, "relevance_score": -1e30})
                     continue
-                toks = (q_toks + d_toks)[: state.engine.ctx.kv.max_seq - 1]
+                toks = (q_toks + d_toks)[: self.st.engine.ctx.kv.max_seq - 1]
                 nd = len(toks) - len(q_toks)
 
                 def score(toks=toks, nd=nd):
                     import numpy as np
 
-                    ctx = state.engine.ctx
+                    ctx = self.st.engine.ctx
                     seq = ctx.new_sequence()
                     try:
                         logits = ctx.prefill(seq, toks)
@@ -286,9 +331,9 @@ def make_handler(state: ServerState):
                     return lp / max(nd, 1)
 
                 results.append({"index": i,
-                                "relevance_score": state.engine.call(score)})
+                                "relevance_score": self.st.engine.call(score)})
             results.sort(key=lambda r: -r["relevance_score"])
-            self._json({"model": state.model_name,
+            self._json({"model": self.st.model_name,
                         "object": "list",
                         "results": results[:top_n],
                         "usage": {"total_tokens": 0}})
@@ -303,19 +348,19 @@ def make_handler(state: ServerState):
                 self._json({"error": "not found"}, 404)
                 return
             idx = int(m.group(1))
-            if idx >= len(state.engine.slots):
+            if idx >= len(self.st.engine.slots):
                 self._json({"error": "no such slot"}, 400)
                 return
             action = (parse_qs(u.query).get("action") or [""])[0]
             try:
                 if action == "save":
-                    self._json(state.engine.save_slot(
+                    self._json(self.st.engine.save_slot(
                         idx, body.get("filename", f"slot{idx}.rrsstate")))
                 elif action == "restore":
-                    self._json(state.engine.restore_slot(
+                    self._json(self.st.engine.restore_slot(
                         idx, body.get("filename", f"slot{idx}.rrsstate")))
                 elif action == "erase":
-                    state.engine.call(lambda: state.engine.erase_slot(idx))
+                    self.st.engine.call(lambda: self.st.engine.erase_slot(idx))
                     self._json({"id_slot": idx, "success": True})
                 else:
                     self._json({"error": f"unknown action '{action}'"}, 400)
@@ -324,20 +369,36 @@ def make_handler(state: ServerState):
 
         # -- routes ----------------------------------------------------
 
+        def _route(self, body) -> None:
+            """Multi-model routing (server-models.cpp): a request naming a
+            registered non-default model runs on that model's engine."""
+            name = body.get("model")
+            if not name or name == state.model_name:
+                return
+            handle = state.models.get(name)
+            if handle is not None:
+                self.st = handle.load()
+
         def do_GET(self):
             if self.path == "/health":
                 self._json({"status": "ok"})
-            elif self.path == "/v1/models":
-                self._json({"object": "list", "data": [{
+            elif self.path in ("/v1/models", "/models"):
+                data = [{
                     "id": state.model_name, "object": "model",
                     "created": int(state.t_start), "owned_by": "rrs_tpu",
-                }]})
+                    "loaded": True,
+                }]
+                for name, h in state.models.items():
+                    data.append({"id": name, "object": "model",
+                                 "created": int(state.t_start),
+                                 "owned_by": "rrs_tpu", "loaded": h.loaded})
+                self._json({"object": "list", "data": data})
             elif self.path == "/props":
                 self._json({
-                    "model": state.model_name,
-                    "chat_template": state.template,
-                    "total_slots": len(state.engine.slots),
-                    "n_ctx": state.engine.ctx.kv.max_seq,
+                    "model": self.st.model_name,
+                    "chat_template": self.st.template,
+                    "total_slots": len(self.st.engine.slots),
+                    "n_ctx": self.st.engine.ctx.kv.max_seq,
                 })
             elif self.path == "/slots":
                 self._json([
@@ -347,10 +408,10 @@ def make_handler(state: ServerState):
                         "n_prompt": s.n_prompt,
                         "n_generated": len(s.generated) if s.req else 0,
                     }
-                    for s in state.engine.slots
+                    for s in self.st.engine.slots
                 ])
             elif self.path == "/metrics":
-                e = state.engine
+                e = self.st.engine
                 lines = [
                     "# TYPE llamacpp:prompt_tokens_total counter",
                     f"llamacpp:prompt_tokens_total {e.n_prompt_tokens}",
@@ -375,15 +436,34 @@ def make_handler(state: ServerState):
                 self._json({"error": str(e)}, 400)
                 return
 
+            if self.path == "/models/load":
+                h = state.models.get(body.get("model", ""))
+                if h is None:
+                    self._json({"error": "unknown model"}, 400)
+                else:
+                    h.load()
+                    self._json({"success": True, "model": h.name})
+                return
+            if self.path == "/models/unload":
+                h = state.models.get(body.get("model", ""))
+                if h is None:
+                    self._json({"error": "unknown model"}, 400)
+                else:
+                    h.unload()
+                    self._json({"success": True, "model": h.name})
+                return
+
+            self._route(body)
+
             if self.path == "/tokenize":
-                ids = state.vocab.encode(
+                ids = self.st.vocab.encode(
                     body.get("content", ""),
                     add_special=bool(body.get("add_special", False)),
                 )
                 self._json({"tokens": ids})
                 return
             if self.path == "/detokenize":
-                self._json({"content": state.vocab.decode(body.get("tokens", []))})
+                self._json({"content": self.st.vocab.decode(body.get("tokens", []))})
                 return
 
             if self.path == "/v1/chat/completions":
@@ -391,12 +471,12 @@ def make_handler(state: ServerState):
 
                 messages = body.get("messages", [])
                 tools = body.get("tools") or None
-                text = apply_template(state.template, messages, tools=tools)
-                toks = state.vocab.encode(text, add_special=False)
+                text = apply_template(self.st.template, messages, tools=tools)
+                toks = self.st.vocab.encode(text, add_special=False)
                 rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
                 probs = []
                 gen = self._run_request(
-                    toks, body, stop_strings=stop_strings_for(state.template),
+                    toks, body, stop_strings=stop_strings_for(self.st.template),
                     probs_out=probs,
                 )
                 if body.get("stream"):
@@ -404,7 +484,7 @@ def make_handler(state: ServerState):
                         delta = {} if finished else {"content": piece}
                         return {
                             "id": rid, "object": "chat.completion.chunk",
-                            "model": state.model_name,
+                            "model": self.st.model_name,
                             "choices": [{"index": 0, "delta": delta,
                                          "finish_reason": reason if finished else None}],
                         }
@@ -431,15 +511,15 @@ def make_handler(state: ServerState):
                                    "message": msg}
                     if probs:
                         resp_choice["logprobs"] = {"content": [
-                            {"token": state.vocab.decode([t]),
+                            {"token": self.st.vocab.decode([t]),
                              "logprob": lp,
                              "top_logprobs": [
-                                 {"token": state.vocab.decode([tt]),
+                                 {"token": self.st.vocab.decode([tt]),
                                   "logprob": tlp} for tt, tlp in top]}
                             for t, lp, top in probs]}
                     self._json({
                         "id": rid, "object": "chat.completion",
-                        "model": state.model_name, "created": int(time.time()),
+                        "model": self.st.model_name, "created": int(time.time()),
                         "choices": [resp_choice],
                         "usage": {"prompt_tokens": len(toks),
                                   "completion_tokens": n_out,
@@ -455,7 +535,7 @@ def make_handler(state: ServerState):
             if self.path == "/apply-template":
                 messages = body.get("messages", [])
                 self._json({"prompt": apply_template(
-                    state.template, messages,
+                    self.st.template, messages,
                     tools=body.get("tools") or None)})
                 return
 
@@ -478,20 +558,20 @@ def make_handler(state: ServerState):
                 data = []
                 for i, text in enumerate(inputs):
                     toks = (text if isinstance(text, list)
-                            else state.vocab.encode(str(text), add_special=True))
-                    vec = state.engine.call(
-                        lambda toks=toks: state.engine.ctx.embed(toks))
+                            else self.st.vocab.encode(str(text), add_special=True))
+                    vec = self.st.engine.call(
+                        lambda toks=toks: self.st.engine.ctx.embed(toks))
                     data.append({"object": "embedding", "index": i,
                                  "embedding": [float(x) for x in vec]})
                 self._json({"object": "list", "data": data,
-                            "model": state.model_name})
+                            "model": self.st.model_name})
                 return
 
             if self.path in ("/v1/completions", "/completion", "/completions"):
                 prompt = body.get("prompt", "")
                 toks = (
                     prompt if isinstance(prompt, list)
-                    else state.vocab.encode(str(prompt), add_special=True)
+                    else self.st.vocab.encode(str(prompt), add_special=True)
                 )
                 rid = f"cmpl-{uuid.uuid4().hex[:12]}"
                 probs = []
@@ -500,7 +580,7 @@ def make_handler(state: ServerState):
                     def wrap(piece, finished, reason):
                         return {
                             "id": rid, "object": "text_completion",
-                            "model": state.model_name,
+                            "model": self.st.model_name,
                             "choices": [{"index": 0, "text": piece,
                                          "finish_reason": reason if finished else None}],
                         }
@@ -515,17 +595,17 @@ def make_handler(state: ServerState):
                               "finish_reason": reason}
                     if probs:
                         choice["logprobs"] = {
-                            "tokens": [state.vocab.decode([t])
+                            "tokens": [self.st.vocab.decode([t])
                                        for t, _, _ in probs],
                             "token_logprobs": [lp for _, lp, _ in probs],
                             "top_logprobs": [
-                                {state.vocab.decode([tt]): tlp
+                                {self.st.vocab.decode([tt]): tlp
                                  for tt, tlp in top}
                                 for _, _, top in probs],
                         }
                     self._json({
                         "id": rid, "object": "text_completion",
-                        "model": state.model_name, "created": int(time.time()),
+                        "model": self.st.model_name, "created": int(time.time()),
                         "choices": [choice],
                     })
                 return
@@ -547,6 +627,12 @@ def serve(args):
     engine = Engine(ctx)
     engine.start()
     state = ServerState(cfg, vocab, engine, md, model_name=str(args.model))
+    for extra in getattr(args, "models", None) or []:
+        name = extra.split("=", 1)[0] if "=" in extra else extra
+        path = extra.split("=", 1)[1] if "=" in extra else extra
+        state.models[name] = ModelHandle(
+            name, path, n_lanes=args.parallel, max_seq=args.ctx,
+            kv_quant=getattr(args, "cache_type", "none"))
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(state))
     print(f"serving {args.model} on http://{args.host}:{args.port} "
           f"({args.parallel} slots, ctx {args.ctx})")

@@ -29,6 +29,9 @@ def _tiny_vocab(n=512):
     )
 
 
+_STATE_HOLDER: dict = {}
+
+
 @pytest.fixture(scope="module")
 def server():
     from http.server import ThreadingHTTPServer
@@ -40,6 +43,7 @@ def server():
     engine.start()
     vocab = _tiny_vocab(cfg.vocab_size)
     state = ServerState(cfg, vocab, engine, {}, "tiny-test")
+    _STATE_HOLDER["state"] = state
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
     port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -217,3 +221,47 @@ def test_apply_template_endpoint(server):
         "messages": [{"role": "user", "content": "hello"}]})
     assert status == 200
     assert "hello" in json.loads(data)["prompt"]
+
+
+def test_multi_model_router(server, tmp_path_factory):
+    """Router: second model registered as a ModelHandle, routed by the
+    request's "model" field, load/unload endpoints work."""
+    from rrs_tpu.models.config import ModelConfig
+    from rrs_tpu.models.export import export_random_gguf
+    from rrs_tpu.serving.server import ModelHandle
+
+    port, engine = server
+    cfg2 = ModelConfig(
+        arch="qwen3", n_layers=1, n_embd=128, n_heads=4, n_kv_heads=2,
+        head_dim=32, n_ff=256, vocab_size=256, context_length=256,
+        qk_norm=True)
+    d = tmp_path_factory.mktemp("router")
+    vocab = [chr(33 + i) if 33 + i < 288 else f"<t{i}>" for i in range(256)]
+    p2 = export_random_gguf(cfg2, d / "second.gguf", seed=1,
+                            vocab_tokens=vocab)
+    # register on the running server's default state
+    import tests.test_server as _self  # noqa
+    # reach the state through the handler class of the live server: register
+    # via the engine's back-reference is not exposed; use the module fixture
+    state = _STATE_HOLDER["state"]
+    state.models["second"] = ModelHandle("second", str(p2), n_lanes=1,
+                                         max_seq=128)
+
+    status, data = _req(port, "GET", "/v1/models")
+    ids = {m["id"]: m for m in json.loads(data)["data"]}
+    assert "second" in ids and ids["second"]["loaded"] is False
+
+    status, data = _req(port, "POST", "/v1/completions", {
+        "model": "second", "prompt": [1, 2, 3], "max_tokens": 2,
+        "temperature": 0.0})
+    assert status == 200, data
+
+    status, data = _req(port, "GET", "/v1/models")
+    ids = {m["id"]: m for m in json.loads(data)["data"]}
+    assert ids["second"]["loaded"] is True
+
+    status, data = _req(port, "POST", "/models/unload", {"model": "second"})
+    assert status == 200 and json.loads(data)["success"]
+    status, data = _req(port, "GET", "/v1/models")
+    ids = {m["id"]: m for m in json.loads(data)["data"]}
+    assert ids["second"]["loaded"] is False
