@@ -77,6 +77,16 @@ def main(argv=None):
     tk.add_argument("--prompt", "-p", required=True)
     tk.add_argument("--ids-only", action="store_true")
 
+    ft = sub.add_parser("finetune", help="finetune a model on a text file")
+    ft.add_argument("--model", "-m", required=True)
+    ft.add_argument("--file", "-f", required=True)
+    ft.add_argument("--output", "-o", required=True)
+    ft.add_argument("--optimizer", default="adamw", choices=["adamw", "sgd"])
+    ft.add_argument("--lr", type=float, default=1e-4)
+    ft.add_argument("--epochs", type=int, default=1)
+    ft.add_argument("--seq-len", type=int, default=256)
+    ft.add_argument("--batch", type=int, default=1)
+
     el = sub.add_parser("export-lora", help="merge a LoRA adapter into a GGUF")
     el.add_argument("--model", "-m", required=True)
     el.add_argument("--lora", required=True)
@@ -159,6 +169,26 @@ def main(argv=None):
         else:
             for i in ids:
                 print(f"{i:>8} -> {vocab.tokens[i]!r}")
+    elif args.cmd == "finetune":
+        import numpy as np
+        from rrs_tpu.models.export import export_random_gguf  # noqa: F401
+        from rrs_tpu.models.loader import load_model
+        from rrs_tpu.models.vocab import Vocab
+        from rrs_tpu.train.finetune import TrainConfig, make_dataset, train
+        cfg, weights, md = load_model(args.model, dtype=np.float32,
+                                      fuse=False)
+        vocab = Vocab.from_gguf(md)
+        text = open(args.file).read()
+        toks = vocab.encode(text, add_special=True)
+        batches = make_dataset(toks, seq_len=args.seq_len, batch=args.batch)
+        print(f"{len(toks)} tokens -> {len(batches)} batches")
+        tc = TrainConfig(optimizer=args.optimizer, lr=args.lr)
+        weights, losses = train(
+            cfg, weights, batches, tc, n_epochs=args.epochs,
+            on_step=lambda i, l: print(f"step {i}: loss {l:.4f}"))
+        from rrs_tpu.models.export import export_weights_gguf
+        export_weights_gguf(cfg, weights, args.output, metadata=md)
+        print(f"wrote {args.output}")
     elif args.cmd == "export-lora":
         from rrs_tpu.tools.export_lora import export_lora_merged
         out = export_lora_merged(args.model, args.lora, args.output,

@@ -105,3 +105,56 @@ def export_random_gguf(
         t("output.weight", (cfg.vocab_size, e))
     w.write()
     return path
+
+
+def export_weights_gguf(cfg: ModelConfig, weights, path: str | Path,
+                        metadata: dict | None = None):
+    """Write a (trained) ModelWeights pytree back to GGUF — the
+    llama-model-saver analog (used by finetune save). Dense layers only;
+    requires weights loaded with fuse=False."""
+    from rrs_tpu.gguf.writer import GGUFWriter
+    from rrs_tpu.models.linear import DenseLinear
+
+    w = GGUFWriter(path)
+    if metadata:
+        for k, v in metadata.items():
+            w.add_kv(k, v)
+
+    def put(name, arr):
+        w.add_tensor(name, np.asarray(arr, np.float32))
+
+    def put_lin(name, lin):
+        if lin is None:
+            return
+        if not isinstance(lin, DenseLinear):
+            raise ValueError(
+                f"{name}: only dense layers can be re-exported (got "
+                f"{type(lin).__name__}); train an F32/F16 model")
+        put(name, np.asarray(lin.w, np.float32).T)     # [K,N] -> [N,K]
+        if lin.bias is not None:
+            put(name.replace(".weight", ".bias"), lin.bias)
+
+    put("token_embd.weight", weights.embed)
+    for i, lw in enumerate(weights.layers):
+        p = f"blk.{i}"
+        put(f"{p}.attn_norm.weight", lw.attn_norm)
+        put_lin(f"{p}.attn_q.weight", lw.wq)
+        put_lin(f"{p}.attn_k.weight", lw.wk)
+        put_lin(f"{p}.attn_v.weight", lw.wv)
+        put_lin(f"{p}.attn_output.weight", lw.wo)
+        if lw.q_norm is not None:
+            put(f"{p}.attn_q_norm.weight", lw.q_norm)
+            put(f"{p}.attn_k_norm.weight", lw.k_norm)
+        put(f"{p}.ffn_norm.weight", lw.ffn_norm)
+        put_lin(f"{p}.ffn_gate.weight", lw.w_gate)
+        put_lin(f"{p}.ffn_up.weight", lw.w_up)
+        put_lin(f"{p}.ffn_down.weight", lw.w_down)
+        if lw.attn_post_norm is not None:
+            put(f"{p}.post_attention_norm.weight", lw.attn_post_norm)
+        if lw.ffn_post_norm is not None:
+            put(f"{p}.post_ffw_norm.weight", lw.ffn_post_norm)
+    put("output_norm.weight", weights.final_norm)
+    if not cfg.tie_embeddings and isinstance(weights.lm_head, DenseLinear):
+        put("output.weight", np.asarray(weights.lm_head.w, np.float32).T)
+    w.write()
+    return Path(path)

@@ -227,6 +227,51 @@ def _auto_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def dequantize_w_jnp(qs: jnp.ndarray, eff: jnp.ndarray) -> jnp.ndarray:
+    """jnp weight dequant (differentiation/backward path; the kernel does
+    the same in VMEM). [K//2,N] uint8 + [K//32,N] -> [K,N] f32."""
+    k2, n = qs.shape
+    nsb = k2 // 128
+    q3 = qs.reshape(nsb, 128, n).astype(jnp.int32)
+    lo = (q3 << 28) >> 28
+    hi = (q3 << 24) >> 28
+    w_q = jnp.concatenate([lo, hi], axis=1).reshape(2 * k2, n)
+    return w_q.astype(jnp.float32) * jnp.repeat(eff, GROUP_SIZE_, axis=0)
+
+
+GROUP_SIZE_ = 32
+
+
+@jax.custom_vjp
+def _tcq4_apply(x2: jnp.ndarray, qs: jnp.ndarray, eff: jnp.ndarray):
+    """Full W4A4 pipeline (rotate -> quantize -> fused matmul) with a
+    straight-through backward: the quantizers are treated as identity and
+    dL/dx = rotate(g @ W_deq^T) (H is symmetric + self-inverse). Training
+    through frozen quantized layers needs this; inference never calls the
+    bwd."""
+    rot = rotate_activations(x2, None)
+    a_q, a_s = quantize_activations_rrs(rot)
+    a = dequantize_activations_rrs(a_q, a_s)
+    return tcq4_mm.tcq4_matmul(a, qs, eff, interpret=_auto_interpret())
+
+
+def _tcq4_apply_fwd(x2, qs, eff):
+    # dtype token: residuals must be jax types, so carry an empty array
+    return _tcq4_apply(x2, qs, eff), (qs, eff, jnp.zeros((0,), x2.dtype))
+
+
+def _tcq4_apply_bwd(res, g):
+    qs, eff, dtype_token = res
+    x_dtype = dtype_token.dtype
+    w = dequantize_w_jnp(qs, eff)                       # [K, N]
+    gr = jnp.dot(g.astype(jnp.float32), w.T)            # rotated-domain grad
+    gx = rotate_activations(gr, None)                   # H^T = H, H H = I
+    return gx.astype(x_dtype), None, None
+
+
+_tcq4_apply.defvjp(_tcq4_apply_fwd, _tcq4_apply_bwd)
+
+
 def linear_apply(layer, x: jnp.ndarray, reduce_axis=None) -> jnp.ndarray:
     """y = x @ W^T (+ bias). x: [..., K] -> [..., N].
 
@@ -253,12 +298,15 @@ def linear_apply(layer, x: jnp.ndarray, reduce_axis=None) -> jnp.ndarray:
         if layer.n_logical and layer.n_logical != y.shape[-1]:
             y = y[:, : layer.n_logical]
     elif isinstance(layer, TCQ4Linear):
-        rot = rotate_activations(x2, layer.gather)
-        a_q, a_s = quantize_activations_rrs(rot)
-        a = dequantize_activations_rrs(a_q, a_s)   # XLA fuses quant+dequant
-        y = tcq4_mm.tcq4_matmul(
-            a, layer.qs, layer.eff, interpret=_auto_interpret()
-        )
+        if layer.gather is None:
+            y = _tcq4_apply(x2, layer.qs, layer.eff)   # differentiable (STE)
+        else:
+            rot = rotate_activations(x2, layer.gather)
+            a_q, a_s = quantize_activations_rrs(rot)
+            a = dequantize_activations_rrs(a_q, a_s)
+            y = tcq4_mm.tcq4_matmul(
+                a, layer.qs, layer.eff, interpret=_auto_interpret()
+            )
     else:
         raise TypeError(f"unknown linear layer {type(layer)}")
     if lora is not None:

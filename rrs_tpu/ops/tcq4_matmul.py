@@ -224,7 +224,9 @@ def tcq4_matmul(
         bn = _pick_bn(n)
     bn = min(bn, n)
     assert n % bn == 0, (n, bn)
-    bm = min(bm, _round_up(m, 8))
+    # decode (m < 8): bm = m avoids a pad+slice around every kernel call
+    # (hundreds of tiny non-fusible HLO ops per step otherwise)
+    bm = m if m < 8 else min(bm, _round_up(m, 8))
     if bk == 0:
         bk = _pick_bk(k, bn)
     assert bk % TILE_K == 0 and k % bk == 0, (k, bk)
