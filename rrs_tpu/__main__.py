@@ -125,6 +125,8 @@ def main(argv=None):
     s.add_argument("--models", nargs="*", default=None,
                    help="extra routable models: name=path.gguf ... "
                         "(multi-model router)")
+    s.add_argument("--mmproj", default=None,
+                   help="multimodal projector GGUF (vision input support)")
 
     args = p.parse_args(argv)
 

@@ -200,8 +200,16 @@ def _hadamard_f32():
     return jnp.asarray(hadamard_matrix(RRS_BLOCK), dtype=jnp.float32)
 
 
-def rotate_activations(x: jnp.ndarray, gather: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """perm-gather + per-256-block FWHT via one MXU matmul (f32)."""
+def rotate_activations(x: jnp.ndarray, gather: Optional[jnp.ndarray],
+                       precision=None) -> jnp.ndarray:
+    """perm-gather + per-256-block FWHT via one MXU matmul (f32).
+
+    Default precision is bf16x3 (jax "high"): the Hadamard entries are
+    ±2^-4 so products round once at ~2^-8 relative — 1/20 of the int4
+    activation-quantization step the result immediately feeds. HIGHEST
+    (bf16x6) costs 6 MXU passes on every rotation in the decode loop; pass
+    it explicitly where exactness matters (oracles/tests).
+    """
     k = x.shape[-1]
     lead = x.shape[:-1]
     assert k % RRS_BLOCK == 0, (
@@ -218,7 +226,7 @@ def rotate_activations(x: jnp.ndarray, gather: Optional[jnp.ndarray]) -> jnp.nda
         xb,
         _hadamard_f32(),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision or jax.lax.Precision.HIGH,
     )
     return rot.reshape(*lead, k)
 

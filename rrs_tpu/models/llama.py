@@ -250,11 +250,14 @@ def forward(
     cache_slots: jnp.ndarray,    # [B, T] int32
     cap=None,
     control_vector=None,         # models.adapter.ControlVector
+    embeds=None,                 # [B, T, E]: raw input embeddings override
 ):
     """One decode/prefill step. Returns (logits [B, T, V], new k/v caches)."""
-    x = jnp.take(w.embed, tokens, axis=0)
-    if cfg.embd_scale != 1.0:
-        # gemma scales token embeddings by sqrt(n_embd) (gemma3.cpp inp_scaled)
+    # multimodal chunks arrive as raw embeddings (llama_batch.embd analog)
+    x = embeds if embeds is not None else jnp.take(w.embed, tokens, axis=0)
+    if cfg.embd_scale != 1.0 and embeds is None:
+        # gemma scales TOKEN embeddings by sqrt(n_embd), not raw/image
+        # embedding inputs (gemma3.cpp: ubatch.token ? sqrtf(n_embd) : 1.0)
         x = (x.astype(jnp.float32) * cfg.embd_scale).astype(x.dtype)
     new_k, new_v = [], []
     for li, lw in enumerate(w.layers):

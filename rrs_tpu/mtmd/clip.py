@@ -1,0 +1,268 @@
+"""Vision encoder + multimodal projector (tools/mtmd clip.cpp analog).
+
+CLIP/SigLIP-style ViT: patch embedding (expressed as one matmul over
+flattened patches — the TPU-native form of the conv2d stem), learned
+position embeddings, pre-LN transformer blocks (GELU MLP), then an
+LLaVA-style 2-layer MLP projector (``mm.0`` / ``mm.2``) mapping patch
+features into the language model's embedding space. The resulting
+[n_patches, n_embd_llm] chunk is injected into decode as raw input
+embeddings (the llama_batch.embd path, tools/mtmd/mtmd.h:110-210).
+
+GGUF layout follows clip-impl.h conventions: KVs ``clip.vision.*``,
+tensors ``v.patch_embd.weight``, ``v.position_embd.weight``,
+``v.blk.{i}.{attn_q,attn_k,attn_v,attn_out,ln1,ln2,ffn_up,ffn_down}``,
+``v.pre_ln`` / ``v.post_ln``, ``mm.{0,2}.{weight,bias}``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    n_embd: int = 1024
+    n_layers: int = 12
+    n_heads: int = 16
+    n_ff: int = 4096
+    n_embd_llm: int = 2048
+    eps: float = 1e-5
+    image_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
+    image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
+    use_gelu: bool = True            # quick-gelu vs gelu: use tanh approx
+
+    @property
+    def n_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @staticmethod
+    def from_gguf(md: dict) -> "ClipConfig":
+        g = lambda k, d=None: md.get(f"clip.vision.{k}", d)
+        mean = g("image_mean")
+        std = g("image_std")
+        return ClipConfig(
+            image_size=int(g("image_size", 224)),
+            patch_size=int(g("patch_size", 14)),
+            n_embd=int(g("embedding_length", 1024)),
+            n_layers=int(g("block_count", 12)),
+            n_heads=int(g("attention.head_count", 16)),
+            n_ff=int(g("feed_forward_length", 4096)),
+            n_embd_llm=int(md.get("clip.vision.projection_dim",
+                                  md.get("clip.projector.output_dim", 2048))),
+            eps=float(g("attention.layer_norm_epsilon", 1e-5)),
+            image_mean=tuple(mean) if mean is not None else
+            ClipConfig.image_mean,
+            image_std=tuple(std) if std is not None else ClipConfig.image_std,
+        )
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["ln1_w", "ln1_b", "wq", "bq", "wk", "bk", "wv", "bv",
+                      "wo", "bo", "ln2_w", "ln2_b", "w_up", "b_up",
+                      "w_down", "b_down"],
+         meta_fields=[])
+@dataclasses.dataclass
+class ClipLayer:
+    ln1_w: jnp.ndarray
+    ln1_b: jnp.ndarray
+    wq: jnp.ndarray
+    bq: jnp.ndarray
+    wk: jnp.ndarray
+    bk: jnp.ndarray
+    wv: jnp.ndarray
+    bv: jnp.ndarray
+    wo: jnp.ndarray
+    bo: jnp.ndarray
+    ln2_w: jnp.ndarray
+    ln2_b: jnp.ndarray
+    w_up: jnp.ndarray
+    b_up: jnp.ndarray
+    w_down: jnp.ndarray
+    b_down: jnp.ndarray
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["patch_w", "patch_b", "pos_embd", "pre_ln_w",
+                      "pre_ln_b", "post_ln_w", "post_ln_b", "layers",
+                      "mm0_w", "mm0_b", "mm2_w", "mm2_b"],
+         meta_fields=[])
+@dataclasses.dataclass
+class ClipWeights:
+    patch_w: jnp.ndarray        # [patch*patch*3, E] flattened conv stem
+    patch_b: Optional[jnp.ndarray]
+    pos_embd: jnp.ndarray       # [n_patches, E]
+    pre_ln_w: Optional[jnp.ndarray]
+    pre_ln_b: Optional[jnp.ndarray]
+    post_ln_w: Optional[jnp.ndarray]
+    post_ln_b: Optional[jnp.ndarray]
+    layers: list
+    mm0_w: jnp.ndarray          # [E, mm_hidden]
+    mm0_b: jnp.ndarray
+    mm2_w: jnp.ndarray          # [mm_hidden, n_embd_llm]
+    mm2_b: jnp.ndarray
+
+
+def _layer_norm(x, w, b, eps):
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * w + b).astype(x.dtype)
+
+
+def preprocess_image(img, cfg: ClipConfig) -> np.ndarray:
+    """PIL image / HWC uint8 array -> [n_patches, patch*patch*3] f32
+    (bicubic resize to the square input, CLIP mean/std normalization,
+    flattened non-overlapping patches)."""
+    try:
+        from PIL import Image
+
+        if isinstance(img, Image.Image):
+            img = img.convert("RGB").resize(
+                (cfg.image_size, cfg.image_size), Image.BICUBIC)
+            arr = np.asarray(img, np.float32) / 255.0
+        else:
+            arr = np.asarray(img, np.float32)
+            if arr.max() > 2.0:
+                arr = arr / 255.0
+    except ImportError:
+        arr = np.asarray(img, np.float32)
+    if arr.shape[:2] != (cfg.image_size, cfg.image_size):
+        raise ValueError(f"image must be {cfg.image_size}x{cfg.image_size} "
+                         f"(got {arr.shape}); PIL required for resize")
+    arr = (arr - np.asarray(cfg.image_mean)) / np.asarray(cfg.image_std)
+    p = cfg.patch_size
+    g = cfg.image_size // p
+    # [g, p, g, p, 3] -> [g*g, 3*p*p] in conv-weight order (C, ph, pw)
+    patches = arr.reshape(g, p, g, p, 3).transpose(0, 2, 4, 1, 3)
+    return patches.reshape(g * g, 3 * p * p).astype(np.float32)
+
+
+def encode_image(cfg: ClipConfig, weights: ClipWeights,
+                 patches: jnp.ndarray) -> jnp.ndarray:
+    """[n_patches, 3*p*p] -> [n_patches, n_embd_llm] projected embeddings."""
+    x = (patches @ weights.patch_w).astype(jnp.float32)
+    if weights.patch_b is not None:
+        x = x + weights.patch_b
+    x = x + weights.pos_embd.astype(jnp.float32)
+    if weights.pre_ln_w is not None:
+        x = _layer_norm(x, weights.pre_ln_w, weights.pre_ln_b, cfg.eps)
+    n, e = x.shape
+    h, d = cfg.n_heads, cfg.n_embd // cfg.n_heads
+    for lw in weights.layers:
+        y = _layer_norm(x, lw.ln1_w, lw.ln1_b, cfg.eps)
+        q = (y @ lw.wq + lw.bq).reshape(n, h, d)
+        k = (y @ lw.wk + lw.bk).reshape(n, h, d)
+        v = (y @ lw.wv + lw.bv).reshape(n, h, d)
+        att = jnp.einsum("qhd,khd->hqk", q, k) / np.sqrt(d)
+        att = jax.nn.softmax(att, axis=-1)
+        ctx = jnp.einsum("hqk,khd->qhd", att, v).reshape(n, e)
+        x = x + (ctx @ lw.wo + lw.bo)
+        y = _layer_norm(x, lw.ln2_w, lw.ln2_b, cfg.eps)
+        y = y @ lw.w_up + lw.b_up
+        y = jax.nn.gelu(y, approximate=cfg.use_gelu)
+        x = x + (y @ lw.w_down + lw.b_down)
+    if weights.post_ln_w is not None:
+        x = _layer_norm(x, weights.post_ln_w, weights.post_ln_b, cfg.eps)
+    # LLaVA MLP projector: mm.0 -> GELU -> mm.2
+    x = jax.nn.gelu(x @ weights.mm0_w + weights.mm0_b, approximate=True)
+    return x @ weights.mm2_w + weights.mm2_b
+
+
+def load_mmproj(path: str | Path):
+    """Load a multimodal projector GGUF (mmproj-*.gguf, clip.cpp format).
+    Returns (ClipConfig, ClipWeights)."""
+    from rrs_tpu.gguf.reader import read_gguf
+
+    with read_gguf(path) as g:
+        md = g.metadata
+        cfg = ClipConfig.from_gguf(md)
+
+        def t(name, required=True):
+            if name not in g.tensors:
+                if required:
+                    raise KeyError(name)
+                return None
+            return jnp.asarray(g.tensor(name).astype(np.float32))
+
+        def lin(name):
+            """[out, in] -> [in, out] for x @ w."""
+            w = t(f"{name}.weight")
+            return w.T, (t(f"{name}.bias", required=False)
+                         if f"{name}.bias" in g.tensors
+                         else jnp.zeros((w.shape[0],), jnp.float32))
+
+        # conv stem [E, 3, p, p] -> [3*p*p, E]
+        pw = g.tensor("v.patch_embd.weight").astype(np.float32)
+        e = pw.shape[0]
+        patch_w = jnp.asarray(pw.reshape(e, -1).T)
+        layers = []
+        for i in range(cfg.n_layers):
+            p = f"v.blk.{i}"
+            wq, bq = lin(f"{p}.attn_q")
+            wk, bk = lin(f"{p}.attn_k")
+            wv, bv = lin(f"{p}.attn_v")
+            wo, bo = lin(f"{p}.attn_out")
+            wu, bu = lin(f"{p}.ffn_up")
+            wd, bd = lin(f"{p}.ffn_down")
+            layers.append(ClipLayer(
+                ln1_w=t(f"{p}.ln1.weight"), ln1_b=t(f"{p}.ln1.bias"),
+                wq=wq, bq=bq, wk=wk, bk=bk, wv=wv, bv=bv, wo=wo, bo=bo,
+                ln2_w=t(f"{p}.ln2.weight"), ln2_b=t(f"{p}.ln2.bias"),
+                w_up=wu, b_up=bu, w_down=wd, b_down=bd,
+            ))
+        mm0w, mm0b = lin("mm.0")
+        mm2w, mm2b = lin("mm.2")
+        pos = t("v.position_embd.weight")
+        weights = ClipWeights(
+            patch_w=patch_w,
+            patch_b=t("v.patch_embd.bias", required=False),
+            pos_embd=pos[-cfg.n_patches:],      # drop class token slot if any
+            pre_ln_w=t("v.pre_ln.weight", required=False),
+            pre_ln_b=t("v.pre_ln.bias", required=False),
+            post_ln_w=t("v.post_ln.weight", required=False),
+            post_ln_b=t("v.post_ln.bias", required=False),
+            layers=layers,
+            mm0_w=mm0w, mm0_b=mm0b, mm2_w=mm2w, mm2_b=mm2b,
+        )
+    return cfg, weights
+
+
+def random_clip_weights(cfg: ClipConfig, seed: int = 0,
+                        mm_hidden: int = 0) -> ClipWeights:
+    rng = np.random.default_rng(seed)
+    e, f = cfg.n_embd, cfg.n_ff
+    mm_hidden = mm_hidden or cfg.n_embd_llm
+
+    def m(k, n, s=0.02):
+        return jnp.asarray(rng.standard_normal((k, n)) * s, jnp.float32)
+
+    def b(n):
+        return jnp.zeros((n,), jnp.float32)
+
+    layers = [ClipLayer(
+        ln1_w=jnp.ones((e,), jnp.float32), ln1_b=b(e),
+        wq=m(e, e), bq=b(e), wk=m(e, e), bk=b(e), wv=m(e, e), bv=b(e),
+        wo=m(e, e), bo=b(e),
+        ln2_w=jnp.ones((e,), jnp.float32), ln2_b=b(e),
+        w_up=m(e, f), b_up=b(f), w_down=m(f, e), b_down=b(e),
+    ) for _ in range(cfg.n_layers)]
+    return ClipWeights(
+        patch_w=m(3 * cfg.patch_size ** 2, e),
+        patch_b=b(e),
+        pos_embd=m(cfg.n_patches, e),
+        pre_ln_w=jnp.ones((e,), jnp.float32), pre_ln_b=b(e),
+        post_ln_w=jnp.ones((e,), jnp.float32), post_ln_b=b(e),
+        layers=layers,
+        mm0_w=m(e, mm_hidden), mm0_b=b(mm_hidden),
+        mm2_w=m(mm_hidden, cfg.n_embd_llm), mm2_b=b(cfg.n_embd_llm),
+    )

@@ -1,0 +1,77 @@
+"""Multimodal prompt pipeline (tools/mtmd/mtmd.cpp analog): split a prompt
+on image markers, encode each image to embedding chunks, and drive a context
+with interleaved token-prefill and embedding-prefill calls."""
+
+from __future__ import annotations
+
+import base64
+import io
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from rrs_tpu.mtmd.clip import ClipConfig, ClipWeights, encode_image, preprocess_image
+
+IMAGE_MARKER = "<__image__>"     # mtmd's default media marker
+
+
+def decode_image_b64(data: str):
+    """base64 (optionally a data: URL) -> PIL image."""
+    from PIL import Image
+
+    if data.startswith("data:"):
+        data = data.split(",", 1)[1]
+    return Image.open(io.BytesIO(base64.b64decode(data)))
+
+
+def embed_images(cfg: ClipConfig, weights: ClipWeights, images) -> list:
+    """Encode images -> list of [n_patches, n_embd_llm] numpy chunks."""
+    out = []
+    for img in images:
+        patches = jnp.asarray(preprocess_image(img, cfg))
+        out.append(np.asarray(encode_image(cfg, weights, patches)))
+    return out
+
+
+def multimodal_prefill(ctx, vocab, seq_id: int, prompt: str,
+                       image_chunks: list) -> np.ndarray:
+    """Tokenize the prompt around IMAGE_MARKERs and interleave token and
+    embedding prefill chunks. Returns the final logits row [V]."""
+    parts = prompt.split(IMAGE_MARKER)
+    if len(parts) - 1 != len(image_chunks):
+        raise ValueError(
+            f"prompt has {len(parts) - 1} image markers but "
+            f"{len(image_chunks)} images were provided")
+    logits = None
+    for i, part in enumerate(parts):
+        if part:
+            toks = vocab.encode(part, add_special=(i == 0))
+            if toks:
+                logits = ctx.prefill(seq_id, toks)
+        if i < len(image_chunks):
+            logits = ctx.prefill_embeds(seq_id, image_chunks[i])
+    if logits is None:
+        raise ValueError("empty multimodal prompt")
+    return logits[-1]
+
+
+def generate_with_images(ctx, vocab, prompt: str, images,
+                         clip_cfg: ClipConfig, clip_weights: ClipWeights,
+                         max_new_tokens: int = 64,
+                         stop_tokens: tuple = ()) -> list[int]:
+    """Greedy multimodal generation (mtmd-cli analog)."""
+    chunks = embed_images(clip_cfg, clip_weights, images)
+    seq = ctx.new_sequence()
+    try:
+        last = multimodal_prefill(ctx, vocab, seq, prompt, chunks)
+        out = []
+        for _ in range(max_new_tokens):
+            tok = int(np.argmax(last))
+            if tok in stop_tokens:
+                break
+            out.append(tok)
+            last = ctx.decode({seq: tok})[seq]
+        return out
+    finally:
+        ctx.kv.seq_rm(seq)

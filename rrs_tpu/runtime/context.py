@@ -125,6 +125,41 @@ class InferenceContext:
             i += len(chunk)
         return np.concatenate(out, axis=0)
 
+    def prefill_embeds(self, seq_id: int, embeds: np.ndarray) -> np.ndarray:
+        """Feed raw input embeddings [T, E] (multimodal image chunks; the
+        llama_batch.embd path). Returns logits [T, V]."""
+        lane = self.kv.lane_of(seq_id)
+        b = self.kv.n_lanes
+        if not hasattr(self, "_embd_step"):
+            cfg = self.cfg
+
+            @functools.partial(jax.jit, static_argnames=())
+            def step(weights, emb, start_pos, k_caches, v_caches):
+                bb, t, _ = emb.shape
+                s = max((c[0] if isinstance(c, tuple) else c).shape[2]
+                        for c in k_caches)
+                pos = start_pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+                mask_pos = jnp.where(start_pos[:, None] < 0, -1, pos)
+                safe_slots = jnp.where(start_pos[:, None] < 0, s - t,
+                                       jnp.clip(pos, 0, s - 1))
+                return llama_model.forward(
+                    cfg, weights, jnp.zeros((bb, t), jnp.int32), pos,
+                    k_caches, v_caches, mask_pos, safe_slots, embeds=emb)
+
+            self._embd_step = step
+        t = embeds.shape[0]
+        emb = np.zeros((b, t, embeds.shape[1]), np.float32)
+        start = np.full((b,), -1, np.int32)
+        emb[lane] = embeds
+        start[lane] = self.kv.lengths[lane]
+        logits, nk, nv = self._embd_step(
+            self.weights, jnp.asarray(emb, jnp.bfloat16),
+            jnp.asarray(start, jnp.int32), self.kv.k, self.kv.v)
+        self.kv.k, self.kv.v = nk, nv
+        self.kv.lengths[lane] += t
+        self.n_prefill_tokens += t
+        return np.asarray(logits[lane])
+
     def decode(self, seq_tokens: dict[int, int]) -> dict[int, np.ndarray]:
         """One batched decode step: {seq_id: token} -> {seq_id: logits [V]}."""
         b = self.kv.n_lanes

@@ -48,6 +48,9 @@ class GenRequest:
     n_probs: int = 0                          # top-k logprobs per token
     # callback(token_id, logprob, [(tid, logprob) x n_probs])
     on_probs: Optional[Callable] = None
+    # multimodal: ordered prompt segments [("tokens", [ids]) | ("embeds",
+    # np.ndarray [T, E])]; when set, prompt_tokens is ignored for prefill
+    segments: Optional[list] = None
     id: int = 0
 
 
@@ -148,6 +151,14 @@ class Engine:
         slot.state = SlotState.PROMPT
         slot.req = req
         slot.n_reused = 0
+        if req.segments is not None and slot.retained_seq >= 0:
+            # multimodal prompts skip prefix reuse (chunks aren't tokens)
+            try:
+                self.ctx.kv.seq_rm(slot.retained_seq)
+            except ValueError:
+                pass
+            slot.retained_seq = -1
+            slot.cache_tokens = []
         if slot.retained_seq >= 0 and not self.ctx.kv.has_seq(slot.retained_seq):
             slot.retained_seq = -1      # prompt cache was LRU-evicted
             slot.cache_tokens = []
@@ -412,13 +423,27 @@ class Engine:
         for s in self.slots:
             if s.state != SlotState.PROMPT:
                 continue
-            chunk = s.req.prompt_tokens[s.prompt_pos : s.prompt_pos + self.PROMPT_CHUNK]
-            if not chunk:
-                chunk = [0]  # empty prompt: feed BOS-ish placeholder
-            logits = self.ctx.prefill(s.seq_id, chunk)
-            s.prompt_pos += len(chunk)
-            self.n_prompt_tokens += len(chunk)
-            if s.prompt_pos >= len(s.req.prompt_tokens):
+            if s.req.segments is not None:
+                # multimodal: one segment per iteration (tokens or embeds)
+                kind, payload = s.req.segments[s.prompt_pos]
+                if kind == "embeds":
+                    logits = self.ctx.prefill_embeds(s.seq_id, payload)
+                    self.n_prompt_tokens += payload.shape[0]
+                else:
+                    logits = self.ctx.prefill(s.seq_id, list(payload) or [0])
+                    self.n_prompt_tokens += len(payload)
+                s.prompt_pos += 1
+                done = s.prompt_pos >= len(s.req.segments)
+            else:
+                chunk = s.req.prompt_tokens[
+                    s.prompt_pos : s.prompt_pos + self.PROMPT_CHUNK]
+                if not chunk:
+                    chunk = [0]  # empty prompt: feed BOS-ish placeholder
+                logits = self.ctx.prefill(s.seq_id, chunk)
+                s.prompt_pos += len(chunk)
+                self.n_prompt_tokens += len(chunk)
+                done = s.prompt_pos >= len(s.req.prompt_tokens)
+            if done:
                 s.last_logits = logits[-1]
                 s.state = SlotState.GENERATING
                 tok = self._sample_token(s)

@@ -75,6 +75,9 @@ class ServerState:
         # multi-model router (server-models.cpp): name -> ModelHandle;
         # requests with a different "model" field route to that handle
         self.models: dict[str, ModelHandle] = {}
+        # multimodal projector (clip.cpp weights), set via --mmproj
+        self.clip_cfg = None
+        self.clip_weights = None
 
 
 def _sampler_params(body: dict) -> SamplerParams:
@@ -126,7 +129,7 @@ def make_handler(state: ServerState):
             return json.loads(self.rfile.read(n) or b"{}")
 
         def _run_request(self, prompt_tokens, body, stop_strings=(),
-                         probs_out=None):
+                         probs_out=None, segments=None):
             """Submit and collect; yields (piece, finished, reason)."""
             q: "queue.Queue" = queue.Queue()
 
@@ -176,6 +179,7 @@ def make_handler(state: ServerState):
                 token_pieces=self.st.vocab.pieces() if grammar else None,
                 n_probs=n_probs,
                 on_probs=on_probs,
+                segments=segments,
             )
             self.st.engine.submit(req)
             while True:
@@ -471,13 +475,51 @@ def make_handler(state: ServerState):
 
                 messages = body.get("messages", [])
                 tools = body.get("tools") or None
+                # multimodal: lift image parts out, leave markers in the text
+                images = []
+                if self.st.clip_weights is not None:
+                    from rrs_tpu.mtmd.pipeline import IMAGE_MARKER
+
+                    msgs2 = []
+                    for m in messages:
+                        c = m.get("content")
+                        if isinstance(c, list):
+                            parts = []
+                            for part in c:
+                                if part.get("type") == "image_url":
+                                    url = part["image_url"]
+                                    url = url.get("url") if isinstance(url, dict) else url
+                                    images.append(url)
+                                    parts.append({"type": "text",
+                                                  "text": IMAGE_MARKER})
+                                else:
+                                    parts.append(part)
+                            m = {**m, "content": parts}
+                        msgs2.append(m)
+                    messages = msgs2
                 text = apply_template(self.st.template, messages, tools=tools)
                 toks = self.st.vocab.encode(text, add_special=False)
                 rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
                 probs = []
+                segments = None
+                if images:
+                    from rrs_tpu.mtmd.pipeline import (IMAGE_MARKER,
+                                                       decode_image_b64,
+                                                       embed_images)
+
+                    chunks = embed_images(
+                        self.st.clip_cfg, self.st.clip_weights,
+                        [decode_image_b64(u) for u in images])
+                    segments = []
+                    for i, piece in enumerate(text.split(IMAGE_MARKER)):
+                        if piece:
+                            segments.append(("tokens", self.st.vocab.encode(
+                                piece, add_special=False)))
+                        if i < len(chunks):
+                            segments.append(("embeds", chunks[i]))
                 gen = self._run_request(
                     toks, body, stop_strings=stop_strings_for(self.st.template),
-                    probs_out=probs,
+                    probs_out=probs, segments=segments,
                 )
                 if body.get("stream"):
                     def wrap(piece, finished, reason):
@@ -627,6 +669,12 @@ def serve(args):
     engine = Engine(ctx)
     engine.start()
     state = ServerState(cfg, vocab, engine, md, model_name=str(args.model))
+    if getattr(args, "mmproj", None):
+        from rrs_tpu.mtmd.clip import load_mmproj
+
+        state.clip_cfg, state.clip_weights = load_mmproj(args.mmproj)
+        print(f"loaded multimodal projector {args.mmproj} "
+              f"({state.clip_cfg.n_patches} patches/img)")
     for extra in getattr(args, "models", None) or []:
         name = extra.split("=", 1)[0] if "=" in extra else extra
         path = extra.split("=", 1)[1] if "=" in extra else extra
