@@ -258,6 +258,12 @@ def cmd_generate(args):
     stop = tuple(t for t in (vocab.eos_id,) if t >= 0)
     out = ctx.generate(tokens, args.n_tokens, params, stop_tokens=stop)
     print(vocab.decode(out))
+    if hasattr(ctx, "perf"):
+        import sys
+        p = ctx.perf()
+        print(f"perf: prompt {p['n_p_eval']} tok @ {p['pp_tok_per_s']:.1f} "
+              f"tok/s | gen {p['n_eval']} tok @ {p['tg_tok_per_s']:.1f} tok/s",
+              file=sys.stderr)
 
 
 def cmd_perplexity(args):

@@ -55,6 +55,13 @@ _PRE_REGEX = {
 
 
 @lru_cache(maxsize=1)
+def _is_cjk(ch: str) -> bool:
+    """CJK unified ideograph ranges (BERT basic-tokenizer convention)."""
+    cp = ord(ch)
+    return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+            or 0x20000 <= cp <= 0x2A6DF or 0xF900 <= cp <= 0xFAFF)
+
+
 def _byte_encoder() -> dict[int, str]:
     """GPT-2 byte -> printable unicode char map (bytes_to_unicode)."""
     bs = (
@@ -194,12 +201,110 @@ class Vocab:
                 out.extend(self._encode_spm(raw))
             elif self.model == "gpt2":
                 out.extend(self._encode_bpe(frag))
+            elif self.model == "bert":
+                out.extend(self._encode_wpm(frag))
+            elif self.model in ("t5", "unigram"):
+                raw = frag
+                if is_first and self.add_space_prefix and raw and raw[0] != " ":
+                    raw = " " + raw
+                out.extend(self._encode_ugm(raw))
             else:
                 raise NotImplementedError(f"tokenizer model {self.model!r}")
             is_first = False
 
         if add_special and self.add_eos and self.eos_id >= 0:
             out.append(self.eos_id)
+        return out
+
+    def _encode_wpm(self, text: str) -> list[int]:
+        """BERT WordPiece (llm_tokenizer_wpm): lowercase + strip accents,
+        split on whitespace/punct/CJK, then greedy longest-match with "##"
+        continuations; whole word -> UNK if any piece is unmatched."""
+        import unicodedata
+
+        norm = []
+        for ch in unicodedata.normalize("NFD", text.lower()):
+            cat = unicodedata.category(ch)
+            if cat == "Mn":                       # strip combining accents
+                continue
+            if cat.startswith("P") or _is_cjk(ch):
+                norm.append(f" {ch} ")            # punctuation/CJK isolate
+            elif ch.isspace():
+                norm.append(" ")
+            else:
+                norm.append(ch)
+        out: list[int] = []
+        for word in "".join(norm).split():
+            ids: list[int] = []
+            i = 0
+            ok = True
+            while i < len(word):
+                end = len(word)
+                tid = None
+                while end > i:
+                    piece = ("##" if i > 0 else "") + word[i:end]
+                    tid = self._token_to_id.get(piece)
+                    if tid is not None:
+                        break
+                    end -= 1
+                if tid is None:
+                    ok = False
+                    break
+                ids.append(tid)
+                i = end
+            if ok and ids:
+                out.extend(ids)
+            elif self.unk_id >= 0:
+                out.append(self.unk_id)
+        return out
+
+    def _encode_ugm(self, text: str) -> list[int]:
+        """T5 Unigram (llm_tokenizer_ugm): Viterbi over log-prob piece
+        scores; unknown bytes get the UNK penalty (score floor)."""
+        text = text.replace(" ", SPIECE_UNDERLINE)
+        n = len(text)
+        if n == 0:
+            return []
+        scores = self.scores or [0.0] * len(self.tokens)
+        min_score = min(scores) if scores else 0.0
+        unk_score = min_score - 10.0
+        max_len = max((len(t) for t in self.tokens), default=1)
+        best = [float("-inf")] * (n + 1)
+        back: list[tuple[int, int]] = [(-1, -1)] * (n + 1)
+        best[0] = 0.0
+        for i in range(n):
+            if best[i] == float("-inf"):
+                continue
+            matched = False
+            for end in range(i + 1, min(n, i + max_len) + 1):
+                tid = self._token_to_id.get(text[i:end])
+                if tid is None:
+                    continue
+                matched = True
+                s = best[i] + scores[tid]
+                if s > best[end]:
+                    best[end] = s
+                    back[end] = (i, tid)
+            if not matched or best[i + 1] == float("-inf"):
+                # single-char unknown fallback
+                s = best[i] + unk_score
+                if s > best[i + 1]:
+                    best[i + 1] = s
+                    back[i + 1] = (i, self.unk_id)
+        ids: list[int] = []
+        pos = n
+        while pos > 0:
+            i, tid = back[pos]
+            if tid >= 0:
+                ids.append(tid)
+            pos = i
+        ids.reverse()
+        # merge consecutive UNKs (llm_tokenizer_ugm does)
+        out: list[int] = []
+        for t in ids:
+            if t == self.unk_id and out and out[-1] == self.unk_id:
+                continue
+            out.append(t)
         return out
 
     def _split_specials(self, text: str):

@@ -47,11 +47,26 @@ class InferenceContext:
         self.weights = weights
         self.kv = KVCache.create(cfg, n_lanes, max_seq, kv_dtype, quant=kv_quant)
         self._next_seq_id = 0
-        # perf counters (llama_perf_context analog)
+        # perf counters (llama_perf_context analog, llama-context.cpp:2716)
         self.n_prefill_tokens = 0
         self.n_decode_tokens = 0
+        self.t_prefill_s = 0.0
+        self.t_decode_s = 0.0
 
         self._step_fn = jax.jit(functools.partial(self._step, cfg))
+
+    def perf(self) -> dict:
+        """llama_perf_context analog: token counts + throughput."""
+        return {
+            "n_p_eval": self.n_prefill_tokens,
+            "n_eval": self.n_decode_tokens,
+            "t_p_eval_ms": self.t_prefill_s * 1e3,
+            "t_eval_ms": self.t_decode_s * 1e3,
+            "pp_tok_per_s": self.n_prefill_tokens / self.t_prefill_s
+            if self.t_prefill_s else 0.0,
+            "tg_tok_per_s": self.n_decode_tokens / self.t_decode_s
+            if self.t_decode_s else 0.0,
+        }
 
     # -- jitted step -------------------------------------------------------
 
@@ -118,8 +133,12 @@ class InferenceContext:
             start = np.full((b,), -1, np.int32)
             tok[lane, : len(chunk)] = chunk
             start[lane] = self.kv.lengths[lane]
+            import time as _time
+
+            t0 = _time.perf_counter()
             logits = self._run(tok, start)
             out.append(np.asarray(logits[lane, : len(chunk)]))
+            self.t_prefill_s += _time.perf_counter() - t0
             self.kv.lengths[lane] += len(chunk)
             self.n_prefill_tokens += len(chunk)
             i += len(chunk)
@@ -171,12 +190,16 @@ class InferenceContext:
             tok[lane, 0] = token
             start[lane] = self.kv.lengths[lane]
             lanes[seq_id] = lane
+        import time as _time
+
+        t0 = _time.perf_counter()
         logits = self._run(tok, start)
         out = {}
         for seq_id, lane in lanes.items():
             out[seq_id] = np.asarray(logits[lane, 0])
             self.kv.lengths[lane] += 1
             self.n_decode_tokens += 1
+        self.t_decode_s += _time.perf_counter() - t0
         return out
 
     def embed(self, tokens: list[int], pooling: str = "mean") -> np.ndarray:

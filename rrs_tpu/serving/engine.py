@@ -419,43 +419,77 @@ class Engine:
                         # finish the slot at the context limit instead
                         self._release(s, "length")
 
-        # 1) one prompt chunk for the first PROMPT slot
+        # 1) one prompt chunk for the first PROMPT slot. A failed step rolls
+        # back the sequence and releases the slot with an error (the
+        # reference's failed-ubatch rollback, llama-context.cpp:1620-1648)
         for s in self.slots:
             if s.state != SlotState.PROMPT:
                 continue
-            if s.req.segments is not None:
-                # multimodal: one segment per iteration (tokens or embeds)
-                kind, payload = s.req.segments[s.prompt_pos]
-                if kind == "embeds":
-                    logits = self.ctx.prefill_embeds(s.seq_id, payload)
-                    self.n_prompt_tokens += payload.shape[0]
-                else:
-                    logits = self.ctx.prefill(s.seq_id, list(payload) or [0])
-                    self.n_prompt_tokens += len(payload)
-                s.prompt_pos += 1
-                done = s.prompt_pos >= len(s.req.segments)
-            else:
-                chunk = s.req.prompt_tokens[
-                    s.prompt_pos : s.prompt_pos + self.PROMPT_CHUNK]
-                if not chunk:
-                    chunk = [0]  # empty prompt: feed BOS-ish placeholder
-                logits = self.ctx.prefill(s.seq_id, chunk)
-                s.prompt_pos += len(chunk)
-                self.n_prompt_tokens += len(chunk)
-                done = s.prompt_pos >= len(s.req.prompt_tokens)
-            if done:
-                s.last_logits = logits[-1]
-                s.state = SlotState.GENERATING
-                tok = self._sample_token(s)
-                self._emit_probs(s, tok)
-                if self._emit(s, tok):
-                    self._release(s, "stop")
+            try:
+                self._prompt_step(s)
+            except Exception:                      # noqa: BLE001
+                import traceback
+
+                traceback.print_exc()
+                if s.seq_id >= 0:
+                    try:
+                        self.ctx.kv.seq_rm(s.seq_id)
+                    except (ValueError, RuntimeError):
+                        pass
+                    s.seq_id = -1
+                self._release(s, "error")
             return True
 
         # 2) batched decode for all GENERATING slots
         gen = [s for s in self.slots if s.state == SlotState.GENERATING]
         if not gen:
             return ran_side
+        try:
+            self._decode_step(gen)
+        except Exception:                          # noqa: BLE001
+            import traceback
+
+            traceback.print_exc()
+            for s in gen:
+                if s.seq_id >= 0:
+                    try:
+                        self.ctx.kv.seq_rm(s.seq_id)
+                    except (ValueError, RuntimeError):
+                        pass
+                    s.seq_id = -1
+                self._release(s, "error")
+        return True
+
+    def _prompt_step(self, s: Slot) -> None:
+        if s.req.segments is not None:
+            # multimodal: one segment per iteration (tokens or embeds)
+            kind, payload = s.req.segments[s.prompt_pos]
+            if kind == "embeds":
+                logits = self.ctx.prefill_embeds(s.seq_id, payload)
+                self.n_prompt_tokens += payload.shape[0]
+            else:
+                logits = self.ctx.prefill(s.seq_id, list(payload) or [0])
+                self.n_prompt_tokens += len(payload)
+            s.prompt_pos += 1
+            done = s.prompt_pos >= len(s.req.segments)
+        else:
+            chunk = s.req.prompt_tokens[
+                s.prompt_pos : s.prompt_pos + self.PROMPT_CHUNK]
+            if not chunk:
+                chunk = [0]  # empty prompt: feed BOS-ish placeholder
+            logits = self.ctx.prefill(s.seq_id, chunk)
+            s.prompt_pos += len(chunk)
+            self.n_prompt_tokens += len(chunk)
+            done = s.prompt_pos >= len(s.req.prompt_tokens)
+        if done:
+            s.last_logits = logits[-1]
+            s.state = SlotState.GENERATING
+            tok = self._sample_token(s)
+            self._emit_probs(s, tok)
+            if self._emit(s, tok):
+                self._release(s, "stop")
+
+    def _decode_step(self, gen: list) -> None:
         step = {s.seq_id: s.generated[-1] for s in gen}
         out = self.ctx.decode(step)
         for s in gen:
@@ -464,4 +498,3 @@ class Engine:
             self._emit_probs(s, tok)
             if self._emit(s, tok):
                 self._release(s, "stop" if tok in s.req.stop_tokens else "length")
-        return True

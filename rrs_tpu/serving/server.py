@@ -424,6 +424,19 @@ def make_handler(state: ServerState):
                     "# TYPE llamacpp:requests_total counter",
                     f"llamacpp:requests_total {e.n_requests}",
                 ]
+                perf = getattr(e.ctx, "perf", None)
+                if perf:
+                    p = perf()
+                    lines += [
+                        "# TYPE llamacpp:prompt_tokens_seconds_total counter",
+                        f"llamacpp:prompt_tokens_seconds_total {p['t_p_eval_ms']/1e3:.3f}",
+                        "# TYPE llamacpp:predicted_tokens_seconds_total counter",
+                        f"llamacpp:predicted_tokens_seconds_total {p['t_eval_ms']/1e3:.3f}",
+                        "# TYPE llamacpp:prompt_tokens_per_second gauge",
+                        f"llamacpp:prompt_tokens_per_second {p['pp_tok_per_s']:.2f}",
+                        "# TYPE llamacpp:predicted_tokens_per_second gauge",
+                        f"llamacpp:predicted_tokens_per_second {p['tg_tok_per_s']:.2f}",
+                    ]
                 data = ("\n".join(lines) + "\n").encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain")

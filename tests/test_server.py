@@ -265,3 +265,34 @@ def test_multi_model_router(server, tmp_path_factory):
     status, data = _req(port, "GET", "/v1/models")
     ids = {m["id"]: m for m in json.loads(data)["data"]}
     assert ids["second"]["loaded"] is False
+
+
+def test_engine_error_rollback(server):
+    """A failing prefill releases the slot with reason 'error' and the
+    engine keeps serving (failed-ubatch rollback analog)."""
+    import queue as _q
+
+    port, engine = server
+    orig = engine.ctx.prefill
+    calls = {"n": 0}
+
+    def boom(seq_id, tokens):
+        calls["n"] += 1
+        raise RuntimeError("injected fault")
+
+    engine.ctx.prefill = boom
+    try:
+        q = _q.Queue()
+        from rrs_tpu.serving.engine import GenRequest
+        engine.submit(GenRequest(
+            prompt_tokens=[1, 2, 3], max_tokens=2,
+            on_token=lambda t, p, fin, r: q.put((fin, r))))
+        fin, reason = q.get(timeout=60)
+        assert fin and reason == "error"
+        assert calls["n"] == 1
+    finally:
+        engine.ctx.prefill = orig
+    # engine still works afterwards
+    s, d = _req(port, "POST", "/v1/completions",
+                {"prompt": [4, 5], "max_tokens": 2, "temperature": 0.0})
+    assert s == 200

@@ -68,3 +68,41 @@ def test_special_token_parsing():
     vocab = _load_vocab("ggml-vocab-llama-spm")
     ids = vocab.encode("<s>hi</s>", add_special=False, parse_special=True)
     assert vocab.bos_id in ids and vocab.eos_id in ids
+
+
+def test_wpm_tokenizer():
+    """BERT WordPiece (llm_tokenizer_wpm semantics)."""
+    from rrs_tpu.models.vocab import Vocab
+
+    toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "hello", "world", "un",
+            "##want", "##ed", "runn", "##ing", ",", "want"]
+    v = Vocab(model="bert", tokens=toks, scores=None,
+              token_types=[3, 2, 3, 3] + [1] * 9, merges=None,
+              unk_id=1, add_bos=False)
+    enc = v.encode("hello world", add_special=False)
+    assert enc == [4, 5]
+    enc = v.encode("unwanted running", add_special=False)
+    assert enc == [6, 7, 8, 9, 10]
+    # accents stripped + lowercase
+    assert v.encode("HeLLo", add_special=False) == [4]
+    assert v.encode("héllo", add_special=False) == [4]
+    # punctuation isolated; unknown word -> UNK
+    assert v.encode("hello, xyzzy", add_special=False) == [4, 11, 1]
+
+
+def test_ugm_tokenizer():
+    """T5 Unigram Viterbi (llm_tokenizer_ugm semantics)."""
+    from rrs_tpu.models.vocab import Vocab
+
+    toks = ["<unk>", "▁", "▁hello", "▁world", "hell", "o", "▁h", "w",
+            "orld", "▁wor", "ld"]
+    scores = [-10.0, -2.0, -1.0, -1.5, -3.0, -2.5, -3.5, -4.0, -4.5,
+              -3.0, -2.0]
+    v = Vocab(model="t5", tokens=toks, scores=scores, token_types=[2] + [1] * 10,
+              merges=None, unk_id=0, add_bos=False, add_space_prefix=True)
+    enc = v.encode("hello world", add_special=False)
+    # best path: ▁hello(-1.0) + ▁world(-1.5) beats alternatives
+    assert enc == [2, 3]
+    # unknown chars collapse to one UNK
+    enc2 = v.encode("hello ZZZ", add_special=False)
+    assert enc2[0] == 2 and enc2[-1] == 0
