@@ -31,6 +31,11 @@ def main(argv=None):
     g.add_argument("--no-bos", action="store_true")
     g.add_argument("--cache-type", default="none", choices=["none", "q8"],
                    help="KV cache quantization (-ctk/-ctv analog)")
+    g.add_argument("--model-draft", "-md", default=None,
+                   help="draft model for speculative decoding")
+    g.add_argument("--draft", type=int, default=4, help="draft length")
+    g.add_argument("--lookup", action="store_true",
+                   help="prompt-lookup (ngram) speculative decoding")
 
     pp = sub.add_parser("perplexity", help="windowed NLL perplexity on a text file")
     pp.add_argument("--model", "-m", required=True)
@@ -256,7 +261,26 @@ def cmd_generate(args):
         temperature=args.temp, top_k=args.top_k, top_p=args.top_p, seed=args.seed
     )
     stop = tuple(t for t in (vocab.eos_id,) if t >= 0)
-    out = ctx.generate(tokens, args.n_tokens, params, stop_tokens=stop)
+    if getattr(args, "model_draft", None):
+        import sys
+        from rrs_tpu.runtime.speculative import generate_speculative
+
+        _, _, draft_ctx = _load(args.model_draft, max_seq=args.ctx)
+        out, stats = generate_speculative(
+            ctx, draft_ctx, tokens, args.n_tokens, n_draft=args.draft,
+            stop_tokens=stop)
+        print(f"speculative: {stats.n_accepted}/{stats.n_drafted} drafts "
+              f"accepted ({stats.acceptance_rate:.0%})", file=sys.stderr)
+    elif getattr(args, "lookup", False):
+        import sys
+        from rrs_tpu.runtime.lookup import generate_lookup
+
+        out, stats = generate_lookup(ctx, tokens, args.n_tokens,
+                                     stop_tokens=stop)
+        print(f"lookup: {stats.n_accepted}/{stats.n_drafted} drafts accepted",
+              file=sys.stderr)
+    else:
+        out = ctx.generate(tokens, args.n_tokens, params, stop_tokens=stop)
     print(vocab.decode(out))
     if hasattr(ctx, "perf"):
         import sys
