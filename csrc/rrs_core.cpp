@@ -279,3 +279,104 @@ void rrs_dequant_q6_k(const uint8_t* raw, float* out, int64_t n) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BPE merge engine (llm_tokenizer_bpe hot loop, src/llama-vocab.cpp).
+// Python keeps the pretokenizer regex + byte encoding; this runs the rank-
+// driven pair merging over a UTF-8 fragment of byte-encoder symbols and
+// resolves pieces to ids. Session state is built once per vocab.
+// ---------------------------------------------------------------------------
+
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct BpeSession {
+    std::unordered_map<std::string, int32_t> vocab;
+    std::unordered_map<std::string, int32_t> merge_rank;  // "left\x01right"
+};
+
+std::vector<BpeSession*> g_bpe_sessions;
+
+inline size_t utf8_len(unsigned char c) {
+    if (c < 0x80) return 1;
+    if ((c >> 5) == 0x6) return 2;
+    if ((c >> 4) == 0xE) return 3;
+    if ((c >> 3) == 0x1E) return 4;
+    return 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// blobs: concatenated utf-8 strings; offsets: n+1 cumulative byte offsets
+int64_t rrs_bpe_init(const char* vocab_blob, const int64_t* vocab_off,
+                     int64_t n_vocab, const char* merge_blob,
+                     const int64_t* merge_off, int64_t n_merges) {
+    auto* s = new BpeSession();
+    s->vocab.reserve((size_t)n_vocab * 2);
+    for (int64_t i = 0; i < n_vocab; ++i) {
+        s->vocab.emplace(std::string(vocab_blob + vocab_off[i],
+                                     vocab_blob + vocab_off[i + 1]), (int32_t)i);
+    }
+    s->merge_rank.reserve((size_t)n_merges * 2);
+    for (int64_t i = 0; i < n_merges; ++i) {
+        std::string m(merge_blob + merge_off[i], merge_blob + merge_off[i + 1]);
+        size_t sp = m.find(' ');
+        if (sp == std::string::npos) continue;
+        std::string key = m.substr(0, sp);
+        key.push_back('\x01');
+        key.append(m, sp + 1, std::string::npos);
+        s->merge_rank.emplace(std::move(key), (int32_t)i);
+    }
+    g_bpe_sessions.push_back(s);
+    return (int64_t)g_bpe_sessions.size() - 1;
+}
+
+// Encode one byte-encoded fragment. Returns count written to out (ids), or
+// -1 if any piece has no id (caller falls back to byte tokens in Python).
+int64_t rrs_bpe_encode(int64_t handle, const char* frag, int64_t frag_len,
+                       int32_t* out, int64_t max_out) {
+    const BpeSession* s = g_bpe_sessions[(size_t)handle];
+    // initial symbols: single utf-8 codepoints
+    std::vector<std::string> syms;
+    syms.reserve((size_t)frag_len);
+    for (int64_t i = 0; i < frag_len;) {
+        size_t l = utf8_len((unsigned char)frag[i]);
+        if ((int64_t)(i + l) > frag_len) l = 1;
+        syms.emplace_back(frag + i, frag + i + l);
+        i += (int64_t)l;
+    }
+    // greedy lowest-rank merges (matches the Python _bpe_merge loop)
+    std::string key;
+    while (syms.size() > 1) {
+        int32_t best_rank = INT32_MAX;
+        size_t best_i = 0;
+        for (size_t i = 0; i + 1 < syms.size(); ++i) {
+            key.assign(syms[i]);
+            key.push_back('\x01');
+            key.append(syms[i + 1]);
+            auto it = s->merge_rank.find(key);
+            if (it != s->merge_rank.end() && it->second < best_rank) {
+                best_rank = it->second;
+                best_i = i;
+            }
+        }
+        if (best_rank == INT32_MAX) break;
+        syms[best_i].append(syms[best_i + 1]);
+        syms.erase(syms.begin() + (long)best_i + 1);
+    }
+    int64_t n = 0;
+    for (const auto& p : syms) {
+        auto it = s->vocab.find(p);
+        if (it == s->vocab.end()) return -1;
+        if (n >= max_out) return -1;
+        out[n++] = it->second;
+    }
+    return n;
+}
+
+}  // extern "C"

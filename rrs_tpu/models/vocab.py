@@ -414,9 +414,17 @@ class Vocab:
 
         enc = _byte_encoder()
         out: list[int] = []
+        native_h = self._native_bpe_handle()
         for word in words:
-            pieces = [enc[b] for b in word.encode("utf-8")]
-            pieces = self._bpe_merge(pieces)
+            frag = "".join(enc[b] for b in word.encode("utf-8"))
+            if native_h is not None:
+                from rrs_tpu import native
+
+                ids = native.bpe_encode(native_h, frag)
+                if ids is not None:
+                    out.extend(ids)
+                    continue
+            pieces = self._bpe_merge(list(frag))
             for p in pieces:
                 tid = self._token_to_id.get(p)
                 if tid is not None:
@@ -427,6 +435,21 @@ class Vocab:
                         if tid is not None:
                             out.append(tid)
         return out
+
+    def _native_bpe_handle(self):
+        """Native BPE merge engine (csrc/rrs_core.cpp), built lazily; None
+        when the compiler/lib is unavailable (pure-Python fallback)."""
+        if not hasattr(self, "_bpe_native"):
+            self._bpe_native = None
+            if self.merges:
+                try:
+                    from rrs_tpu import native
+
+                    self._bpe_native = native.bpe_session(
+                        self.tokens, self.merges)
+                except Exception:      # noqa: BLE001
+                    self._bpe_native = None
+        return self._bpe_native
 
     def _bpe_merge(self, pieces: list[str]) -> list[str]:
         ranks = self._merge_ranks

@@ -138,3 +138,53 @@ def dequant(raw: np.ndarray, kind: str, n: int) -> np.ndarray:
     fn(_ptr(raw, ctypes.POINTER(ctypes.c_uint8)),
        _ptr(out, ctypes.POINTER(ctypes.c_float)), n)
     return out
+
+
+_bpe_handles: dict = {}
+
+
+def bpe_session(vocab_tokens: list, merges: list) -> Optional[int]:
+    """Build (or fetch) a native BPE session. Returns a handle or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    key = id(vocab_tokens)
+    if key in _bpe_handles:
+        return _bpe_handles[key]
+
+    def blob(strings):
+        enc = [s.encode("utf-8") for s in strings]
+        offs = np.zeros(len(enc) + 1, np.int64)
+        np.cumsum([len(b) for b in enc], out=offs[1:])
+        return b"".join(enc), offs
+
+    vb, vo = blob(vocab_tokens)
+    mb, mo = blob(merges or [])
+    lib.rrs_bpe_init.restype = ctypes.c_int64
+    h = lib.rrs_bpe_init(
+        ctypes.c_char_p(vb), vo.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(vocab_tokens)),
+        ctypes.c_char_p(mb), mo.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(merges or [])),
+    )
+    _bpe_handles[key] = int(h)
+    return int(h)
+
+
+def bpe_encode(handle: int, fragment: str) -> Optional[list]:
+    """Encode one byte-encoded fragment; None -> caller falls back."""
+    lib = _load()
+    if lib is None:
+        return None
+    data = fragment.encode("utf-8")
+    out = np.empty(len(data) + 8, np.int32)
+    lib.rrs_bpe_encode.restype = ctypes.c_int64
+    n = lib.rrs_bpe_encode(
+        ctypes.c_int64(handle), ctypes.c_char_p(data),
+        ctypes.c_int64(len(data)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(out.shape[0]),
+    )
+    if n < 0:
+        return None
+    return out[:n].tolist()

@@ -1,17 +1,20 @@
 """Fused attention over the KV cache — the GGML_OP_FLASH_ATTN_EXT analog
 (reference: build_attn_mha llama-graph.cpp:1467-1596, CUDA fattn-*.cu family).
 
-Semantics implemented (a superset of what the BASELINE models need):
+Semantics (a superset of what the BASELINE models need):
   * GQA: q heads grouped onto kv heads
   * causal masking from per-row positions (the reference fills a host-side
     KQ mask tensor, llama-kv-cache.h:199; here the mask is computed in-kernel
     from the position vector — no [T, S] mask tensor ever materializes)
+  * sliding-window masking over RING caches (the iSWA path)
   * logit softcap (Gemma-style), f32 accumulation, padded-lane safety
+  * int8-quantized KV variant (cparams.type_k/v analog), dequant in VMEM
 
-Design: one grid step per (batch lane, kv head, q-tile). K/V for the lane
-live in VMEM for the step (S*D*2B per operand; ~2 MB at S=8192, D=128), so
-the softmax needs no online chunking — full rows in f32. Scores for one step
-are [TQ*G, S] f32 in VMEM, never in HBM (vs the jnp path's [B,H,T,S] tensor).
+Design: true online-softmax flash attention. Grid
+(batch lane, kv head, q tile, KV S-tile) with the S-tile innermost; running
+(max, denom, acc) live in VMEM scratch across S-steps, so VMEM usage is
+O(TQ*G*S_TILE) regardless of context length. K/V tiles stream from HBM with
+automatic double-buffering.
 """
 
 from __future__ import annotations
@@ -26,61 +29,111 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _causal_mask(pos, tq: int, s: int, window: int):
-    """[TQ, S] bool mask from per-row attend bounds ``pos``.
-
-    window == 0: plain causal over a linear cache (slot == position).
-    window  > 0: sliding window over a RING cache of size S (the iSWA cache,
-    llama-kv-cache-iswa.cpp analog): slot ``c`` holds the latest written
-    position p == c (mod S), so the position at slot c as seen by a row with
-    bound P is  P - ((P - c) mod S); it is attendable iff it lies in
-    (P - window, P] and >= 0. A linear (unwrapped) cache is the special case
-    P < S, so the same formula works for full-size caches with a window.
-    Padded rows (pos < 0) mask everything in both branches.
-    """
-    kv_slot = jax.lax.broadcasted_iota(jnp.int32, (tq, s), 1)
+def _tile_mask(pos, tq: int, bs: int, s0, s_total: int, window: int):
+    """[TQ, BS] bool mask for KV slots [s0, s0+bs) (see _causal semantics in
+    the module docstring; ring-aware when window > 0)."""
+    kv_slot = s0 + jax.lax.broadcasted_iota(jnp.int32, (tq, bs), 1)
     if window > 0:
-        off = jax.lax.rem(pos[:, None] - kv_slot, s)
-        off = jnp.where(off < 0, off + s, off)              # [0, S)
+        off = jax.lax.rem(pos[:, None] - kv_slot, s_total)
+        off = jnp.where(off < 0, off + s_total, off)
         real = pos[:, None] - off
         return (real >= 0) & (real > pos[:, None] - window)
     return (kv_slot <= pos[:, None]) & (pos[:, None] >= 0)
 
 
-def _kernel(pos_ref, q_ref, k_ref, v_ref, out_ref, *, tq, g, d, s, scale,
-            softcap, window):
-    q = q_ref[0, 0, :, :, :].reshape(tq * g, d).astype(jnp.float32)
-    k = k_ref[0, 0, :, :].astype(jnp.float32)              # [S, D]
-    v = v_ref[0, 0, :, :].astype(jnp.float32)
+def _flash_inner(pos, q, k, v, acc_ref, m_ref, l_ref, out_ref, *,
+                 tq, g, d, bs, s_total, scale, softcap, window):
+    """One S-tile of online softmax. q [TQ*G, D] f32; k/v [BS, D] f32."""
+    si = pl.program_id(3)
+
+    @pl.when(si == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
 
     scores = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale                                              # [TQ*G, S]
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # [TQ*G, BS]
     if softcap:
         scores = jnp.tanh(scores / softcap) * softcap
-
-    pos = pos_ref[0, 0, :]                                 # [TQ] i32
-    mask = _causal_mask(pos, tq, s, window)                # [TQ, S]
-    mask = jnp.broadcast_to(mask[:, None, :], (tq, g, s)).reshape(tq * g, s)
+    mask = _tile_mask(pos, tq, bs, si * bs, s_total, window)
+    mask = jnp.broadcast_to(mask[:, None, :], (tq, g, bs)).reshape(tq * g, bs)
     scores = jnp.where(mask, scores, NEG_INF)
 
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    l = jnp.sum(e, axis=-1, keepdims=True)
-    probs = e / jnp.maximum(l, 1e-30)
-    # fully-masked rows (padding lanes, pos<0) produce uniform tiny probs via
-    # exp(0)=1 rows; zero them
-    alive = jnp.any(mask, axis=-1, keepdims=True)
-    probs = jnp.where(alive, probs, 0.0)
+    m_prev = m_ref[...]
+    m_new = jnp.maximum(m_prev, scores.max(axis=-1, keepdims=True))
+    # masked entries contribute EXACTLY zero even when the whole running max
+    # is still NEG_INF (a fully-masked prefix tile of a windowed row)
+    e = jnp.where(mask, jnp.exp(scores - m_new), 0.0)
+    corr = jnp.exp(m_prev - m_new)
+    l_ref[...] = l_ref[...] * corr + e.sum(axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
+        e, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[...] = m_new
 
-    ctx = jax.lax.dot_general(
-        probs, v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                      # [TQ*G, D]
-    out_ref[0, 0, :, :, :] = ctx.reshape(tq, g, d).astype(out_ref.dtype)
+    @pl.when(si == pl.num_programs(3) - 1)
+    def _():
+        out = acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
+        out_ref[0, 0, :, :, :] = out.reshape(tq, g, d).astype(out_ref.dtype)
+
+
+def _kernel(pos_ref, q_ref, k_ref, v_ref, out_ref, acc_ref, m_ref, l_ref,
+            *, tq, g, d, bs, s_total, scale, softcap, window):
+    q = q_ref[0, 0, :, :, :].reshape(tq * g, d).astype(jnp.float32)
+    k = k_ref[0, 0, :, :].astype(jnp.float32)                # [BS, D]
+    v = v_ref[0, 0, :, :].astype(jnp.float32)
+    _flash_inner(pos_ref[0, 0, :], q, k, v, acc_ref, m_ref, l_ref, out_ref,
+                 tq=tq, g=g, d=d, bs=bs, s_total=s_total, scale=scale,
+                 softcap=softcap, window=window)
+
+
+def _kernel_q8(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref,
+               acc_ref, m_ref, l_ref, *, tq, g, d, bs, s_total, scale,
+               softcap, window):
+    ksc = ks_ref[0, 0, 0, :]                                 # [BS] f32
+    vsc = vs_ref[0, 0, 0, :]
+    k = k_ref[0, 0, :, :].astype(jnp.float32) * ksc[:, None]
+    v = v_ref[0, 0, :, :].astype(jnp.float32) * vsc[:, None]
+    q = q_ref[0, 0, :, :, :].reshape(tq * g, d).astype(jnp.float32)
+    _flash_inner(pos_ref[0, 0, :], q, k, v, acc_ref, m_ref, l_ref, out_ref,
+                 tq=tq, g=g, d=d, bs=bs, s_total=s_total, scale=scale,
+                 softcap=softcap, window=window)
+
+
+def _pick_bs(s: int, limit: int = 1024) -> int:
+    """Largest divisor of S that's a multiple of 128 and <= limit."""
+    best = 0
+    dcur = 128
+    while dcur <= min(s, limit):
+        if s % dcur == 0:
+            best = dcur
+        dcur += 128
+    return best or s
+
+
+def _common(q, positions, hkv, s, tq):
+    b, t, h, d = q.shape
+    g = h // hkv
+    if tq == 0:
+        tq = min(t, 256)
+    t_pad = (t + tq - 1) // tq * tq
+    if t_pad != t:
+        q = jnp.pad(q, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
+        positions = jnp.pad(positions, ((0, 0), (0, t_pad - t)),
+                            constant_values=-1)
+    q5 = q.reshape(b, t_pad, hkv, g, d).transpose(0, 2, 1, 3, 4)
+    pos3 = positions.reshape(b, 1, t_pad)
+    return q5, pos3, b, t, t_pad, g, d, tq
+
+
+def _scratch(tq, g, d):
+    return [
+        pltpu.VMEM((tq * g, d), jnp.float32),
+        pltpu.VMEM((tq * g, 1), jnp.float32),
+        pltpu.VMEM((tq * g, 1), jnp.float32),
+    ]
 
 
 @functools.partial(
@@ -97,74 +150,34 @@ def flash_attention(
     interpret: bool = False,
     window: int = 0,         # >0: sliding window over a ring cache (iSWA)
 ) -> jnp.ndarray:
-    b, t, h, d = q.shape
     hkv, s = k_cache.shape[1], k_cache.shape[2]
-    g = h // hkv
-    if tq == 0:
-        tq = min(t, 256)
-    t_pad = (t + tq - 1) // tq * tq
-    if t_pad != t:
-        q = jnp.pad(q, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
-        positions = jnp.pad(positions, ((0, 0), (0, t_pad - t)),
-                            constant_values=-1)
-
-    # [B, Hkv, Tpad, G, D] so blocked dims stay out of the last two axes
-    q5 = q.reshape(b, t_pad, hkv, g, d).transpose(0, 2, 1, 3, 4)
-    pos3 = positions.reshape(b, 1, t_pad)    # B must be a leading (grid) dim
-    grid = (b, hkv, t_pad // tq)
+    q5, pos3, b, t, t_pad, g, d, tq = _common(q, positions, hkv, s, tq)
+    bs = _pick_bs(s)
+    grid = (b, hkv, t_pad // tq, s // bs)
     out = pl.pallas_call(
         functools.partial(
-            _kernel, tq=tq, g=g, d=d, s=s, scale=scale, softcap=softcap,
-            window=window,
+            _kernel, tq=tq, g=g, d=d, bs=bs, s_total=s, scale=scale,
+            softcap=softcap, window=window,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, tq), lambda b, h, i: (b, 0, i),
+            pl.BlockSpec((1, 1, tq), lambda b, h, i, si: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tq, g, d), lambda b, h, i: (b, h, i, 0, 0),
+            pl.BlockSpec((1, 1, tq, g, d), lambda b, h, i, si: (b, h, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, d), lambda b, h, i: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, bs, d), lambda b, h, i, si: (b, h, si, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, d), lambda b, h, i: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, bs, d), lambda b, h, i, si: (b, h, si, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, tq, g, d), lambda b, h, i: (b, h, i, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, tq, g, d),
+                               lambda b, h, i, si: (b, h, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hkv, t_pad, g, d), q.dtype),
+        scratch_shapes=_scratch(tq, g, d),
         interpret=interpret,
     )(pos3, q5, k_cache, v_cache)
-    return out.transpose(0, 2, 1, 3, 4).reshape(b, t_pad, h, d)[:, :t]
-
-
-def _kernel_q8(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref,
-               *, tq, g, d, s, scale, softcap, window):
-    ksc = ks_ref[0, 0, 0, :]                               # [S] f32
-    vsc = vs_ref[0, 0, 0, :]
-    k = k_ref[0, 0, :, :].astype(jnp.float32) * ksc[:, None]
-    v = v_ref[0, 0, :, :].astype(jnp.float32) * vsc[:, None]
-    q = q_ref[0, 0, :, :, :].reshape(tq * g, d).astype(jnp.float32)
-
-    scores = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    if softcap:
-        scores = jnp.tanh(scores / softcap) * softcap
-    pos = pos_ref[0, 0, :]
-    mask = _causal_mask(pos, tq, s, window)
-    mask = jnp.broadcast_to(mask[:, None, :], (tq, g, s)).reshape(tq * g, s)
-    scores = jnp.where(mask, scores, NEG_INF)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    l = jnp.sum(e, axis=-1, keepdims=True)
-    probs = e / jnp.maximum(l, 1e-30)
-    alive = jnp.any(mask, axis=-1, keepdims=True)
-    probs = jnp.where(alive, probs, 0.0)
-    ctx = jax.lax.dot_general(
-        probs, v, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    out_ref[0, 0, :, :, :] = ctx.reshape(tq, g, d).astype(out_ref.dtype)
+    return out.transpose(0, 2, 1, 3, 4).reshape(b, t_pad, q.shape[2], d)[:, :t]
 
 
 @functools.partial(
@@ -183,44 +196,36 @@ def flash_attention_q8(
     interpret: bool = False,
     window: int = 0,
 ) -> jnp.ndarray:
-    """Attention over an int8-quantized KV cache (the quantized-KV option of
-    llama-kv-cache cparams.type_k/v); dequantization happens in VMEM."""
-    b, t, h, d = q.shape
+    """Attention over an int8-quantized KV cache; dequantization in VMEM."""
     hkv, s = k_q.shape[1], k_q.shape[2]
-    g = h // hkv
-    if tq == 0:
-        tq = min(t, 256)
-    t_pad = (t + tq - 1) // tq * tq
-    if t_pad != t:
-        q = jnp.pad(q, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
-        positions = jnp.pad(positions, ((0, 0), (0, t_pad - t)),
-                            constant_values=-1)
-    q5 = q.reshape(b, t_pad, hkv, g, d).transpose(0, 2, 1, 3, 4)
-    pos3 = positions.reshape(b, 1, t_pad)
-    grid = (b, hkv, t_pad // tq)
-    spec_kv = pl.BlockSpec((1, 1, s, d), lambda b, h, i: (b, h, 0, 0),
+    q5, pos3, b, t, t_pad, g, d, tq = _common(q, positions, hkv, s, tq)
+    bs = _pick_bs(s)
+    grid = (b, hkv, t_pad // tq, s // bs)
+    spec_kv = pl.BlockSpec((1, 1, bs, d), lambda b, h, i, si: (b, h, si, 0),
                            memory_space=pltpu.VMEM)
-    spec_sc = pl.BlockSpec((1, 1, 1, s), lambda b, h, i: (b, h, 0, 0),
+    spec_sc = pl.BlockSpec((1, 1, 1, bs), lambda b, h, i, si: (b, h, 0, si),
                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
-            _kernel_q8, tq=tq, g=g, d=d, s=s, scale=scale, softcap=softcap,
-            window=window,
+            _kernel_q8, tq=tq, g=g, d=d, bs=bs, s_total=s, scale=scale,
+            softcap=softcap, window=window,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, tq), lambda b, h, i: (b, 0, i),
+            pl.BlockSpec((1, 1, tq), lambda b, h, i, si: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tq, g, d), lambda b, h, i: (b, h, i, 0, 0),
+            pl.BlockSpec((1, 1, tq, g, d), lambda b, h, i, si: (b, h, i, 0, 0),
                          memory_space=pltpu.VMEM),
             spec_kv, spec_sc, spec_kv, spec_sc,
         ],
-        out_specs=pl.BlockSpec((1, 1, tq, g, d), lambda b, h, i: (b, h, i, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, tq, g, d),
+                               lambda b, h, i, si: (b, h, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hkv, t_pad, g, d), q.dtype),
+        scratch_shapes=_scratch(tq, g, d),
         interpret=interpret,
     )(pos3, q5, k_q, k_s, v_q, v_s)
-    return out.transpose(0, 2, 1, 3, 4).reshape(b, t_pad, h, d)[:, :t]
+    return out.transpose(0, 2, 1, 3, 4).reshape(b, t_pad, q.shape[2], d)[:, :t]
 
 
 def attention_ref(q, k_cache, v_cache, positions, scale, softcap=0.0,

@@ -93,3 +93,25 @@ def test_q8_variant_matches_dequant_ref():
         pos, scale, interpret=True,
     ))
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_flash_s_tiling_matches_ref():
+    """Online-softmax S-tiling (S=512, bs divides into multiple tiles) must
+    match the naive oracle, including windowed rows whose early tiles are
+    fully masked."""
+    import jax.numpy as jnp
+
+    from rrs_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(7)
+    b, t, h, hkv, s, d = 1, 4, 4, 2, 512, 64
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    pos = jnp.asarray([[300, 301, 302, 303]], jnp.int32)
+    for window in (0, 32):
+        out = fa.flash_attention(q, k, v, pos, 0.125, window=window,
+                                 interpret=True)
+        ref = fa.attention_ref(q, k, v, pos, 0.125, window=window)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"w={window}")

@@ -63,3 +63,44 @@ def test_dequant_matches_numpy(kind, qfn):
     got = native.dequant(raw, kind, n)
     # random fp16 scales can be inf/nan; compare with equal_nan
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6, equal_nan=True)
+
+
+def test_native_bpe_matches_python():
+    """The C++ BPE merge engine must produce identical ids to the Python
+    path on random byte-encoder fragments."""
+    import os
+    import numpy as np
+    from rrs_tpu import native
+    from rrs_tpu.models.vocab import Vocab, _byte_encoder
+
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+
+    # toy byte-level vocab: all single byte-encoder chars + some merges
+    enc = _byte_encoder()
+    chars = sorted(set(enc.values()))
+    merges = []
+    toks = list(chars)
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        a, b = rng.choice(len(toks), 2)
+        merged = toks[a] + toks[b]
+        if merged in toks or len(merged) > 6:
+            continue
+        merges.append(f"{toks[a]} {toks[b]}")
+        toks.append(merged)
+
+    v_native = Vocab(model="gpt2", tokens=toks, scores=None,
+                     token_types=[1] * len(toks), merges=merges, pre="gpt-2")
+    v_python = Vocab(model="gpt2", tokens=toks, scores=None,
+                     token_types=[1] * len(toks), merges=merges, pre="gpt-2")
+    v_python._bpe_native = None      # force the Python path
+
+    texts = ["hello world", "a" * 50, "the quick brown fox!",
+             "ünïcödé tēxt 日本語", "x y z " * 10]
+    for t in texts:
+        got = v_native.encode(t, add_special=False)
+        want = v_python.encode(t, add_special=False)
+        assert got == want, (t, got, want)
+        assert v_native._bpe_native is not None
