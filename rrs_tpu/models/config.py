@@ -59,6 +59,11 @@ class ModelConfig:
     ssm_dt_rank: int = 0
     ssm_dt_b_c_rms: bool = False     # falcon-mamba RMS on dt/B/C
     no_rope: bool = False            # jamba attention layers skip RoPE
+    # RWKV6 hparams (wkv_head_size etc., llama-hparams.h)
+    rwkv_head_size: int = 0
+    rwkv_tm_extra: int = 0           # time_mix_extra_dim
+    rwkv_decay_extra: int = 0        # time_decay_extra_dim
+    rwkv_rescale_every: int = 0
     # set only inside shard_map: mesh axis name for tensor parallelism; when
     # set, row-parallel projections (wo, ffn_down) psum over it
     tp_axis: "str | None" = None
@@ -78,7 +83,8 @@ class ModelConfig:
 
     @property
     def is_recurrent(self) -> bool:
-        return self.ssm_d_inner > 0 and not self.is_hybrid
+        return (self.ssm_d_inner > 0 or self.rwkv_head_size > 0) \
+            and not self.is_hybrid
 
     def is_swa(self, li: int) -> bool:
         """Is layer ``li`` sliding-window? (llama_hparams::is_swa analog)."""
@@ -154,6 +160,13 @@ class ModelConfig:
             extra.update(rope_rot_dim=int(key("rope.dimension_count", 0) or 0))
         if arch == "jamba":
             extra.update(no_rope=True)
+        if arch in ("rwkv6", "rwkv6qwen2"):
+            extra.update(
+                rwkv_head_size=int(key("wkv.head_size", 64) or 64),
+                rwkv_tm_extra=int(key("time_mix_extra_dim", 32) or 32),
+                rwkv_decay_extra=int(key("time_decay_extra_dim", 64) or 64),
+                rwkv_rescale_every=int(key("rescale_every_n_layers", 0) or 0),
+            )
         if arch in ("mamba", "mamba2", "falcon_mamba", "jamba"):
             extra.update(
                 ssm_d_conv=int(key("ssm.conv_kernel", 4) or 4),

@@ -86,6 +86,8 @@ def load_model(path: str | Path, dtype=jnp.bfloat16, fuse: bool = True):
 
     if cfg.is_hybrid:
         return _load_hybrid(g, cfg, dtype)
+    if cfg.rwkv_head_size > 0:
+        return _load_rwkv6(g, cfg, dtype)
     if cfg.is_recurrent:
         return _load_mamba(g, cfg, dtype)
 
@@ -210,6 +212,75 @@ def _load_mamba(g, cfg: ModelConfig, dtype):
     weights = MambaWeights(
         embed=embed, layers=layers,
         final_norm=_norm(g, "output_norm.weight", dtype),
+        lm_head=lm_head,
+    )
+    md = dict(g.metadata)
+    g.close()
+    return cfg, weights, md
+
+
+def _load_rwkv6(g, cfg: ModelConfig, dtype):
+    """RWKV6 tensor mapping (llama-model.cpp rwkv6 load_tensors; ggml ne
+    order reversed into numpy shapes)."""
+    from rrs_tpu.models.rwkv6 import Rwkv6Layer, Rwkv6Weights
+
+    e = cfg.n_embd
+
+    def t32(name):
+        return g.tensor(name).astype(np.float32)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}"
+        if f"{p}.time_mix_lerp_fused.weight" in g.tensors:
+            fused = t32(f"{p}.time_mix_lerp_fused.weight").reshape(5, e)
+        else:
+            fused = np.stack([
+                t32(f"{p}.time_mix_lerp_{n}.weight").reshape(e)
+                for n in ("w", "k", "v", "r", "g")])
+        layers.append(Rwkv6Layer(
+            ln1_w=jnp.asarray(t32(f"{p}.attn_norm.weight")),
+            ln1_b=jnp.asarray(t32(f"{p}.attn_norm.bias")),
+            ln2_w=jnp.asarray(t32(f"{p}.attn_norm_2.weight")),
+            ln2_b=jnp.asarray(t32(f"{p}.attn_norm_2.bias")),
+            tm_w1=jnp.asarray(t32(f"{p}.time_mix_w1.weight").T),
+            tm_w2=jnp.asarray(
+                t32(f"{p}.time_mix_w2.weight").transpose(0, 2, 1)),
+            tm_lerp_x=jnp.asarray(
+                t32(f"{p}.time_mix_lerp_x.weight").reshape(e)),
+            tm_lerp_fused=jnp.asarray(fused),
+            tm_first=jnp.asarray(t32(f"{p}.time_mix_first.weight")),
+            tm_decay=jnp.asarray(
+                t32(f"{p}.time_mix_decay.weight").reshape(e)),
+            tm_decay_w1=jnp.asarray(t32(f"{p}.time_mix_decay_w1.weight").T),
+            tm_decay_w2=jnp.asarray(t32(f"{p}.time_mix_decay_w2.weight").T),
+            w_key=_linear(g, f"{p}.time_mix_key.weight", dtype),
+            w_value=_linear(g, f"{p}.time_mix_value.weight", dtype),
+            w_recept=_linear(g, f"{p}.time_mix_receptance.weight", dtype),
+            w_gate=_linear(g, f"{p}.time_mix_gate.weight", dtype),
+            w_out=_linear(g, f"{p}.time_mix_output.weight", dtype),
+            tm_ln_w=jnp.asarray(t32(f"{p}.time_mix_ln.weight")),
+            tm_ln_b=jnp.asarray(t32(f"{p}.time_mix_ln.bias")),
+            cm_lerp_k=jnp.asarray(
+                t32(f"{p}.channel_mix_lerp_k.weight").reshape(e)),
+            cm_lerp_r=jnp.asarray(
+                t32(f"{p}.channel_mix_lerp_r.weight").reshape(e)),
+            cm_key=_linear(g, f"{p}.channel_mix_key.weight", dtype),
+            cm_value=_linear(g, f"{p}.channel_mix_value.weight", dtype),
+            cm_recept=_linear(g, f"{p}.channel_mix_receptance.weight", dtype),
+        ))
+    embed = jnp.asarray(g.tensor("token_embd.weight").astype(np.float32), dtype)
+    if "output.weight" in g.tensors:
+        lm_head = _linear(g, "output.weight", dtype)
+    else:
+        lm_head = DenseLinear(w=embed.T)
+    weights = Rwkv6Weights(
+        embed=embed,
+        tok_norm_w=jnp.asarray(t32("token_embd_norm.weight")),
+        tok_norm_b=jnp.asarray(t32("token_embd_norm.bias")),
+        layers=layers,
+        final_norm_w=jnp.asarray(t32("output_norm.weight")),
+        final_norm_b=jnp.asarray(t32("output_norm.bias")),
         lm_head=lm_head,
     )
     md = dict(g.metadata)

@@ -208,6 +208,8 @@ class Vocab:
                 if is_first and self.add_space_prefix and raw and raw[0] != " ":
                     raw = " " + raw
                 out.extend(self._encode_ugm(raw))
+            elif self.model == "rwkv":
+                out.extend(self._encode_rwkv(frag))
             else:
                 raise NotImplementedError(f"tokenizer model {self.model!r}")
             is_first = False
@@ -305,6 +307,32 @@ class Vocab:
             if t == self.unk_id and out and out[-1] == self.unk_id:
                 continue
             out.append(t)
+        return out
+
+    def _encode_rwkv(self, text: str) -> list[int]:
+        """RWKV world tokenizer (llm_tokenizer_rwkv): greedy longest-match
+        against the raw token strings."""
+        if not hasattr(self, "_rwkv_maxlen"):
+            self._rwkv_maxlen = max((len(t) for t in self.tokens if t),
+                                    default=1)
+        out: list[int] = []
+        i = 0
+        n = len(text)
+        while i < n:
+            end = min(n, i + self._rwkv_maxlen)
+            tid = None
+            while end > i:
+                tid = self._token_to_id.get(text[i:end])
+                if tid is not None:
+                    break
+                end -= 1
+            if tid is None:
+                if self.unk_id >= 0:
+                    out.append(self.unk_id)
+                i += 1
+            else:
+                out.append(tid)
+                i = end
         return out
 
     def _split_specials(self, text: str):

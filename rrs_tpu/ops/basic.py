@@ -23,6 +23,22 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-6) -> jnp.ndar
     return (x * weight.astype(jnp.float32)).astype(dt)
 
 
+def layer_norm(x: jnp.ndarray, weight=None, bias=None,
+               eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm (GGML_OP_NORM / build_norm LLM_NORM path; RWKV uses this
+    with bias, and ggml_norm without affine for the wkv group norm)."""
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    if weight is not None:
+        y = y * weight.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(dt)
+
+
 def swiglu(gate: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
 

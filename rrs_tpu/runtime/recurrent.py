@@ -32,8 +32,15 @@ class RecurrentCache:
                  dtype=jnp.bfloat16):
         self.cfg = cfg
         self.max_seq = max_seq
-        shape_c = (n_lanes, cfg.ssm_d_conv - 1, cfg.ssm_d_inner)
-        shape_s = (n_lanes, cfg.ssm_d_inner, cfg.ssm_d_state)
+        if cfg.rwkv_head_size > 0:
+            # RWKV6: .conv holds the token-shift pair [2, E]; .ssm holds the
+            # wkv linear-attention state [H, D, D]
+            h = cfg.n_embd // cfg.rwkv_head_size
+            shape_c = (n_lanes, 2, cfg.n_embd)
+            shape_s = (n_lanes, h, cfg.rwkv_head_size, cfg.rwkv_head_size)
+        else:
+            shape_c = (n_lanes, cfg.ssm_d_conv - 1, cfg.ssm_d_inner)
+            shape_s = (n_lanes, cfg.ssm_d_inner, cfg.ssm_d_state)
         self.conv = [jnp.zeros(shape_c, dtype) for _ in range(cfg.n_layers)]
         self.ssm = [jnp.zeros(shape_s, jnp.float32) for _ in range(cfg.n_layers)]
         self.lengths = [0] * n_lanes
@@ -135,6 +142,11 @@ class RecurrentContext:
 
     @staticmethod
     def _step(cfg, weights, tokens, active, conv_states, ssm_states):
+        if cfg.rwkv_head_size > 0:
+            from rrs_tpu.models import rwkv6 as rwkv_model
+
+            return rwkv_model.forward(cfg, weights, tokens, conv_states,
+                                      ssm_states, active=active)
         logits, nc, ns = mamba_model.forward(
             cfg, weights, tokens, conv_states, ssm_states, active=active)
         return logits, nc, ns
@@ -206,7 +218,7 @@ class RecurrentContext:
             self.prefill(seq, tokens)
             # pool over nothing useful for recurrent: use final ssm state mean
             lane = self.kv.lane_of(seq)
-            v = np.asarray(self.kv.ssm[-1][lane]).mean(axis=-1)
+            v = np.asarray(self.kv.ssm[-1][lane]).mean(axis=-1).reshape(-1)
         finally:
             self.kv.seq_rm(seq)
         return v.astype(np.float32)
