@@ -145,6 +145,7 @@ _DEQUANT = {
     GGMLType.Q4_K: dequantize_q4_k,
     GGMLType.Q5_K: dequantize_q5_k,
     GGMLType.Q6_K: dequantize_q6_k,
+    GGMLType.MXFP4: lambda raw, n: dequantize_mxfp4(raw, n),
 }
 
 
@@ -176,3 +177,50 @@ def dequantize(raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> 
     if fn is None:
         raise NotImplementedError(f"no dequantizer for {ggml_type!r}")
     return fn(raw, n).reshape(shape)
+
+
+_MXFP4_KVALUES = np.array(
+    [0, 1, 2, 3, 4, 6, 8, 12, 0, -1, -2, -3, -4, -6, -8, -12], np.int8)
+
+
+def dequantize_mxfp4(raw: np.ndarray, n: int) -> np.ndarray:
+    """MXFP4 (block_mxfp4: uint8 E8M0 scale + 16 B of e2m1 nibbles per 32
+    elems; dequantize_row_mxfp4, ggml-quants.c:421-439). Scale is
+    e8m0_to_fp32_half (the fp4 values are doubled)."""
+    blocks = np.frombuffer(np.ascontiguousarray(raw).tobytes(),
+                           np.uint8).reshape(-1, 17)
+    e = blocks[:, 0].astype(np.int64)
+    # e8m0_to_fp32_half: 2^(e-128) for e>=2; denormal patterns for e<2
+    bits = np.where(e < 2, np.uint32(0x00200000) << e,
+                    (e - 1).astype(np.uint32) << 23).astype(np.uint32)
+    d = bits.view(np.float32)
+    qs = blocks[:, 1:]
+    lo = _MXFP4_KVALUES[qs & 0x0F].astype(np.float32)
+    hi = _MXFP4_KVALUES[qs >> 4].astype(np.float32)
+    out = np.concatenate([lo, hi], axis=1) * d[:, None]
+    return out.reshape(-1)[:n]
+
+
+def quantize_mxfp4(x: np.ndarray) -> np.ndarray:
+    """Inverse codec (round-to-nearest against the e2m1 value table with a
+    per-32-block power-of-two shared scale, quantize_row_mxfp4 semantics)."""
+    x = np.asarray(x, np.float32).reshape(-1, 32)
+    nb = x.shape[0]
+    amax = np.abs(x).max(axis=1)
+    # smallest power-of-two d with amax <= 12*d (the table's max magnitude):
+    # e8m0_half gives d = 2^(e-128), so e = 128 + ceil(log2(amax/12))
+    with np.errstate(divide="ignore"):
+        e = np.ceil(np.log2(np.maximum(amax, 1e-38) / 12.0)).astype(np.int64) + 128
+    e = np.clip(e, 1, 254).astype(np.uint8)
+    bits = np.where(e < 2, np.uint32(0x00200000) << e.astype(np.int64),
+                    (e.astype(np.int64) - 1).astype(np.uint32) << 23).astype(np.uint32)
+    d = bits.view(np.float32)
+    vals = _MXFP4_KVALUES.astype(np.float32)
+    scaled = x / np.maximum(d, 1e-38)[:, None]
+    idx = np.abs(scaled[:, :, None] - vals[None, None, :]).argmin(axis=2)
+    lo = idx[:, :16].astype(np.uint8)
+    hi = idx[:, 16:].astype(np.uint8)
+    out = np.empty((nb, 17), np.uint8)
+    out[:, 0] = e
+    out[:, 1:] = lo | (hi << 4)
+    return out.reshape(-1)

@@ -252,11 +252,17 @@ GROUP_SIZE_ = 32
 
 @jax.custom_vjp
 def _tcq4_apply(x2: jnp.ndarray, qs: jnp.ndarray, eff: jnp.ndarray):
-    """Full W4A4 pipeline (rotate -> quantize -> fused matmul) with a
+    """Full W4A4 pipeline (rotate -> quantize -> matmul) with a
     straight-through backward: the quantizers are treated as identity and
     dL/dx = rotate(g @ W_deq^T) (H is symmetric + self-inverse). Training
     through frozen quantized layers needs this; inference never calls the
-    bwd."""
+    bwd.
+
+    NOTE: tcq4_matmul_fused (rotation inside the kernel) measured 10x SLOWER
+    end-to-end — interleaving a second MXU dot (the Hadamard) with the
+    weight dot per superblock stalls the pipeline, same signature as the
+    int8 group-dot kernel. XLA-side rotation + ONE dot per superblock wins.
+    """
     rot = rotate_activations(x2, None)
     a_q, a_s = quantize_activations_rrs(rot)
     a = dequantize_activations_rrs(a_q, a_s)

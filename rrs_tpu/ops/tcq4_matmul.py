@@ -136,6 +136,90 @@ def tcq4_matmul_a8(
 
 
 # ---------------------------------------------------------------------------
+# Fully-fused kernel: FWHT rotation + activation int4 quant + matmul in one
+# pallas call (the reference's fused activation pipeline, tcq4_k32.cu:71-277
+# + fused GEMV — FWHT is recomputed per weight tile, like the CUDA kernel)
+# ---------------------------------------------------------------------------
+
+def _kernel_fused(x_ref, had_ref, qs_ref, eff_ref, out_ref, *, bm, bn, bk,
+                  nsb_total):
+    had = had_ref[...]                                        # [256, 256] f32
+    acc = jnp.zeros((bm, bn), jnp.float32)
+    for sb in range(bk // TILE_K):
+        x_sb = x_ref[:, sb * TILE_K:(sb + 1) * TILE_K].astype(jnp.float32)
+        rot = jax.lax.dot_general(
+            x_sb, had, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [bm, 256]
+        amax = jnp.max(jnp.abs(rot), axis=-1, keepdims=True)
+        amax = jnp.where(amax < 1e-10, 1.0, amax)
+        a = jnp.clip(jnp.rint(rot * (7.0 / amax)), -7, 7) * (amax / 7.0)
+
+        w_q = _unpack_w4(qs_ref[sb * (TILE_K // 2):(sb + 1) * (TILE_K // 2), :])
+        e = eff_ref[sb * GROUPS:(sb + 1) * GROUPS, :]
+        w32 = (w_q.astype(jnp.float32).reshape(GROUPS, GROUP_SIZE, bn)
+               * e[:, None, :]).reshape(TILE_K, bn)
+        acc += jax.lax.dot_general(
+            a.astype(jnp.bfloat16), w32.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        out_ref[...] = jnp.zeros((bm, bn), jnp.float32)
+
+    out_ref[...] += acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bn", "bm", "bk", "interpret")
+)
+def tcq4_matmul_fused(
+    x: jnp.ndarray,         # [M, K] UNROTATED activations
+    had: jnp.ndarray,       # [256, 256] f32 normalized Hadamard
+    qs: jnp.ndarray,        # uint8 [K//2, N]
+    eff: jnp.ndarray,       # f32 [K//32, N]
+    *,
+    bn: int = 0,
+    bm: int = 128,
+    bk: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """C = rrs_quant(fwht(x)) @ dequant(w) in ONE kernel. f32 [M, N]."""
+    m, k = x.shape
+    n = qs.shape[1]
+    assert k % TILE_K == 0 and qs.shape[0] == k // 2, (x.shape, qs.shape)
+    if bn == 0:
+        bn = _pick_bn(n)
+    bn = min(bn, n)
+    assert n % bn == 0, (n, bn)
+    bm = m if m < 8 else min(bm, _round_up(m, 8))
+    if bk == 0:
+        bk = _pick_bk(k, bn)
+    assert bk % TILE_K == 0 and k % bk == 0, (k, bk)
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    grid = (n // bn, m_pad // bm, k // bk)
+    out = pl.pallas_call(
+        functools.partial(_kernel_fused, bm=bm, bn=bn, bk=bk,
+                          nsb_total=k // TILE_K),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, s: (j, s), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_K, TILE_K), lambda i, j, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda i, j, s: (s, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // GROUP_SIZE, bn), lambda i, j, s: (s, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, s: (j, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        interpret=interpret,
+    )(x, had, qs, eff)
+    return out[:m]
+
+
+# ---------------------------------------------------------------------------
 # Prefill kernel: in-VMEM dequant + bf16 (or f32-HIGHEST) MXU matmul
 # ---------------------------------------------------------------------------
 

@@ -113,3 +113,35 @@ def test_tcq4_dispatch_through_kquants():
     deq = kquants.dequantize(blob, GGMLType.TCQ4_K32, (8, 256))
     rel = np.linalg.norm(deq - w) / np.linalg.norm(w)
     assert rel < 0.12, rel
+
+
+def test_mxfp4_roundtrip():
+    """MXFP4 codec (dequantize_row_mxfp4 semantics): values drawn from the
+    e2m1 table times a power-of-two block scale round-trip exactly."""
+    from rrs_tpu.formats.kquants import (_MXFP4_KVALUES, dequantize,
+                                         dequantize_mxfp4, quantize_mxfp4)
+    from rrs_tpu.gguf.constants import GGMLType
+
+    rng = np.random.default_rng(0)
+    nb = 8
+    idx = rng.integers(0, 16, (nb, 32))
+    scales = 2.0 ** rng.integers(-6, 6, nb).astype(np.float64)
+    x = (_MXFP4_KVALUES[idx].astype(np.float64)
+         * scales[:, None]).astype(np.float32)
+    raw = quantize_mxfp4(x)
+    back = dequantize_mxfp4(raw, x.size).reshape(nb, 32)
+    np.testing.assert_allclose(back, x, rtol=0, atol=0)
+    # registered in the generic dispatcher
+    via = dequantize(raw, GGMLType.MXFP4, (nb, 32))
+    np.testing.assert_allclose(via, x)
+
+
+def test_mxfp4_error_bounded():
+    from rrs_tpu.formats.kquants import dequantize_mxfp4, quantize_mxfp4
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((4, 32)).astype(np.float32)
+    back = dequantize_mxfp4(quantize_mxfp4(x), x.size).reshape(4, 32)
+    err = np.abs(back - x).max(axis=1)
+    amax = np.abs(x).max(axis=1)
+    assert (err <= amax * 0.35).all(), err / amax

@@ -1,5 +1,6 @@
 """Pallas TCQ4 matmul vs the integer oracle (test-backend-ops / test-imma-micro analog)."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -98,3 +99,34 @@ def test_a8_kernel_multi_kblock():
         jnp.asarray(a_q), jnp.asarray(a_s), jnp.asarray(qs), jnp.asarray(eff),
         bn=128, bk=512, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_fused_kernel_matches_pipeline():
+    """tcq4_matmul_fused == rotate + quantize + tcq4_matmul (fast mode) up
+    to bf16 dot rounding; rotation numerics differ (in-kernel f32 dot vs the
+    HIGH-precision einsum) by less than the int4 quantization step."""
+    import jax.numpy as jnp
+    from rrs_tpu.formats.fwht import RRS_BLOCK, hadamard_matrix
+    from rrs_tpu.formats.tcq4 import (dequantize_activations_rrs,
+                                      quantize_activations_rrs)
+    from rrs_tpu.models.linear import rotate_activations
+    from rrs_tpu.ops.tcq4_matmul import tcq4_matmul, tcq4_matmul_fused
+
+    rng = np.random.default_rng(21)
+    m, k, n = 3, 512, 128
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    qs = rng.integers(0, 256, (k // 2, n), dtype=np.uint8)
+    eff = (rng.random((k // 32, n), dtype=np.float32) * 0.02 + 1e-3)
+    had = jnp.asarray(hadamard_matrix(RRS_BLOCK), jnp.float32)
+
+    fused = np.asarray(tcq4_matmul_fused(
+        jnp.asarray(x), had, jnp.asarray(qs), jnp.asarray(eff),
+        bn=128, interpret=True))
+
+    rot = rotate_activations(jnp.asarray(x), None,
+                             precision=jax.lax.Precision.HIGHEST)
+    a_q, a_s = quantize_activations_rrs(rot)
+    a = dequantize_activations_rrs(a_q, a_s)
+    want = np.asarray(tcq4_matmul(a, jnp.asarray(qs), jnp.asarray(eff),
+                                  bn=128, interpret=True))
+    np.testing.assert_allclose(fused, want, rtol=2e-2, atol=2e-2)
