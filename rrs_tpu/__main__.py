@@ -39,9 +39,18 @@ def main(argv=None):
 
     pp = sub.add_parser("perplexity", help="windowed NLL perplexity on a text file")
     pp.add_argument("--model", "-m", required=True)
-    pp.add_argument("--file", "-f", required=True)
+    pp.add_argument("--file", "-f", default=None)
     pp.add_argument("--n-ctx", type=int, default=512)
     pp.add_argument("--max-chunks", type=int, default=0)
+    pp.add_argument("--multiple-choice", default=None, metavar="JSON",
+                    help="JSON file of {prompt, choices, answer} tasks "
+                         "(hellaswag/MMLU-style accuracy)")
+    pp.add_argument("--kl-divergence-base", default=None, metavar="NPZ",
+                    help=".npz with 'tokens' + 'logits' from a base model; "
+                         "prints KL(base||model) stats")
+    pp.add_argument("--save-logits", default=None, metavar="NPZ",
+                    help="save this model's tokens+logits for later "
+                         "--kl-divergence-base comparison")
 
     q = sub.add_parser("quantize", help="requantize a GGUF model to TCQ4_K32")
     q.add_argument("src")
@@ -291,13 +300,42 @@ def cmd_generate(args):
 
 
 def cmd_perplexity(args):
-    from rrs_tpu.tools.perplexity import compute_perplexity
+    import json
+
+    import numpy as np
+
+    from rrs_tpu.tools.perplexity import (compute_perplexity, kl_divergence,
+                                          multiple_choice_score)
 
     cfg, vocab, ctx = _load(args.model, max_seq=args.n_ctx)
+    if args.multiple_choice:
+        tasks = json.load(open(args.multiple_choice))
+        acc, picks = multiple_choice_score(ctx, vocab, tasks)
+        print(f"multiple-choice accuracy = {acc:.4f} over {len(tasks)} tasks")
+        return
+    if args.kl_divergence_base:
+        z = np.load(args.kl_divergence_base)
+        r = kl_divergence(ctx, z["logits"], [int(t) for t in z["tokens"]])
+        print(f"KL(base||model): mean={r['mean_kl']:.6f} "
+              f"max={r['max_kl']:.4f} same_top={r['same_top_rate']:.2%} "
+              f"over {r['n_pos']} positions")
+        return
+    if not args.file:
+        raise SystemExit("need --file, --multiple-choice, or "
+                         "--kl-divergence-base")
     text = open(args.file, encoding="utf-8").read()
     tokens = vocab.encode(text, add_special=False)
     if args.max_chunks:
         tokens = tokens[: args.max_chunks * args.n_ctx]
+    if args.save_logits:
+        toks = tokens[: args.n_ctx]
+        seq = ctx.new_sequence()
+        logits = ctx.prefill(seq, toks)
+        ctx.kv.seq_rm(seq)
+        np.savez_compressed(args.save_logits, tokens=np.asarray(toks),
+                            logits=logits.astype(np.float16))
+        print(f"saved {logits.shape} logits -> {args.save_logits}")
+        return
     res = compute_perplexity(ctx, tokens, n_ctx=args.n_ctx, progress=True)
     print(f"Final PPL = {res.ppl:.4f} over {res.n_tokens} tokens")
 

@@ -68,3 +68,72 @@ def compute_perplexity(
         n_tokens=count,
         per_chunk=per_chunk,
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiple-choice scoring + KL divergence (perplexity.cpp: hellaswag_score
+# :800+, winogrande_score, multiple_choice_score (MMLU), kl_divergence :1700+)
+# ---------------------------------------------------------------------------
+
+def score_choice(ctx, prefix_tokens: list[int], choice_tokens: list[int]) -> float:
+    """Total logprob of ``choice_tokens`` given ``prefix_tokens`` (the
+    common-prefix scoring core of hellaswag/winogrande/MMLU evaluators)."""
+    toks = prefix_tokens + choice_tokens
+    seq = ctx.new_sequence()
+    try:
+        logits = ctx.prefill(seq, toks)
+    finally:
+        ctx.kv.seq_rm(seq)
+    lp = 0.0
+    for i in range(len(prefix_tokens) - 1, len(toks) - 1):
+        lp += _log_softmax_row(logits[i], toks[i + 1])
+    return lp
+
+
+def multiple_choice_score(ctx, vocab, tasks, normalize_length: bool = True):
+    """tasks: [{"prompt": str, "choices": [str...], "answer": int}].
+    Returns (accuracy, per-task picks). Length-normalized logprob scoring
+    (the hellaswag convention)."""
+    n_correct = 0
+    picks = []
+    for task in tasks:
+        prefix = vocab.encode(task["prompt"], add_special=True)
+        best, best_score = -1, -1e30
+        for ci, choice in enumerate(task["choices"]):
+            ctoks = vocab.encode(choice, add_special=False)
+            if not ctoks:
+                continue
+            s = score_choice(ctx, prefix, ctoks)
+            if normalize_length:
+                s /= len(ctoks)
+            if s > best_score:
+                best, best_score = ci, s
+        picks.append(best)
+        if best == int(task["answer"]):
+            n_correct += 1
+    return n_correct / max(len(tasks), 1), picks
+
+
+def kl_divergence(ctx, base_logits_per_pos: "np.ndarray", tokens: list[int],
+                  n_ctx: int = 512):
+    """Mean KL(base || model) over positions + same-top-token rate, given
+    the base model's full logits [T, V] (the --kl-divergence-base flow)."""
+    seq = ctx.new_sequence()
+    try:
+        logits = ctx.prefill(seq, tokens[: base_logits_per_pos.shape[0]])
+    finally:
+        ctx.kv.seq_rm(seq)
+    n = min(logits.shape[0], base_logits_per_pos.shape[0])
+    kls = []
+    same_top = 0
+    for i in range(n):
+        p = base_logits_per_pos[i].astype(np.float64)
+        q = logits[i].astype(np.float64)
+        p = p - p.max()
+        q = q - q.max()
+        lp = p - np.log(np.exp(p).sum())
+        lq = q - np.log(np.exp(q).sum())
+        kls.append(float((np.exp(lp) * (lp - lq)).sum()))
+        same_top += int(p.argmax() == q.argmax())
+    return {"mean_kl": float(np.mean(kls)), "max_kl": float(np.max(kls)),
+            "same_top_rate": same_top / max(n, 1), "n_pos": n}

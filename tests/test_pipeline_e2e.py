@@ -76,3 +76,35 @@ def test_quantize_load_run_and_ppl_delta(model_files):
     ppl_q = compute_perplexity(ctx_q, toks, n_ctx=64).ppl
     # random model on random tokens: ppl ~ vocab_size; quant must stay close
     assert abs(np.log(ppl_q) - np.log(ppl_f)) < 0.15, (ppl_f, ppl_q)
+
+
+def test_multiple_choice_and_kl(model_files):
+    """hellaswag/MMLU-style choice scoring + KL divergence evaluators."""
+    import numpy as np
+
+    from rrs_tpu.models.loader import load_model
+    from rrs_tpu.runtime.context import InferenceContext
+    from rrs_tpu.tools.perplexity import kl_divergence, multiple_choice_score
+
+    d, src = model_files
+    cfg, weights, md = load_model(src)
+    ctx = InferenceContext(cfg, weights, n_lanes=1, max_seq=128)
+
+    class CharVocab:
+        def encode(self, text, add_special=False):
+            return [ord(c) % cfg.vocab_size for c in text]
+
+    vocab = CharVocab()
+    tasks = [{"prompt": "ab", "choices": ["cd", "ef"], "answer": 0},
+             {"prompt": "gh", "choices": ["ij", "kl", "mn"], "answer": 2}]
+    acc, picks = multiple_choice_score(ctx, vocab, tasks)
+    assert 0.0 <= acc <= 1.0 and len(picks) == 2
+    assert all(p in (0, 1, 2) for p in picks)
+
+    toks = vocab.encode("abcdefgh")
+    seq = ctx.new_sequence()
+    base = ctx.prefill(seq, toks)
+    ctx.kv.seq_rm(seq)
+    r = kl_divergence(ctx, base, toks)
+    # same model vs itself: KL ~ 0, top tokens identical
+    assert r["mean_kl"] < 1e-4 and r["same_top_rate"] == 1.0
