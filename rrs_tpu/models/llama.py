@@ -52,7 +52,7 @@ class LayerWeights:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["embed", "layers", "final_norm", "lm_head"],
+    data_fields=["embed", "layers", "final_norm", "lm_head", "rope_factors"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -61,6 +61,7 @@ class ModelWeights:
     layers: list[LayerWeights]
     final_norm: jnp.ndarray
     lm_head: Any                  # DenseLinear (possibly tied to embed)
+    rope_factors: Any = None      # [rot//2] longrope freq divisors (phi3)
 
 
 def rope_params(cfg: ModelConfig, swa: bool = False) -> RopeParams:
@@ -105,6 +106,7 @@ def attention(
     cache_slots: jnp.ndarray,    # [B, T] int32 cache positions to write
     cap=None,
     li: int = 0,
+    rope_factors=None,
 ):
     b, t, _ = x.shape
     d = cfg.head_dim
@@ -131,8 +133,8 @@ def attention(
         k = rms_norm(k, lw.k_norm, cfg.rms_eps)
 
     if not cfg.no_rope:
-        q = apply_rope(q, positions, rp)
-        k = apply_rope(k, positions, rp)
+        q = apply_rope(q, positions, rp, freq_factors=rope_factors)
+        k = apply_rope(k, positions, rp, freq_factors=rope_factors)
 
     # store new K/V into the kv-head-major cache (ggml_set_rows analog,
     # llama-graph.cpp:1736-1737). Per-lane slots are always a CONTIGUOUS run
@@ -264,7 +266,7 @@ def forward(
         h = rms_norm(x, lw.attn_norm, cfg.rms_eps)
         attn_out, kc, vc = attention(
             cfg, lw, h, positions, k_caches[li], v_caches[li], mask_positions,
-            cache_slots, cap=cap, li=li,
+            cache_slots, cap=cap, li=li, rope_factors=w.rope_factors,
         )
         new_k.append(kc)
         new_v.append(vc)

@@ -158,11 +158,21 @@ def load_model(path: str | Path, dtype=jnp.bfloat16, fuse: bool = True):
     else:
         lm_head = DenseLinear(w=embed.T)  # tied embeddings
 
+    # LongRoPE (phi3): per-dim factor tensors; pick long vs short by trained
+    # context vs original (the cparams n_ctx choice, made at load here)
+    rope_factors = None
+    if "rope_factors_long.weight" in g.tensors:
+        orig = cfg.rope_orig_context or cfg.context_length
+        name = ("rope_factors_long.weight"
+                if cfg.context_length > orig else "rope_factors_short.weight")
+        rope_factors = jnp.asarray(g.tensor(name).astype(np.float32))
+
     weights = ModelWeights(
         embed=embed,
         layers=layers,
         final_norm=_norm(g, "output_norm.weight", dtype),
         lm_head=lm_head,
+        rope_factors=rope_factors,
     )
     md = dict(g.metadata)
     g.close()

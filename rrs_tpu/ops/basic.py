@@ -119,6 +119,7 @@ def apply_rope(
     x: jnp.ndarray,            # [..., T, n_heads, head_dim]
     positions: jnp.ndarray,    # broadcastable to [..., T]
     p: RopeParams,
+    freq_factors=None,         # [rot_dim//2] per-dim divisors (longrope/phi3)
 ) -> jnp.ndarray:
     dt = x.dtype
     rot = p.rot_dim or p.head_dim
@@ -127,6 +128,14 @@ def apply_rope(
     mscale = p.attn_factor
     if p.scaling_type == "yarn" and p.scale_factor != 1.0:
         mscale = p.attn_factor * (1.0 + 0.1 * math.log(p.scale_factor))
+    if freq_factors is not None:
+        # LongRoPE (phi3): per-dimension frequency divisors from the
+        # rope_factors_{long,short} tensors; attention scaled by
+        # sqrt(1 + ln(scale)/ln(orig_ctx)) (ggml_rope_ext freq_factors path)
+        inv_freq = inv_freq / freq_factors.astype(jnp.float32)
+        if p.orig_context > 0 and p.scale_factor > 1.0:
+            mscale = mscale * math.sqrt(
+                1.0 + math.log(p.scale_factor) / math.log(p.orig_context))
 
     angles = positions[..., None].astype(jnp.float32) * inv_freq  # [..., T, rot//2]
     cos = (jnp.cos(angles) * mscale)[..., None, :]                # [..., T, 1, rot//2]

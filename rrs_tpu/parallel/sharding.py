@@ -105,12 +105,15 @@ def weight_pspecs(weights: llama_model.ModelWeights) -> llama_model.ModelWeights
             w_gate=spec_linear(lw.w_gate, col=True),
             w_up=spec_linear(lw.w_up, col=True),
             w_down=spec_linear(lw.w_down, col=False),
+            attn_post_norm=None if lw.attn_post_norm is None else P(None),
+            ffn_post_norm=None if lw.ffn_post_norm is None else P(None),
         ))
     return llama_model.ModelWeights(
         embed=P(None, None),
         layers=layers,
         final_norm=P(None),
         lm_head=spec_linear(weights.lm_head, col=True),
+        rope_factors=None if weights.rope_factors is None else P(None),
     )
 
 

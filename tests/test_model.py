@@ -77,3 +77,28 @@ def test_quantized_model_runs():
     ctx = InferenceContext(cfg, w, n_lanes=1, max_seq=32)
     out = ctx.generate([1, 2, 3], 4, SamplerParams(temperature=0.0))
     assert len(out) == 4
+
+
+def test_longrope_freq_factors():
+    """LongRoPE (phi3): per-dim factors divide frequencies; attention scale
+    boost sqrt(1+ln(s)/ln(orig)) applies when scaled."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rrs_tpu.ops.basic import RopeParams, apply_rope
+
+    d = 16
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 2, 1, d)),
+                    jnp.float32)
+    pos = jnp.asarray([[3, 4]], jnp.int32)
+    p = RopeParams(head_dim=d, theta=10000.0, scale_factor=4.0,
+                   orig_context=2048)
+    base = apply_rope(x, pos, p)
+    factors = jnp.full((d // 2,), 2.0, jnp.float32)
+    scaled = apply_rope(x, pos, p, freq_factors=factors)
+    assert not np.allclose(np.asarray(base), np.asarray(scaled))
+    # factors=1 with scale_factor=1 -> identical to base path
+    p1 = RopeParams(head_dim=d, theta=10000.0)
+    same = apply_rope(x, pos, p1, freq_factors=jnp.ones((d // 2,)))
+    np.testing.assert_allclose(np.asarray(same),
+                               np.asarray(apply_rope(x, pos, p1)), rtol=1e-6)
