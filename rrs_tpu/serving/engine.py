@@ -175,8 +175,14 @@ class Engine:
             slot.retained_seq = -1
             self.ctx.kv.unmark_retained(slot.seq_id)
             if n_common > 0:
-                self.ctx.kv.seq_rm(slot.seq_id, p0=n_common)
-            else:
+                try:
+                    self.ctx.kv.seq_rm(slot.seq_id, p0=n_common)
+                except RuntimeError:
+                    # recurrent/hybrid memory cannot rewind mid-sequence
+                    # (llama_memory_recurrent::seq_rm restriction): only a
+                    # full-prefix match reuses; otherwise start fresh
+                    n_common = 0
+            if n_common == 0:
                 self.ctx.kv.seq_rm(slot.seq_id)
                 slot.seq_id = self.ctx.new_sequence()
             slot.prompt_pos = n_common

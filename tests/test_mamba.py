@@ -150,3 +150,35 @@ def test_mamba_gguf_config():
     assert cfg.is_recurrent
     assert cfg.ssm_d_inner == 3072 and cfg.ssm_d_state == 16
     assert cfg.ssm_dt_rank == 96 and cfg.ssm_d_conv == 4
+
+
+def test_engine_prompt_cache_recurrent_safe():
+    """The engine's prompt-cache reuse must not crash on recurrent memory
+    (no mid-sequence rewind): full-prefix match reuses, mismatch restarts."""
+    import queue
+
+    from rrs_tpu.serving.engine import Engine, GenRequest
+
+    cfg = _cfg()
+    w = mamba_model.random_weights(cfg, seed=9)
+    ctx = RecurrentContext(cfg, w, n_lanes=1, max_seq=128)
+    eng = Engine(ctx)
+    eng.start()
+    try:
+        def run(prompt):
+            q = queue.Queue()
+            eng.submit(GenRequest(
+                prompt_tokens=prompt, max_tokens=2,
+                on_token=lambda t, p, fin, r: q.put((fin, r))))
+            while True:
+                fin, reason = q.get(timeout=120)
+                if fin:
+                    break
+            assert reason in ("stop", "length"), reason
+
+        run([1, 2, 3])
+        run([1, 2, 3, 4, 5])      # extends the retained prefix
+        run([9, 9, 9])            # mismatched -> fresh sequence, no crash
+        run([9, 9])               # shorter than retained -> rewind refused
+    finally:
+        eng.stop()
