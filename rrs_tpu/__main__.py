@@ -91,6 +91,14 @@ def main(argv=None):
     tk.add_argument("--prompt", "-p", required=True)
     tk.add_argument("--ids-only", action="store_true")
 
+    tts = sub.add_parser("tts", help="text-to-speech (OuteTTS + WavTokenizer)")
+    tts.add_argument("--model", "-m", required=True, help="OuteTTS GGUF")
+    tts.add_argument("--model-vocoder", "-mv", required=True,
+                     help="WavTokenizer-dec GGUF")
+    tts.add_argument("--prompt", "-p", required=True)
+    tts.add_argument("--output", "-o", default="output.wav")
+    tts.add_argument("--max-codes", type=int, default=768)
+
     ft = sub.add_parser("finetune", help="finetune a model on a text file")
     ft.add_argument("--model", "-m", required=True)
     ft.add_argument("--file", "-f", required=True)
@@ -185,6 +193,15 @@ def main(argv=None):
         else:
             for i in ids:
                 print(f"{i:>8} -> {vocab.tokens[i]!r}")
+    elif args.cmd == "tts":
+        from rrs_tpu.tts.pipeline import synthesize
+        from rrs_tpu.tts.vocoder import load_vocoder
+        cfg, vocab, ctx = _load(args.model, max_seq=4096)
+        voc = load_vocoder(args.model_vocoder)
+        path, n_codes = synthesize(ctx, vocab, voc, args.prompt,
+                                   max_codes=args.max_codes,
+                                   out_path=args.output)
+        print(f"wrote {path} ({n_codes} audio codes)")
     elif args.cmd == "finetune":
         import numpy as np
         from rrs_tpu.models.export import export_random_gguf  # noqa: F401
