@@ -54,6 +54,8 @@ class InferenceContext:
         self.t_decode_s = 0.0
 
         self._step_fn = jax.jit(functools.partial(self._step, cfg))
+        self._step_last_fn = jax.jit(
+            functools.partial(self._step, cfg, last_only=True))
 
     def perf(self) -> dict:
         """llama_perf_context analog: token counts + throughput."""
@@ -71,7 +73,8 @@ class InferenceContext:
     # -- jitted step -------------------------------------------------------
 
     @staticmethod
-    def _step(cfg, weights, tokens, start_pos, lengths, k_caches, v_caches):
+    def _step(cfg, weights, tokens, start_pos, lengths, k_caches, v_caches,
+              last_only: bool = False):
         """tokens [B, T]; start_pos/lengths [B]. Computes causal mask, runs
         forward, returns (logits, caches). Padded token slots (token == -1)
         are masked out of the cache write by pointing their slot at position
@@ -96,10 +99,16 @@ class InferenceContext:
         logits, nk, nv = llama_model.forward(
             cfg, weights, safe_tokens, pos, k_caches, v_caches, mask_pos, safe_slots
         )
+        if last_only:
+            # serving only consumes the final position; the full [B, T, V]
+            # tensor is GBs at big vocab x chunk x lanes
+            logits = logits[:, -1:, :]
         return logits, nk, nv
 
-    def _run(self, tokens_np: np.ndarray, start_pos_np: np.ndarray):
-        logits, nk, nv = self._step_fn(
+    def _run(self, tokens_np: np.ndarray, start_pos_np: np.ndarray,
+             last_only: bool = False):
+        fn = self._step_last_fn if last_only else self._step_fn
+        logits, nk, nv = fn(
             self.weights,
             jnp.asarray(tokens_np, jnp.int32),
             jnp.asarray(start_pos_np, jnp.int32),
@@ -119,8 +128,11 @@ class InferenceContext:
         self.kv.seq_new(seq_id)
         return seq_id
 
-    def prefill(self, seq_id: int, tokens: list[int]) -> np.ndarray:
-        """Feed prompt tokens; returns logits for every position [T, V]."""
+    def prefill(self, seq_id: int, tokens: list[int],
+                all_logits: bool = True) -> np.ndarray:
+        """Feed prompt tokens; returns logits [T, V] (or just the final
+        position [1, V] with all_logits=False — the serving path, which
+        avoids materializing GBs of [B, chunk, V])."""
         lane = self.kv.lane_of(seq_id)
         b = self.kv.n_lanes
         max_chunk = min(PREFILL_BUCKETS[-1], self.kv.max_seq)
@@ -136,8 +148,14 @@ class InferenceContext:
             import time as _time
 
             t0 = _time.perf_counter()
-            logits = self._run(tok, start)
-            out.append(np.asarray(logits[lane, : len(chunk)]))
+            last = not all_logits and len(chunk) == t
+            logits = self._run(tok, start, last_only=last)
+            if all_logits:
+                out.append(np.asarray(logits[lane, : len(chunk)]))
+            elif last:
+                out = [np.asarray(logits[lane])]
+            else:
+                out = [np.asarray(logits[lane, len(chunk) - 1 : len(chunk)])]
             self.t_prefill_s += _time.perf_counter() - t0
             self.kv.lengths[lane] += len(chunk)
             self.n_prefill_tokens += len(chunk)

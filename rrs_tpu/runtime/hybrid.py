@@ -172,7 +172,8 @@ class HybridContext:
         self.kv.seq_new(seq_id)
         return seq_id
 
-    def prefill(self, seq_id: int, tokens: list[int]) -> np.ndarray:
+    def prefill(self, seq_id: int, tokens: list[int],
+                all_logits: bool = True) -> np.ndarray:
         """Exact-size chunks (recurrent layers advance per real token)."""
         lane = self.kv.lane_of(seq_id)
         b = self.kv.n_lanes
@@ -191,7 +192,8 @@ class HybridContext:
             self.kv.lengths[lane] += step
             self.n_prefill_tokens += step
             i += step
-        return np.concatenate(out, axis=0)
+        res = np.concatenate(out, axis=0)
+        return res if all_logits else res[-1:]
 
     def decode(self, seq_tokens: dict[int, int]) -> dict[int, np.ndarray]:
         b = self.kv.n_lanes

@@ -170,7 +170,8 @@ class RecurrentContext:
         self.kv.seq_new(seq_id)
         return seq_id
 
-    def prefill(self, seq_id: int, tokens: list[int]) -> np.ndarray:
+    def prefill(self, seq_id: int, tokens: list[int],
+                all_logits: bool = True) -> np.ndarray:
         """Chunked prefill. The recurrent state advances exactly one step per
         token, so chunks are EXACT sizes (no padding): PREFILL_CHUNK-sized
         chunks, then power-of-two tail pieces -> at most log2 jit shapes."""
@@ -192,7 +193,8 @@ class RecurrentContext:
             self.kv.lengths[lane] += step
             self.n_prefill_tokens += step
             i += step
-        return np.concatenate(out, axis=0)
+        res = np.concatenate(out, axis=0)
+        return res if all_logits else res[-1:]
 
     def decode(self, seq_tokens: dict[int, int]) -> dict[int, np.ndarray]:
         b = self.kv.n_lanes

@@ -474,7 +474,8 @@ class Engine:
                 logits = self.ctx.prefill_embeds(s.seq_id, payload)
                 self.n_prompt_tokens += payload.shape[0]
             else:
-                logits = self.ctx.prefill(s.seq_id, list(payload) or [0])
+                logits = self.ctx.prefill(s.seq_id, list(payload) or [0],
+                                          all_logits=False)
                 self.n_prompt_tokens += len(payload)
             s.prompt_pos += 1
             done = s.prompt_pos >= len(s.req.segments)
@@ -483,7 +484,7 @@ class Engine:
                 s.prompt_pos : s.prompt_pos + self.PROMPT_CHUNK]
             if not chunk:
                 chunk = [0]  # empty prompt: feed BOS-ish placeholder
-            logits = self.ctx.prefill(s.seq_id, chunk)
+            logits = self.ctx.prefill(s.seq_id, chunk, all_logits=False)
             s.prompt_pos += len(chunk)
             self.n_prompt_tokens += len(chunk)
             done = s.prompt_pos >= len(s.req.prompt_tokens)

@@ -28,13 +28,22 @@ def run_batched_bench(cfg, weights, pp_list, tg_list, pl_list, as_json=False):
                 tokens = jnp.zeros((n_pl, pp), jnp.int32)
                 pos = jnp.arange(pp, dtype=jnp.int32)[None, :].repeat(n_pl, 0)
 
-                prefill = jax.jit(lambda w, t, kc, vc: llama_model.forward(
-                    cfg, w, t, pos, kc, vc, pos, pos))
+                # timed calls use DIFFERENT input values than warmup: the
+                # axon relay caches identical (executable, inputs) runs
+                # (see PERF.md methodology)
+                def _prefill(w, t, kc, vc):
+                    # slice the last-position logits INSIDE jit: the full
+                    # [B, T, V] tensor is GBs at B=16 (HBM OOM otherwise)
+                    logits, nk, nv = llama_model.forward(
+                        cfg, w, t, pos, kc, vc, pos, pos)
+                    return logits[:, -1, :], nk, nv
+
+                prefill = jax.jit(_prefill)
                 out = prefill(weights, tokens, kc, vc)
                 jax.block_until_ready(out[0])
                 t0 = time.time()
-                logits, kc, vc = prefill(weights, tokens, kc, vc)
-                _ = float(logits[:, -1, :].sum())
+                logits, kc, vc = prefill(weights, tokens + 1, kc, vc)
+                _ = float(logits.sum())
                 t_pp = time.time() - t0
 
                 first = jnp.zeros((n_pl,), jnp.int32)
@@ -44,7 +53,7 @@ def run_batched_bench(cfg, weights, pp_list, tg_list, pl_list, as_json=False):
                 toks, _, _, _ = scan(weights, first, pos0, kc, vc)
                 _ = int(toks.sum())
                 t0 = time.time()
-                toks, _, _, _ = scan(weights, first, pos0, kc, vc)
+                toks, _, _, _ = scan(weights, first + 1, pos0, kc, vc)
                 _ = int(toks.sum())
                 t_tg = time.time() - t0
 

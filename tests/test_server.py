@@ -276,7 +276,7 @@ def test_engine_error_rollback(server):
     orig = engine.ctx.prefill
     calls = {"n": 0}
 
-    def boom(seq_id, tokens):
+    def boom(seq_id, tokens, all_logits=True):
         calls["n"] += 1
         raise RuntimeError("injected fault")
 
@@ -296,3 +296,47 @@ def test_engine_error_rollback(server):
     s, d = _req(port, "POST", "/v1/completions",
                 {"prompt": [4, 5], "max_tokens": 2, "temperature": 0.0})
     assert s == 200
+
+
+def test_stress_mixed_endpoints(server):
+    """Thread-safety analog (tests/test-thread-safety.cpp): concurrent
+    completions, embeddings, rerank and metrics hammering one engine."""
+    import random
+
+    port, engine = server
+    errors = []
+
+    def completions(i):
+        s, d = _req(port, "POST", "/v1/completions", {
+            "prompt": [10 + i, 11, 12], "max_tokens": 3, "temperature": 0.0})
+        if s != 200:
+            errors.append(("cmpl", s, d))
+
+    def chat(i):
+        s, d = _req(port, "POST", "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": f"x{i}"}],
+            "max_tokens": 2})
+        if s != 200:
+            errors.append(("chat", s, d))
+
+    def embed(i):
+        s, d = _req(port, "POST", "/v1/embeddings", {"input": f"zz{i}"})
+        if s != 200:
+            errors.append(("emb", s, d))
+
+    def metrics(i):
+        s, d = _req(port, "GET", "/metrics")
+        if s != 200:
+            errors.append(("met", s, d))
+
+    jobs = []
+    rng = random.Random(0)
+    fns = [completions, chat, embed, metrics]
+    for i in range(12):
+        jobs.append(threading.Thread(target=rng.choice(fns), args=(i,)))
+    for t in jobs:
+        t.start()
+    for t in jobs:
+        t.join(timeout=300)
+    assert not errors, errors[:3]
+    assert not any(t.is_alive() for t in jobs)
