@@ -34,8 +34,12 @@ def main():
     jax.block_until_ready(weights.embed)
     log(f"weights ready in {time.time() - t0:.1f}s on {jax.devices()[0]}")
 
+    # long scan: the tunnel adds a 150-450 ms fixed cost per dispatch
+    # (PERF.md methodology), so short windows under-report; 768 steps keeps
+    # it <0.6 ms/step. S=384 matches the baseline context (writes clip at
+    # s-1 after overflow — identical per-step cost, steady-state attention)
     b, s = 1, 384
-    n_steps = 128
+    n_steps = 768
     shape = (b, cfg.n_kv_heads, s, cfg.head_dim)
     k_caches = [jnp.zeros(shape, jnp.bfloat16) for _ in range(cfg.n_layers)]
     v_caches = [jnp.zeros(shape, jnp.bfloat16) for _ in range(cfg.n_layers)]
