@@ -72,9 +72,12 @@ class TCQ4Linear:
         gather = None
         if t.perm is not None:
             gather = jnp.asarray(np.asarray(t.perm, np.int64) % 256, jnp.int32)
+        # eff at bf16: group scales are 25% of the weight stream at f32
+        # (4 B per 32 weights vs 0.5 B/weight); bf16 rounding (<=0.4%) is
+        # far below the int4 quantization noise
         return cls(
             qs=jnp.asarray(t.qs),
-            eff=jnp.asarray(effective_scales(t)),
+            eff=jnp.asarray(effective_scales(t), jnp.bfloat16),
             gather=gather,
             bias=None if bias is None else jnp.asarray(bias),
         )

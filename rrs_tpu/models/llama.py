@@ -400,7 +400,8 @@ def fabricated_tcq4_weights(
         qs = rng.integers(0, 256, (k // 2, n), dtype=np.uint8)
         eff = (rng.random((k // 32, n), dtype=np.float32) * 0.01 + 0.001)
         return TCQ4Linear(
-            qs=jnp.asarray(qs), eff=jnp.asarray(eff), gather=None, bias=None
+            qs=jnp.asarray(qs), eff=jnp.asarray(eff, jnp.bfloat16),
+            gather=None, bias=None
         )
 
     e, hq, hkv, d, f = cfg.n_embd, cfg.n_q_dim, cfg.n_kv_dim, cfg.head_dim, cfg.n_ff

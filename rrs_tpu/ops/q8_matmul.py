@@ -23,7 +23,9 @@ def _kernel(a_ref, q_ref, s_ref, out_ref, *, bm, bn, bk):
     acc = jnp.zeros((bm, bn), jnp.float32)
     for g0 in range(bk // 256):
         q = q_ref[g0 * 256 : (g0 + 1) * 256, :].astype(jnp.bfloat16)
-        s = s_ref[g0 * 8 : (g0 + 1) * 8, :]                     # [8, BN] f32
+        # scales may be stored bf16 (halves their HBM stream); upcast so the
+        # 3D broadcast multiply stays f32 (bf16 3D broadcasts are pathological)
+        s = s_ref[g0 * 8 : (g0 + 1) * 8, :].astype(jnp.float32)
         w = (q.reshape(8, GROUP, bn) * s[:, None, :]).reshape(256, bn)
         acc += jax.lax.dot_general(
             a_ref[:, g0 * 256 : (g0 + 1) * 256].astype(jnp.bfloat16), w,

@@ -68,7 +68,7 @@ def _kernel_a8(aq_ref, ascale_ref, qs_ref, eff_ref, out_ref, *, bm, bn, bk):
     for sb in range(bk // TILE_K):                              # static unroll
         w_q = _unpack_w4(qs_ref[sb * (TILE_K // 2):(sb + 1) * (TILE_K // 2), :]
                          ).astype(jnp.int8)                     # [256, bn]
-        e = eff_ref[sb * GROUPS:(sb + 1) * GROUPS, :]           # [8, bn]
+        e = eff_ref[sb * GROUPS:(sb + 1) * GROUPS, :].astype(jnp.float32)
         a_sb = aq_ref[:, sb * TILE_K:(sb + 1) * TILE_K]         # [bm, 256] i8
         sbacc = jnp.zeros((bm, bn), jnp.float32)
         for g in range(GROUPS):
@@ -155,7 +155,7 @@ def _kernel_fused(x_ref, had_ref, qs_ref, eff_ref, out_ref, *, bm, bn, bk,
         a = jnp.clip(jnp.rint(rot * (7.0 / amax)), -7, 7) * (amax / 7.0)
 
         w_q = _unpack_w4(qs_ref[sb * (TILE_K // 2):(sb + 1) * (TILE_K // 2), :])
-        e = eff_ref[sb * GROUPS:(sb + 1) * GROUPS, :]
+        e = eff_ref[sb * GROUPS:(sb + 1) * GROUPS, :].astype(jnp.float32)
         w32 = (w_q.astype(jnp.float32).reshape(GROUPS, GROUP_SIZE, bn)
                * e[:, None, :]).reshape(TILE_K, bn)
         acc += jax.lax.dot_general(
@@ -228,9 +228,10 @@ def _kernel(a_ref, qs_ref, eff_ref, out_ref, *, bm: int, bn: int, bk: int,
     acc = jnp.zeros((bm, bn), jnp.float32)
     for sb in range(bk // TILE_K):                            # static unroll
         w_q = _unpack_w4(qs_ref[sb * (TILE_K // 2):(sb + 1) * (TILE_K // 2), :])
-        e = eff_ref[sb * GROUPS:(sb + 1) * GROUPS, :]         # [8, bn]
-        # group-scale broadcast in f32 (the bf16 3D broadcast hits a
-        # pathological Mosaic schedule; f32 is fused fine)
+        # upcast the (possibly bf16-stored) group scales BEFORE the 3D
+        # broadcast: any bf16 operand there hits a pathological Mosaic
+        # schedule (3x whole-model regression)
+        e = eff_ref[sb * GROUPS:(sb + 1) * GROUPS, :].astype(jnp.float32)
         w32 = (w_q.astype(jnp.float32).reshape(GROUPS, GROUP_SIZE, bn)
                * e[:, None, :]).reshape(TILE_K, bn)
         a_sb = a_ref[:, sb * TILE_K : (sb + 1) * TILE_K]
@@ -275,7 +276,7 @@ def _pick_bk(k: int, bn: int, vmem_budget: int = 4 * 1024 * 1024) -> int:
     return best
 
 
-def _pick_bn(n: int, limit: int = 2560) -> int:
+def _pick_bn(n: int, limit: int = 1024) -> int:
     """Largest divisor of N that's a multiple of 128 and <= limit."""
     best = 0
     d = 128
@@ -287,7 +288,8 @@ def _pick_bn(n: int, limit: int = 2560) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bn", "bm", "bk", "interpret", "fast")
+    jax.jit, static_argnames=("bn", "bm", "bk", "interpret", "fast",
+                              "vmem_budget")
 )
 def tcq4_matmul(
     a: jnp.ndarray,         # f32 [M, K] dequantized rotated activations
@@ -299,6 +301,7 @@ def tcq4_matmul(
     bk: int = 0,            # 0 => auto (largest divisor of K fitting VMEM)
     interpret: bool = False,
     fast: bool = True,
+    vmem_budget: int = 4 * 1024 * 1024,
 ) -> jnp.ndarray:
     """C = a @ dequant(w). Returns f32 [M, N]."""
     m, k = a.shape
@@ -312,7 +315,7 @@ def tcq4_matmul(
     # (hundreds of tiny non-fusible HLO ops per step otherwise)
     bm = m if m < 8 else min(bm, _round_up(m, 8))
     if bk == 0:
-        bk = _pick_bk(k, bn)
+        bk = _pick_bk(k, bn, vmem_budget)
     assert bk % TILE_K == 0 and k % bk == 0, (k, bk)
 
     m_pad = _round_up(m, bm)
@@ -320,6 +323,11 @@ def tcq4_matmul(
         a = jnp.pad(a, ((0, m_pad - m), (0, 0)))
 
     grid = (n // bn, m_pad // bm, k // bk)
+    kwargs = {}
+    if not interpret:
+        # N/M grid dims are independent; only the K dim accumulates
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"))
     out = pl.pallas_call(
         functools.partial(_kernel, bm=bm, bn=bn, bk=bk, fast=fast),
         grid=grid,
@@ -331,6 +339,7 @@ def tcq4_matmul(
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, s: (j, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
         interpret=interpret,
+        **kwargs,
     )(a, qs, eff)
     return out[:m]
 
