@@ -27,7 +27,8 @@ from rrs_tpu.ops.basic import RopeParams, apply_rope, rms_norm
     jax.tree_util.register_dataclass,
     data_fields=["attn_norm", "wq", "wk", "wv", "wo", "q_norm", "k_norm",
                  "ffn_norm", "w_gate", "w_up", "w_down", "moe", "wqkv",
-                 "w_gateup", "attn_post_norm", "ffn_post_norm"],
+                 "w_gateup", "attn_post_norm", "ffn_post_norm",
+                 "attn_sinks"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -48,6 +49,7 @@ class LayerWeights:
     w_gateup: Any = None              # fused gate|up projection (optional)
     attn_post_norm: Any = None        # gemma2/3 sandwich norm after attn out
     ffn_post_norm: Any = None         # gemma2/3 sandwich norm after FFN
+    attn_sinks: Any = None            # [H] per-head sink logits (gpt-oss)
 
 
 @partial(
@@ -193,23 +195,27 @@ def attention(
 
     scale = cfg.attn_scale if cfg.attn_scale > 0 else 1.0 / np.sqrt(d)
     softcap = cfg.attn_softcap
+    sinks = lw.attn_sinks
     if isinstance(k_cache, tuple):
         if jax.default_backend() == "cpu":
             kd = k_cache[0].astype(jnp.float32) * k_cache[1].transpose(0, 1, 3, 2)
             vd = v_cache[0].astype(jnp.float32) * v_cache[1].transpose(0, 1, 3, 2)
             ctx = fa.attention_ref(q, kd, vd, mask_positions, scale,
-                                   softcap=softcap, window=window)
+                                   softcap=softcap, window=window, sinks=sinks)
         else:
             ctx = fa.flash_attention_q8(
                 q, k_cache[0], k_cache[1], v_cache[0], v_cache[1],
                 mask_positions, scale, softcap=softcap, window=window,
             )
+            if sinks is not None:
+                raise NotImplementedError(
+                    "attention sinks + q8 KV cache not supported together yet")
     elif jax.default_backend() == "cpu":
         ctx = fa.attention_ref(q, k_cache, v_cache, mask_positions, scale,
-                               softcap=softcap, window=window)
+                               softcap=softcap, window=window, sinks=sinks)
     else:
         ctx = fa.flash_attention(q, k_cache, v_cache, mask_positions, scale,
-                                 softcap=softcap, window=window)
+                                 softcap=softcap, window=window, sinks=sinks)
     ctx = ctx.reshape(b, t, cfg.n_heads * d).astype(x.dtype)
 
     _capture(cap, li, "attn_output.weight", ctx)

@@ -150,6 +150,12 @@ def load_model(path: str | Path, dtype=jnp.bfloat16, fuse: bool = True):
             ffn_post_norm=(_norm(g, f"{p}.post_ffw_norm.weight", dtype)
                            if f"{p}.post_ffw_norm.weight" in g.tensors
                            else None),
+            # per-head attention sinks (gpt-oss; soft_max_ext src[4])
+            attn_sinks=(jnp.asarray(
+                g.tensor(f"{p}.attn_sinks.weight").astype(np.float32))
+                if f"{p}.attn_sinks.weight" in g.tensors else
+                (jnp.asarray(g.tensor(f"{p}.attn_sinks").astype(np.float32))
+                 if f"{p}.attn_sinks" in g.tensors else None)),
         ))
 
     embed = jnp.asarray(g.tensor("token_embd.weight").astype(np.float32), dtype)

@@ -42,7 +42,8 @@ def _tile_mask(pos, tq: int, bs: int, s0, s_total: int, window: int):
 
 
 def _flash_inner(pos, q, k, v, acc_ref, m_ref, l_ref, out_ref, *,
-                 tq, g, d, bs, s_total, scale, softcap, window):
+                 tq, g, d, bs, s_total, scale, softcap, window,
+                 sink_ref=None):
     """One S-tile of online softmax. q [TQ*G, D] f32; k/v [BS, D] f32."""
     si = pl.program_id(3)
 
@@ -75,7 +76,15 @@ def _flash_inner(pos, q, k, v, acc_ref, m_ref, l_ref, out_ref, *,
 
     @pl.when(si == pl.num_programs(3) - 1)
     def _():
-        out = acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
+        l_fin = l_ref[...]
+        if sink_ref is not None:
+            # attention sinks: a per-head virtual logit that joins the
+            # softmax denominator only (soft_max_ext src[4] semantics,
+            # ggml-cpu/ops.cpp:5317-5319)
+            sink = jnp.broadcast_to(sink_ref[0][None, :], (tq, g)
+                                    ).reshape(tq * g, 1)
+            l_fin = l_fin + jnp.exp(sink - m_ref[...])
+        out = acc_ref[...] / jnp.maximum(l_fin, 1e-30)
         out_ref[0, 0, :, :, :] = out.reshape(tq, g, d).astype(out_ref.dtype)
 
 
@@ -87,6 +96,17 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, out_ref, acc_ref, m_ref, l_ref,
     _flash_inner(pos_ref[0, 0, :], q, k, v, acc_ref, m_ref, l_ref, out_ref,
                  tq=tq, g=g, d=d, bs=bs, s_total=s_total, scale=scale,
                  softcap=softcap, window=window)
+
+
+def _kernel_sink(pos_ref, q_ref, k_ref, v_ref, sink_ref, out_ref,
+                 acc_ref, m_ref, l_ref,
+                 *, tq, g, d, bs, s_total, scale, softcap, window):
+    q = q_ref[0, 0, :, :, :].reshape(tq * g, d).astype(jnp.float32)
+    k = k_ref[0, 0, :, :].astype(jnp.float32)
+    v = v_ref[0, 0, :, :].astype(jnp.float32)
+    _flash_inner(pos_ref[0, 0, :], q, k, v, acc_ref, m_ref, l_ref, out_ref,
+                 tq=tq, g=g, d=d, bs=bs, s_total=s_total, scale=scale,
+                 softcap=softcap, window=window, sink_ref=sink_ref)
 
 
 def _kernel_q8(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref,
@@ -149,34 +169,43 @@ def flash_attention(
     tq: int = 0,             # q-tile length (0 => min(T, 256))
     interpret: bool = False,
     window: int = 0,         # >0: sliding window over a ring cache (iSWA)
+    sinks=None,              # [H] per-head attention-sink logits (gpt-oss)
 ) -> jnp.ndarray:
     hkv, s = k_cache.shape[1], k_cache.shape[2]
     q5, pos3, b, t, t_pad, g, d, tq = _common(q, positions, hkv, s, tq)
     bs = _pick_bs(s)
     grid = (b, hkv, t_pad // tq, s // bs)
+    in_specs = [
+        pl.BlockSpec((1, 1, tq), lambda b, h, i, si: (b, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tq, g, d), lambda b, h, i, si: (b, h, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bs, d), lambda b, h, i, si: (b, h, si, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bs, d), lambda b, h, i, si: (b, h, si, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [pos3, q5, k_cache, v_cache]
+    kern = _kernel
+    if sinks is not None:
+        kern = _kernel_sink
+        in_specs.append(pl.BlockSpec((1, g), lambda b, h, i, si: (h, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(sinks, jnp.float32).reshape(hkv, g))
     out = pl.pallas_call(
         functools.partial(
-            _kernel, tq=tq, g=g, d=d, bs=bs, s_total=s, scale=scale,
+            kern, tq=tq, g=g, d=d, bs=bs, s_total=s, scale=scale,
             softcap=softcap, window=window,
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, tq), lambda b, h, i, si: (b, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tq, g, d), lambda b, h, i, si: (b, h, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bs, d), lambda b, h, i, si: (b, h, si, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bs, d), lambda b, h, i, si: (b, h, si, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, tq, g, d),
                                lambda b, h, i, si: (b, h, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hkv, t_pad, g, d), q.dtype),
         scratch_shapes=_scratch(tq, g, d),
         interpret=interpret,
-    )(pos3, q5, k_cache, v_cache)
+    )(*args)
     return out.transpose(0, 2, 1, 3, 4).reshape(b, t_pad, q.shape[2], d)[:, :t]
 
 
@@ -229,7 +258,7 @@ def flash_attention_q8(
 
 
 def attention_ref(q, k_cache, v_cache, positions, scale, softcap=0.0,
-                  window: int = 0):
+                  window: int = 0, sinks=None):
     """jnp oracle with identical semantics (the naive build_attn_mha path).
     Caches are [B, Hkv, S, D]."""
     b, t, h, d = q.shape
@@ -249,7 +278,13 @@ def attention_ref(q, k_cache, v_cache, positions, scale, softcap=0.0,
     else:
         mask = kv_pos[None, None, :] <= positions[:, :, None]   # [B, T, S]
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1)
+    m = scores.max(axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    l = e.sum(axis=-1, keepdims=True)
+    if sinks is not None:
+        sk = jnp.asarray(sinks, jnp.float32).reshape(1, hkv, g, 1, 1)
+        l = l + jnp.exp(sk - m)
+    probs = e / jnp.maximum(l, 1e-30)
     probs = jnp.where(
         jnp.any(mask[:, None, None, :, :], -1, keepdims=True), probs, 0.0
     )

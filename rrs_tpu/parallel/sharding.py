@@ -107,6 +107,7 @@ def weight_pspecs(weights: llama_model.ModelWeights) -> llama_model.ModelWeights
             w_down=spec_linear(lw.w_down, col=False),
             attn_post_norm=None if lw.attn_post_norm is None else P(None),
             ffn_post_norm=None if lw.ffn_post_norm is None else P(None),
+            attn_sinks=None if lw.attn_sinks is None else P("tp"),
         ))
     return llama_model.ModelWeights(
         embed=P(None, None),

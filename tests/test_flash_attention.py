@@ -115,3 +115,32 @@ def test_flash_s_tiling_matches_ref():
         ref = fa.attention_ref(q, k, v, pos, 0.125, window=window)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4, err_msg=f"w={window}")
+
+
+def test_attention_sinks():
+    """Per-head sink logits join the softmax denominator only (soft_max_ext
+    src[4]; gpt-oss): large sinks shrink outputs toward zero, and the flash
+    kernel matches the oracle."""
+    import jax.numpy as jnp
+
+    from rrs_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(11)
+    b, t, h, hkv, s, d = 1, 4, 4, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    pos = jnp.asarray([[60, 61, 62, 63]], jnp.int32)
+    sinks = jnp.asarray(rng.standard_normal(h), jnp.float32)
+
+    out = fa.flash_attention(q, k, v, pos, 0.125, sinks=sinks, interpret=True)
+    ref = fa.attention_ref(q, k, v, pos, 0.125, sinks=sinks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # a huge sink should absorb (almost) all attention mass
+    big = jnp.full((h,), 40.0, jnp.float32)
+    out_big = fa.attention_ref(q, k, v, pos, 0.125, sinks=big)
+    assert np.abs(np.asarray(out_big)).max() < 1e-3
+    # no sinks != sinks
+    base = fa.attention_ref(q, k, v, pos, 0.125)
+    assert np.abs(np.asarray(base) - np.asarray(ref)).max() > 1e-4
