@@ -149,6 +149,10 @@ def main(argv=None):
                         "(multi-model router)")
     s.add_argument("--mmproj", default=None,
                    help="multimodal projector GGUF (vision input support)")
+    s.add_argument("--model-draft", "-md", default=None,
+                   help="draft model GGUF for server-side speculative decoding")
+    s.add_argument("--draft", type=int, default=4,
+                   help="speculative draft length")
 
     args = p.parse_args(argv)
 

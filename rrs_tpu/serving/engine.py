@@ -69,6 +69,7 @@ class Slot:
     n_prompt: int = 0
     grammar: Optional[object] = None
     mirostat_mu: float = 10.0
+    draft_seq: int = -1               # draft-model sequence (speculative)
     # prompt-cache retention (server_slot prompt cache analog,
     # server-context.cpp:105-121): the lane's KV survives release so the next
     # request with a shared prefix skips re-prefilling it
@@ -82,7 +83,15 @@ class Engine:
 
     PROMPT_CHUNK = 256
 
-    def __init__(self, ctx: InferenceContext):
+    def __init__(self, ctx: InferenceContext, draft_ctx=None, n_draft: int = 4):
+        # server-side speculative decoding (server-context.cpp batch_spec
+        # path): a draft model proposes n tokens, the target verifies them
+        # in one chunked step. Engaged per decode round when exactly one
+        # slot is generating greedily with no grammar/penalties/logprobs.
+        self.draft_ctx = draft_ctx
+        self.n_draft = n_draft
+        self.n_drafted = 0
+        self.n_draft_accepted = 0
         self.ctx = ctx
         self.slots = [Slot(i) for i in range(ctx.kv.n_lanes)]
         self.pending: "queue.Queue[GenRequest]" = queue.Queue()
@@ -151,6 +160,17 @@ class Engine:
         slot.state = SlotState.PROMPT
         slot.req = req
         slot.n_reused = 0
+        if self.draft_ctx is not None:
+            # draft runs the FULL prompt, so target prefix reuse is disabled
+            # in speculative mode (keeps the two caches in lockstep)
+            if slot.retained_seq >= 0:
+                try:
+                    self.ctx.kv.seq_rm(slot.retained_seq)
+                except ValueError:
+                    pass
+                slot.retained_seq = -1
+                slot.cache_tokens = []
+            slot.draft_seq = self.draft_ctx.new_sequence()
         if req.segments is not None and slot.retained_seq >= 0:
             # multimodal prompts skip prefix reuse (chunks aren't tokens)
             try:
@@ -204,6 +224,12 @@ class Engine:
         req = slot.req
         if req and req.on_token:
             req.on_token(None, "", True, reason)
+        if slot.draft_seq >= 0 and self.draft_ctx is not None:
+            try:
+                self.draft_ctx.kv.seq_rm(slot.draft_seq)
+            except ValueError:
+                pass
+            slot.draft_seq = -1
         if slot.seq_id >= 0:
             if getattr(self.ctx.cfg, "any_swa", False):
                 # SWA ring caches can't be safely parked-over while idle;
@@ -485,6 +511,8 @@ class Engine:
             if not chunk:
                 chunk = [0]  # empty prompt: feed BOS-ish placeholder
             logits = self.ctx.prefill(s.seq_id, chunk, all_logits=False)
+            if s.draft_seq >= 0:
+                self.draft_ctx.prefill(s.draft_seq, chunk, all_logits=False)
             s.prompt_pos += len(chunk)
             self.n_prompt_tokens += len(chunk)
             done = s.prompt_pos >= len(s.req.prompt_tokens)
@@ -496,7 +524,68 @@ class Engine:
             if self._emit(s, tok):
                 self._release(s, "stop")
 
+    def _spec_eligible(self, s: Slot) -> bool:
+        p = s.req.params
+        return (self.draft_ctx is not None and s.draft_seq >= 0
+                and p.temperature == 0.0 and s.grammar is None
+                and s.req.n_probs == 0 and p.penalty_repeat == 1.0
+                and not p.penalty_freq and not p.penalty_present
+                and not p.dry_multiplier and not p.mirostat
+                and not self.ctx.cfg.is_recurrent
+                and not self.ctx.cfg.is_hybrid)
+
+    def _decode_step_spec(self, s: Slot) -> None:
+        """One speculative round: draft proposes, target verifies in a single
+        chunked prefill, caches roll back to the accepted length."""
+        import numpy as np
+
+        last = s.generated[-1]
+        lane = self.ctx.kv.lane_of(s.seq_id)
+        l0 = self.ctx.kv.lengths[lane]
+        dlane = self.draft_ctx.kv.lane_of(s.draft_seq)
+        d0 = self.draft_ctx.kv.lengths[dlane]
+
+        proposal = []
+        cur = last
+        for _ in range(self.n_draft):
+            dl = self.draft_ctx.decode({s.draft_seq: cur})[s.draft_seq]
+            cur = int(np.argmax(dl))
+            proposal.append(cur)
+        self.n_drafted += len(proposal)
+
+        logits = self.ctx.prefill(s.seq_id, [last] + proposal)
+        accepted = []
+        for i, p in enumerate(proposal):
+            want = int(np.argmax(logits[i]))
+            accepted.append(want)
+            if want != p:
+                break
+        else:
+            accepted.append(int(np.argmax(logits[len(proposal)])))
+        self.n_draft_accepted += sum(
+            1 for i in range(min(len(accepted), len(proposal)))
+            if accepted[i] == proposal[i])
+
+        # roll both caches back to "everything fed except the newest token":
+        # target keeps l0 + len(accepted); the draft rewinds the whole round
+        # and re-feeds [last] + accepted[:-1] (its own proposals may diverge
+        # after the first rejection)
+        self.ctx.kv.seq_rm(s.seq_id, p0=l0 + len(accepted))
+        self.draft_ctx.kv.seq_rm(s.draft_seq, p0=d0)
+        refeed = [last] + accepted[:-1]
+        if refeed:
+            self.draft_ctx.prefill(s.draft_seq, refeed, all_logits=False)
+        s.last_logits = logits[min(len(accepted) - 1, len(proposal))]
+        for tok in accepted:
+            if self._emit(s, tok):
+                self._release(
+                    s, "stop" if tok in s.req.stop_tokens else "length")
+                return
+
     def _decode_step(self, gen: list) -> None:
+        if len(gen) == 1 and self._spec_eligible(gen[0]):
+            self._decode_step_spec(gen[0])
+            return
         step = {s.seq_id: s.generated[-1] for s in gen}
         out = self.ctx.decode(step)
         for s in gen:

@@ -679,7 +679,14 @@ def serve(args):
     vocab = Vocab.from_gguf(md)
     ctx = make_context(cfg, weights, n_lanes=args.parallel, max_seq=args.ctx,
                            kv_quant=getattr(args, "cache_type", "none"))
-    engine = Engine(ctx)
+    draft_ctx = None
+    if getattr(args, "model_draft", None):
+        dcfg, dweights, _ = load_model(args.model_draft)
+        draft_ctx = make_context(dcfg, dweights, n_lanes=args.parallel,
+                                 max_seq=args.ctx)
+        print(f"speculative decoding with draft {args.model_draft}")
+    engine = Engine(ctx, draft_ctx=draft_ctx,
+                    n_draft=getattr(args, "draft", 4))
     engine.start()
     state = ServerState(cfg, vocab, engine, md, model_name=str(args.model))
     if getattr(args, "mmproj", None):

@@ -340,3 +340,52 @@ def test_stress_mixed_endpoints(server):
         t.join(timeout=300)
     assert not errors, errors[:3]
     assert not any(t.is_alive() for t in jobs)
+
+
+def test_engine_speculative_matches_plain():
+    """Server-side speculative decoding (draft==target here, so every draft
+    accepts) must emit exactly the plain greedy token stream."""
+    import queue as _q
+
+    from rrs_tpu.models.config import PRESETS
+    from rrs_tpu.models.llama import random_weights
+    from rrs_tpu.runtime.context import InferenceContext
+    from rrs_tpu.serving.engine import Engine, GenRequest
+    from rrs_tpu.runtime.sampler import SamplerParams
+
+    cfg = PRESETS["tiny"]
+    w = random_weights(cfg, seed=0)
+
+    def collect(engine, prompt, n):
+        q = _q.Queue()
+        toks = []
+        engine.submit(GenRequest(
+            prompt_tokens=prompt, max_tokens=n,
+            params=SamplerParams(temperature=0.0),
+            on_token=lambda t, p, fin, r: (toks.append(t) if t is not None
+                                           else None, q.put(fin))[1]))
+        while not q.get(timeout=300):
+            pass
+        return toks
+
+    plain_engine = Engine(InferenceContext(cfg, w, n_lanes=1, max_seq=128))
+    plain_engine.start()
+    try:
+        plain = collect(plain_engine, [5, 6, 7], 10)
+    finally:
+        plain_engine.stop()
+
+    spec_engine = Engine(
+        InferenceContext(cfg, w, n_lanes=1, max_seq=128),
+        draft_ctx=InferenceContext(cfg, w, n_lanes=1, max_seq=128),
+        n_draft=3)
+    spec_engine.start()
+    try:
+        spec = collect(spec_engine, [5, 6, 7], 10)
+    finally:
+        spec_engine.stop()
+
+    assert spec == plain, (spec, plain)
+    assert spec_engine.n_drafted > 0
+    # identical models: every verified draft token accepted
+    assert spec_engine.n_draft_accepted == spec_engine.n_drafted
