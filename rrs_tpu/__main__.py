@@ -208,7 +208,6 @@ def main(argv=None):
         print(f"wrote {path} ({n_codes} audio codes)")
     elif args.cmd == "finetune":
         import numpy as np
-        from rrs_tpu.models.export import export_random_gguf  # noqa: F401
         from rrs_tpu.models.loader import load_model
         from rrs_tpu.models.vocab import Vocab
         from rrs_tpu.train.finetune import TrainConfig, make_dataset, train
