@@ -101,6 +101,13 @@ def load_model(path: str | Path, dtype=jnp.bfloat16, fuse: bool = True):
             from rrs_tpu.models.moe import MoEWeights
 
             # GGUF expert tensors: gate/up [E, F, K], down [E, K, F]
+            def _shexp(name):
+                # shared expert (qwen2moe/deepseek: ffn_*_shexp), [N,K]->[K,N]
+                key = f"{p}.ffn_{name}_shexp.weight"
+                if key not in g.tensors:
+                    return None
+                return jnp.asarray(g.tensor(key).astype(np.float32).T, dtype)
+
             moe = MoEWeights(
                 router=jnp.asarray(
                     g.tensor(f"{p}.ffn_gate_inp.weight").astype(np.float32).T, dtype),
@@ -113,6 +120,9 @@ def load_model(path: str | Path, dtype=jnp.bfloat16, fuse: bool = True):
                 down=jnp.asarray(
                     g.tensor(f"{p}.ffn_down_exps.weight").astype(np.float32)
                     .transpose(0, 2, 1), dtype),
+                shared_gate=_shexp("gate"),
+                shared_up=_shexp("up"),
+                shared_down=_shexp("down"),
             )
         wq = _linear(g, f"{p}.attn_q.weight", dtype, f"{p}.attn_q.bias")
         wk = _linear(g, f"{p}.attn_k.weight", dtype, f"{p}.attn_k.bias")

@@ -107,16 +107,20 @@ def save_sequence(ctx, seq_id: int, path: str | Path, tokens=None) -> int:
         "version": STATE_VERSION,
         "fingerprint": _fingerprint(ctx.cfg),
         "n_tokens": n,
-        "tokens": list(tokens) if tokens is not None else None,
+        "tokens": [int(t) for t in tokens] if tokens is not None else None,
     }
     arrays = {"__meta__": np.frombuffer(json.dumps(meta).encode(), np.uint8)}
 
     def deq_lane(c):
+        # iSWA ring layers are smaller than the sequence: save the whole
+        # ring (numpy slicing clamps, but be explicit)
         if isinstance(c, tuple):
             arr, sc = c
-            return np.asarray(arr[lane, :, :n]).astype(np.float32) * \
-                np.asarray(sc[lane, :, 0, :n])[..., None]
-        return np.asarray(c[lane, :, :n]).astype(np.float32)
+            nl = min(n, arr.shape[2])
+            return np.asarray(arr[lane, :, :nl]).astype(np.float32) * \
+                np.asarray(sc[lane, :, 0, :nl])[..., None]
+        nl = min(n, c.shape[2])
+        return np.asarray(c[lane, :, :nl]).astype(np.float32)
 
     for li in range(len(ctx.kv.k)):
         arrays[f"k{li}"] = deq_lane(ctx.kv.k[li])
@@ -140,14 +144,15 @@ def load_sequence(ctx, path: str | Path):
         lane = ctx.kv.lane_of(seq_id)
 
         def req_lane(c, data):
+            nl = data.shape[1]
             if isinstance(c, tuple):
                 arr, sc = c
                 amax = np.maximum(np.abs(data).max(-1), 1e-10)
                 q8 = np.clip(np.rint(data / amax[..., None] * 127), -127, 127)
-                arr = arr.at[lane, :, :n].set(jnp.asarray(q8, jnp.int8))
-                sc = sc.at[lane, :, 0, :n].set(jnp.asarray(amax / 127.0, jnp.float32))
+                arr = arr.at[lane, :, :nl].set(jnp.asarray(q8, jnp.int8))
+                sc = sc.at[lane, :, 0, :nl].set(jnp.asarray(amax / 127.0, jnp.float32))
                 return (arr, sc)
-            return c.at[lane, :, :n].set(jnp.asarray(data, c.dtype))
+            return c.at[lane, :, :nl].set(jnp.asarray(data, c.dtype))
 
         for li in range(len(ctx.kv.k)):
             ctx.kv.k[li] = req_lane(ctx.kv.k[li], z[f"k{li}"])

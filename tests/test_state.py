@@ -64,3 +64,32 @@ def test_mismatched_model_rejected(model, tmp_path):
     ctx2 = InferenceContext(cfg2, w2, n_lanes=1, max_seq=32)
     with pytest.raises(ValueError, match="mismatch"):
         state.load_sequence(ctx2, tmp_path / "seq.npz")
+
+
+def test_seq_state_roundtrip_swa_rings(tmp_path):
+    """Per-sequence save/restore on an iSWA model (ring layers smaller than
+    the sequence) must round-trip without shape errors."""
+    import numpy as np
+
+    from rrs_tpu.models.config import ModelConfig
+    from rrs_tpu.models.llama import random_weights
+    from rrs_tpu.runtime.context import InferenceContext
+    from rrs_tpu.runtime.state import load_sequence, save_sequence
+
+    cfg = ModelConfig(
+        arch="gemma3", n_layers=2, n_embd=128, n_heads=4, n_kv_heads=2,
+        head_dim=32, n_ff=256, vocab_size=128, context_length=512,
+        swa_window=8, swa_pattern=2, qk_norm=True)
+    w = random_weights(cfg, seed=0)
+    ctx = InferenceContext(cfg, w, n_lanes=2, max_seq=2048)
+    assert min(ctx.kv.sizes) < 2048         # a ring layer exists
+    seq = ctx.new_sequence()
+    toks = list(np.random.default_rng(0).integers(0, 128, 40))
+    ctx.prefill(seq, toks)
+
+    p = tmp_path / "seq.npz"
+    save_sequence(ctx, seq, p, tokens=toks)
+    seq2, toks2 = load_sequence(ctx, p)
+    assert toks2 == toks
+    lane2 = ctx.kv.lane_of(seq2)
+    assert ctx.kv.lengths[lane2] == 40
