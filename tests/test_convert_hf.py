@@ -136,3 +136,28 @@ def test_convert_tokenizer_export(tmp_path):
         assert md["tokenizer.ggml.merges"] == ["a b"]
         assert md["tokenizer.ggml.eos_token_id"] == 3
         assert md["tokenizer.chat_template"] == "x{{messages}}"
+
+
+def test_convert_gemma2(tmp_path):
+    """Gemma2: softcaps + sandwich norms + alternating SWA + +1 norms must
+    match the HF forward."""
+    if not hasattr(transformers, "Gemma2ForCausalLM"):
+        pytest.skip("transformers lacks Gemma2")
+    config = transformers.Gemma2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128,
+        query_pre_attn_scalar=16, sliding_window=8,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        tie_word_embeddings=True, attn_implementation="eager",
+    )
+    d, model = _save_tiny(tmp_path, config, transformers.Gemma2ForCausalLM)
+    out = convert_hf_to_gguf(d, tmp_path / "m.gguf")
+    cfg, weights, md = load_model(out, dtype=np.float32, fuse=False)
+    assert cfg.arch == "gemma2"
+    assert cfg.swa_window == 8 and cfg.swa_pattern == 2
+    assert cfg.attn_softcap == 50.0 and cfg.final_softcap == 30.0
+    assert cfg.sandwich_norm and cfg.ffn_act == "gelu"
+    assert abs(cfg.embd_scale - 8.0) < 1e-6          # sqrt(64)
+    # 12-token prompt exceeds the window: SWA masking is exercised
+    _compare_logits(model, cfg, weights, list(range(3, 15)), atol=5e-2)
