@@ -28,19 +28,63 @@ from rrs_tpu.models.config import ModelConfig
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["router", "gate", "up", "down", "shared_gate", "shared_up",
-                 "shared_down"],
+                 "shared_down", "gate_qs", "gate_eff", "up_qs", "up_eff",
+                 "down_qs", "down_eff"],
     meta_fields=[],
 )
 @dataclasses.dataclass
 class MoEWeights:
     router: jnp.ndarray               # [E_dim_in, n_experts] (x @ router)
-    gate: jnp.ndarray                 # [E, K, F]
+    gate: jnp.ndarray                 # [E, K, F] bf16 (None when quantized)
     up: jnp.ndarray                   # [E, K, F]
     down: jnp.ndarray                 # [E, F, K]
     # optional shared expert (qwen2moe-style)
     shared_gate: Optional[jnp.ndarray] = None
     shared_up: Optional[jnp.ndarray] = None
     shared_down: Optional[jnp.ndarray] = None
+    # TCQ4-quantized experts (W4A4 with RRS rotation, 4.625 bpw): the
+    # per-expert analog of TCQ4Linear; used when gate/up/down are None
+    gate_qs: Optional[jnp.ndarray] = None     # uint8 [E, K//2, F]
+    gate_eff: Optional[jnp.ndarray] = None    # bf16 [E, K//32, F]
+    up_qs: Optional[jnp.ndarray] = None
+    up_eff: Optional[jnp.ndarray] = None
+    down_qs: Optional[jnp.ndarray] = None     # uint8 [E, F//2, K]
+    down_eff: Optional[jnp.ndarray] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.gate_qs is not None
+
+
+def quantize_experts(mw: MoEWeights) -> MoEWeights:
+    """Quantize stacked bf16 experts to TCQ4 (load-time; the per-expert
+    analog of TCQ4Linear.from_tensor). Requires K%256==0 and F%8==0 per the
+    tile constraints; raises otherwise (caller falls back to bf16)."""
+    import numpy as np
+
+    from rrs_tpu.formats.tcq4 import effective_scales, quantize_tcq4
+
+    def quant_stack(w):
+        # w [E, K_in, N_out]; the quantizer takes logical [N, K] = w[e].T;
+        # its K-major outputs (qs [K//2, N], eff [K//32, N]) stack to the
+        # [E, K_in//2, N_out] layout _dequant_expert expects
+        qs_l, eff_l = [], []
+        for e in range(w.shape[0]):
+            t = quantize_tcq4(np.asarray(w[e], np.float32).T)
+            qs_l.append(np.asarray(t.qs))
+            eff_l.append(np.asarray(effective_scales(t), np.float32))
+        return (jnp.asarray(np.stack(qs_l)),
+                jnp.asarray(np.stack(eff_l), jnp.bfloat16))
+
+    gate_qs, gate_eff = quant_stack(mw.gate)
+    up_qs, up_eff = quant_stack(mw.up)
+    down_qs, down_eff = quant_stack(mw.down)
+    return dataclasses.replace(
+        mw, gate=None, up=None, down=None,
+        gate_qs=gate_qs, gate_eff=gate_eff,
+        up_qs=up_qs, up_eff=up_eff,
+        down_qs=down_qs, down_eff=down_eff,
+    )
 
 
 def route(cfg: ModelConfig, mw: MoEWeights, x2: jnp.ndarray):
@@ -56,6 +100,33 @@ def route(cfg: ModelConfig, mw: MoEWeights, x2: jnp.ndarray):
     return topi.astype(jnp.int32), topv
 
 
+def _dequant_expert(qs, eff):
+    """[T, k, K//2, F] uint8 (+ eff [T, k, K//32, F]) -> [T, k, K, F] bf16:
+    in-graph dequant of gathered TCQ4 expert tiles (the mul_mat_id analog —
+    only the top-k experts' bytes are in flight). Within each 256-K
+    superblock the low nibbles hold k in [0,128), high in [128,256)."""
+    tt, kk, k2, f = qs.shape
+    nsb = k2 // 128
+    q = qs.astype(jnp.int32).reshape(tt, kk, nsb, 128, f)
+    lo = (q << 28) >> 28
+    hi = (q << 24) >> 28
+    w_q = jnp.concatenate([lo, hi], axis=-2).reshape(
+        tt, kk, nsb * 256, f).astype(jnp.float32)
+    e32 = jnp.repeat(eff.astype(jnp.float32), 32, axis=-2)
+    return (w_q * e32).astype(jnp.bfloat16)
+
+
+def _rotate_quant(x2: jnp.ndarray) -> jnp.ndarray:
+    """RRS-rotate + int4 quant-dequant of activations (per 256-block)."""
+    from rrs_tpu.formats.tcq4 import (dequantize_activations_rrs,
+                                      quantize_activations_rrs)
+    from rrs_tpu.models.linear import rotate_activations
+
+    rot = rotate_activations(x2, None)
+    a_q, a_s = quantize_activations_rrs(rot)
+    return dequantize_activations_rrs(a_q, a_s).astype(jnp.bfloat16)
+
+
 def moe_ffn(cfg: ModelConfig, mw: MoEWeights, x: jnp.ndarray) -> jnp.ndarray:
     """x [B, T, E] -> [B, T, E]."""
     b, t, e = x.shape
@@ -63,7 +134,24 @@ def moe_ffn(cfg: ModelConfig, mw: MoEWeights, x: jnp.ndarray) -> jnp.ndarray:
     topi, topv = route(cfg, mw, x2)
     n_tok = b * t
 
-    if n_tok <= 16:
+    if mw.quantized:
+        # W4A4 experts: gather top-k experts' packed tiles, dequant in-graph
+        # (XLA fuses), run the same RRS activation pipeline as TCQ4Linear
+        a = _rotate_quant(x2)                      # [T, K] rotated-quantized
+        wg = _dequant_expert(jnp.take(mw.gate_qs, topi, axis=0),
+                             jnp.take(mw.gate_eff, topi, axis=0))
+        wu = _dequant_expert(jnp.take(mw.up_qs, topi, axis=0),
+                             jnp.take(mw.up_eff, topi, axis=0))
+        g = jnp.einsum("tk,tekf->tef", a, wg, preferred_element_type=jnp.float32)
+        u = jnp.einsum("tk,tekf->tef", a, wu, preferred_element_type=jnp.float32)
+        act = jax.nn.silu(g) * u                   # [T, k, F] f32
+        a2 = _rotate_quant(act.reshape(-1, act.shape[-1])).reshape(act.shape)
+        wd = _dequant_expert(jnp.take(mw.down_qs, topi, axis=0),
+                             jnp.take(mw.down_eff, topi, axis=0))
+        out = jnp.einsum("tef,tefk->tek", a2, wd,
+                         preferred_element_type=jnp.float32)
+        out = (out * topv[..., None]).sum(1)
+    elif n_tok <= 16:
         # gather path: per-token expert weights from HBM
         wg = jnp.take(mw.gate, topi, axis=0)   # [T, k, K, F]
         wu = jnp.take(mw.up, topi, axis=0)

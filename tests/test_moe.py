@@ -67,3 +67,52 @@ def test_moe_model_end_to_end():
     for t in (2, 3):
         rows.append(ctx3.decode({s3: t})[s3])
     np.testing.assert_array_equal(lg.argmax(-1), np.stack(rows).argmax(-1))
+
+
+def test_quantized_experts_match_dense():
+    """TCQ4-quantized experts track the bf16 MoE within quantization noise,
+    and keep the same routing."""
+    import jax.numpy as jnp
+
+    from rrs_tpu.models.moe import moe_ffn, quantize_experts, route
+
+    cfg = ModelConfig(
+        arch="qwen3moe", n_layers=1, n_embd=256, n_heads=4, n_kv_heads=2,
+        head_dim=64, n_ff=0, vocab_size=64, context_length=64,
+        n_experts=4, n_experts_used=2, n_ff_exp=256, norm_topk_prob=True)
+    rng = np.random.default_rng(0)
+    e, f = cfg.n_embd, cfg.n_ff_exp
+    mw = MoEWeights(
+        router=jnp.asarray(rng.standard_normal((e, 4)) * 0.1, jnp.float32),
+        gate=jnp.asarray(rng.standard_normal((4, e, f)) * 0.05, jnp.float32),
+        up=jnp.asarray(rng.standard_normal((4, e, f)) * 0.05, jnp.float32),
+        down=jnp.asarray(rng.standard_normal((4, f, e)) * 0.05, jnp.float32),
+    )
+    x = jnp.asarray(rng.standard_normal((1, 3, e)) * 0.5, jnp.float32)
+
+    dense = np.asarray(moe_ffn(cfg, mw, x))
+    qmw = quantize_experts(mw)
+    assert qmw.quantized and qmw.gate is None
+    assert qmw.gate_qs.shape == (4, e // 2, f)
+    assert qmw.down_qs.shape == (4, f // 2, e)
+    quant = np.asarray(moe_ffn(cfg, qmw, x))
+
+    # same routing
+    ti_d, _ = route(cfg, mw, x.reshape(-1, e))
+    ti_q, _ = route(cfg, qmw, x.reshape(-1, e))
+    np.testing.assert_array_equal(np.asarray(ti_d), np.asarray(ti_q))
+    # outputs within (doubled) W4A4 noise
+    rel = np.abs(quant - dense).max() / (np.abs(dense).max() + 1e-9)
+    assert rel < 0.45, rel
+    assert np.corrcoef(quant.ravel(), dense.ravel())[0, 1] > 0.93
+
+    # plumbing exactness: the gathered-expert dequant equals the reference
+    # TCQ4 dequant of the same expert matrix
+    from rrs_tpu.models.linear import dequantize_w_jnp
+    from rrs_tpu.models.moe import _dequant_expert
+
+    got_w = np.asarray(_dequant_expert(
+        qmw.gate_qs[jnp.asarray([[0]])], qmw.gate_eff[jnp.asarray([[0]])]
+    ))[0, 0].astype(np.float32)
+    want_w = np.asarray(dequantize_w_jnp(qmw.gate_qs[0], qmw.gate_eff[0]))
+    np.testing.assert_allclose(got_w, want_w, rtol=1e-2, atol=1e-4)
