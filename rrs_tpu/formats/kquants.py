@@ -162,6 +162,13 @@ def dequantize(raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> 
         from rrs_tpu.formats.tile_codec import decode_tcq4_gguf
         from rrs_tpu.formats.tcq4 import dequantize_tcq4
 
+        if len(shape) == 3:       # stacked MoE experts: per-expert payloads
+            per = raw.size // shape[0]
+            return np.stack([
+                dequantize_tcq4(
+                    decode_tcq4_gguf(raw[e * per:(e + 1) * per], shape[1:]),
+                    rotated=False).T.reshape(shape[1:])
+                for e in range(shape[0])])
         t = decode_tcq4_gguf(raw, shape)
         return dequantize_tcq4(t, rotated=False).T.reshape(shape)
     n = 1

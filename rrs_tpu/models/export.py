@@ -47,6 +47,10 @@ def export_random_gguf(
         w.add_uint32(f"{a}.ssm.time_step_rank", cfg.ssm_dt_rank)
     if cfg.swa_window:
         w.add_uint32(f"{a}.attention.sliding_window", cfg.swa_window)
+    if cfg.n_experts:
+        w.add_uint32(f"{a}.expert_count", cfg.n_experts)
+        w.add_uint32(f"{a}.expert_used_count", cfg.n_experts_used)
+        w.add_uint32(f"{a}.expert_feed_forward_length", cfg.n_ff_exp)
     if vocab_tokens is not None:
         w.add_string("tokenizer.ggml.model", "gpt2")
         w.add_array("tokenizer.ggml.tokens", vocab_tokens)
@@ -94,9 +98,18 @@ def export_random_gguf(
             norm(f"{p}.attn_q_norm.weight", d)
             norm(f"{p}.attn_k_norm.weight", d)
         norm(f"{p}.ffn_norm.weight", e)
-        t(f"{p}.ffn_gate.weight", (f, e))
-        t(f"{p}.ffn_up.weight", (f, e))
-        t(f"{p}.ffn_down.weight", (e, f))
+        if cfg.n_experts:
+            # MoE: router + stacked expert tensors (llama.cpp *_exps layout:
+            # gate/up [E, F, K_in], down [E, K_out, F])
+            fe = cfg.n_ff_exp
+            t(f"{p}.ffn_gate_inp.weight", (cfg.n_experts, e))
+            t(f"{p}.ffn_gate_exps.weight", (cfg.n_experts, fe, e))
+            t(f"{p}.ffn_up_exps.weight", (cfg.n_experts, fe, e))
+            t(f"{p}.ffn_down_exps.weight", (cfg.n_experts, e, fe))
+        else:
+            t(f"{p}.ffn_gate.weight", (f, e))
+            t(f"{p}.ffn_up.weight", (f, e))
+            t(f"{p}.ffn_down.weight", (e, f))
         if cfg.sandwich_norm:
             norm(f"{p}.post_attention_norm.weight", e)
             norm(f"{p}.post_ffw_norm.weight", e)

@@ -67,6 +67,57 @@ def _linear(
     return DenseLinear(w=jnp.asarray(w.T, dtype), bias=bias)
 
 
+def _load_moe(g: GGUFFile, p: str, dtype=jnp.bfloat16):
+    """Build MoEWeights for layer prefix ``p``. Expert stacks arrive either
+    dense ([E, N, K] f32/f16) or TCQ4_K32 (concatenated per-expert payloads,
+    the mul_mat_id weights) — the latter load straight into the packed
+    qs/eff kernel layout with no dequantized copy in host or device memory."""
+    from rrs_tpu.models.moe import MoEWeights
+
+    def _shexp(name):
+        key = f"{p}.ffn_{name}_shexp.weight"
+        if key not in g.tensors:
+            return None
+        return jnp.asarray(g.tensor(key).astype(np.float32).T, dtype)
+
+    router = jnp.asarray(
+        g.tensor(f"{p}.ffn_gate_inp.weight").astype(np.float32).T, dtype)
+    shared = dict(shared_gate=_shexp("gate"), shared_up=_shexp("up"),
+                  shared_down=_shexp("down"))
+    if g.tensors[f"{p}.ffn_gate_exps.weight"].ggml_type == GGMLType.TCQ4_K32:
+        from rrs_tpu.formats.tcq4 import effective_scales
+
+        def qstack(name):
+            info = g.tensors[name]
+            raw = g.tensor_bytes(name)
+            per = raw.size // info.shape[0]
+            qs_l, eff_l = [], []
+            for ei in range(info.shape[0]):
+                t = decode_tcq4_gguf(raw[ei * per:(ei + 1) * per],
+                                     info.shape[1:])
+                qs_l.append(np.asarray(t.qs))
+                eff_l.append(np.asarray(effective_scales(t), np.float32))
+            return (jnp.asarray(np.stack(qs_l)),
+                    jnp.asarray(np.stack(eff_l), jnp.bfloat16))
+
+        gate_qs, gate_eff = qstack(f"{p}.ffn_gate_exps.weight")
+        up_qs, up_eff = qstack(f"{p}.ffn_up_exps.weight")
+        down_qs, down_eff = qstack(f"{p}.ffn_down_exps.weight")
+        return MoEWeights(router=router, gate=None, up=None, down=None,
+                          gate_qs=gate_qs, gate_eff=gate_eff,
+                          up_qs=up_qs, up_eff=up_eff,
+                          down_qs=down_qs, down_eff=down_eff, **shared)
+    return MoEWeights(
+        router=router,
+        gate=jnp.asarray(g.tensor(f"{p}.ffn_gate_exps.weight")
+                         .astype(np.float32).transpose(0, 2, 1), dtype),
+        up=jnp.asarray(g.tensor(f"{p}.ffn_up_exps.weight")
+                       .astype(np.float32).transpose(0, 2, 1), dtype),
+        down=jnp.asarray(g.tensor(f"{p}.ffn_down_exps.weight")
+                         .astype(np.float32).transpose(0, 2, 1), dtype),
+        **shared)
+
+
 def load_model(path: str | Path, dtype=jnp.bfloat16, fuse: bool = True):
     """Load a GGUF model (single file or -NNNNN-of-NNNNN shard set).
     Returns (config, weights, metadata).
@@ -96,34 +147,8 @@ def load_model(path: str | Path, dtype=jnp.bfloat16, fuse: bool = True):
         p = f"blk.{i}"
         has_qn = f"{p}.attn_q_norm.weight" in g.tensors
         is_moe = f"{p}.ffn_gate_inp.weight" in g.tensors
-        moe = None
-        if is_moe:
-            from rrs_tpu.models.moe import MoEWeights
-
-            # GGUF expert tensors: gate/up [E, F, K], down [E, K, F]
-            def _shexp(name):
-                # shared expert (qwen2moe/deepseek: ffn_*_shexp), [N,K]->[K,N]
-                key = f"{p}.ffn_{name}_shexp.weight"
-                if key not in g.tensors:
-                    return None
-                return jnp.asarray(g.tensor(key).astype(np.float32).T, dtype)
-
-            moe = MoEWeights(
-                router=jnp.asarray(
-                    g.tensor(f"{p}.ffn_gate_inp.weight").astype(np.float32).T, dtype),
-                gate=jnp.asarray(
-                    g.tensor(f"{p}.ffn_gate_exps.weight").astype(np.float32)
-                    .transpose(0, 2, 1), dtype),
-                up=jnp.asarray(
-                    g.tensor(f"{p}.ffn_up_exps.weight").astype(np.float32)
-                    .transpose(0, 2, 1), dtype),
-                down=jnp.asarray(
-                    g.tensor(f"{p}.ffn_down_exps.weight").astype(np.float32)
-                    .transpose(0, 2, 1), dtype),
-                shared_gate=_shexp("gate"),
-                shared_up=_shexp("up"),
-                shared_down=_shexp("down"),
-            )
+        # GGUF expert tensors: gate/up [E, F, K], down [E, K, F]
+        moe = _load_moe(g, p, dtype) if is_moe else None
         wq = _linear(g, f"{p}.attn_q.weight", dtype, f"{p}.attn_q.bias")
         wk = _linear(g, f"{p}.attn_k.weight", dtype, f"{p}.attn_k.bias")
         wv = _linear(g, f"{p}.attn_v.weight", dtype, f"{p}.attn_v.bias")
@@ -362,23 +387,7 @@ def _load_hybrid(g, cfg: ModelConfig, dtype):
                 w_gate=None, w_up=None, w_down=None,
             )
         is_moe = f"{p}.ffn_gate_inp.weight" in g.tensors
-        moe = None
-        if is_moe:
-            from rrs_tpu.models.moe import MoEWeights
-
-            moe = MoEWeights(
-                router=jnp.asarray(
-                    g.tensor(f"{p}.ffn_gate_inp.weight").astype(np.float32).T, dtype),
-                gate=jnp.asarray(
-                    g.tensor(f"{p}.ffn_gate_exps.weight").astype(np.float32)
-                    .transpose(0, 2, 1), dtype),
-                up=jnp.asarray(
-                    g.tensor(f"{p}.ffn_up_exps.weight").astype(np.float32)
-                    .transpose(0, 2, 1), dtype),
-                down=jnp.asarray(
-                    g.tensor(f"{p}.ffn_down_exps.weight").astype(np.float32)
-                    .transpose(0, 2, 1), dtype),
-            )
+        moe = _load_moe(g, p, dtype) if is_moe else None
         layers.append(HybridLayer(
             kind="ssm" if is_ssm else "attn",
             attn=attn, ssm=ssm,

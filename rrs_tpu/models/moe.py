@@ -135,22 +135,51 @@ def moe_ffn(cfg: ModelConfig, mw: MoEWeights, x: jnp.ndarray) -> jnp.ndarray:
     n_tok = b * t
 
     if mw.quantized:
-        # W4A4 experts: gather top-k experts' packed tiles, dequant in-graph
-        # (XLA fuses), run the same RRS activation pipeline as TCQ4Linear
+        # W4A4 experts, same RRS activation pipeline as TCQ4Linear
         a = _rotate_quant(x2)                      # [T, K] rotated-quantized
-        wg = _dequant_expert(jnp.take(mw.gate_qs, topi, axis=0),
-                             jnp.take(mw.gate_eff, topi, axis=0))
-        wu = _dequant_expert(jnp.take(mw.up_qs, topi, axis=0),
-                             jnp.take(mw.up_eff, topi, axis=0))
-        g = jnp.einsum("tk,tekf->tef", a, wg, preferred_element_type=jnp.float32)
-        u = jnp.einsum("tk,tekf->tef", a, wu, preferred_element_type=jnp.float32)
-        act = jax.nn.silu(g) * u                   # [T, k, F] f32
-        a2 = _rotate_quant(act.reshape(-1, act.shape[-1])).reshape(act.shape)
-        wd = _dequant_expert(jnp.take(mw.down_qs, topi, axis=0),
-                             jnp.take(mw.down_eff, topi, axis=0))
-        out = jnp.einsum("tef,tefk->tek", a2, wd,
-                         preferred_element_type=jnp.float32)
-        out = (out * topv[..., None]).sum(1)
+        kk = cfg.n_experts_used
+        if n_tok <= 16:
+            # decode: scalar-prefetch Pallas kernel streams ONLY the selected
+            # experts' packed tiles from HBM (the CUDA mmvq-id analog) —
+            # traffic ~ topk/E of the expert set, no dequantized weights in HBM
+            from rrs_tpu.models.linear import _auto_interpret
+            from rrs_tpu.ops.tcq4_matmul import tcq4_matmul_experts_rows
+
+            interp = _auto_interpret()
+            ids = topi.reshape(-1)                          # [T*kk]
+            ar = jnp.repeat(a, kk, axis=0)                  # [T*kk, K]
+            g = tcq4_matmul_experts_rows(ar, mw.gate_qs, mw.gate_eff, ids,
+                                         interpret=interp)
+            u = tcq4_matmul_experts_rows(ar, mw.up_qs, mw.up_eff, ids,
+                                         interpret=interp)
+            act = jax.nn.silu(g) * u                        # [T*kk, F] f32
+            a2 = _rotate_quant(act)
+            d = tcq4_matmul_experts_rows(a2, mw.down_qs, mw.down_eff, ids,
+                                         interpret=interp)
+            out = (d.reshape(n_tok, kk, e) * topv[..., None]).sum(1)
+        else:
+            # prefill: stream experts one at a time (scan keeps peak memory at
+            # a single dequantized expert), dense MXU matmuls over all tokens,
+            # one-hot combine — ragged dispatch avoided
+            combine = jnp.zeros((n_tok, cfg.n_experts), jnp.float32)
+            combine = jnp.put_along_axis(combine, topi, topv, axis=-1,
+                                         inplace=False)
+
+            def body(acc, ew):
+                gq, ge, uq, ue, dq, de_, cw = ew
+                wg = _dequant_expert(gq[None, None], ge[None, None])[0, 0]
+                wu = _dequant_expert(uq[None, None], ue[None, None])[0, 0]
+                g = jnp.dot(a, wg, preferred_element_type=jnp.float32)
+                u = jnp.dot(a, wu, preferred_element_type=jnp.float32)
+                a2 = _rotate_quant(jax.nn.silu(g) * u)
+                wd = _dequant_expert(dq[None, None], de_[None, None])[0, 0]
+                y = jnp.dot(a2, wd, preferred_element_type=jnp.float32)
+                return acc + y * cw[:, None], None
+
+            out, _ = jax.lax.scan(
+                body, jnp.zeros((n_tok, e), jnp.float32),
+                (mw.gate_qs, mw.gate_eff, mw.up_qs, mw.up_eff,
+                 mw.down_qs, mw.down_eff, combine.T))
     elif n_tok <= 16:
         # gather path: per-token expert weights from HBM
         wg = jnp.take(mw.gate, topi, axis=0)   # [T, k, K, F]

@@ -136,6 +136,122 @@ def tcq4_matmul_a8(
 
 
 # ---------------------------------------------------------------------------
+# Expert-gathered matmul (the ggml_mul_mat_id analog): expert ids arrive as
+# a scalar-prefetch operand and drive the weight BlockSpec index maps, so
+# only the selected experts' packed tiles stream from HBM — no dequantized
+# (or even packed) gather ever materializes.
+# ---------------------------------------------------------------------------
+
+def _kernel_experts(ids_ref, a_ref, qs_ref, eff_ref, out_ref, *,
+                    bm, bn, k):
+    acc = jnp.zeros((bm, bn), jnp.float32)
+    for sb in range(k // TILE_K):
+        w_q = _unpack_w4(qs_ref[0, sb * (TILE_K // 2):(sb + 1) * (TILE_K // 2), :])
+        e = eff_ref[0, sb * GROUPS:(sb + 1) * GROUPS, :].astype(jnp.float32)
+        w32 = (w_q.astype(jnp.float32).reshape(GROUPS, GROUP_SIZE, bn)
+               * e[:, None, :]).reshape(TILE_K, bn)
+        acc += jax.lax.dot_general(
+            a_ref[:, sb * TILE_K:(sb + 1) * TILE_K].astype(jnp.bfloat16),
+            w32.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "interpret"))
+def tcq4_matmul_experts(
+    a: jnp.ndarray,           # f32 [M, K] dequantized rotated activations
+    qs_all: jnp.ndarray,      # uint8 [E, K//2, N] stacked expert tiles
+    eff_all: jnp.ndarray,     # [E, K//32, N] group scales (f32 or bf16)
+    expert_ids: jnp.ndarray,  # int32 [n_sel] experts to run
+    *,
+    bn: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out[i] = a @ dequant(w[expert_ids[i]]); f32 [n_sel, M, N]."""
+    m, k = a.shape
+    n_exp, k2, n = qs_all.shape
+    assert k2 * 2 == k, (a.shape, qs_all.shape)
+    n_sel = expert_ids.shape[0]
+    if bn == 0:
+        bn = _pick_bn(n, limit=max(128, (3 * 1024 * 1024) // k2 // 128 * 128))
+    bm = m if m < 8 else _round_up(m, 8)
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        a = jnp.pad(a, ((0, m_pad - m), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_sel, n // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda e, i, ids: (0, 0)),
+            pl.BlockSpec((1, k2, bn), lambda e, i, ids: (ids[e], 0, i)),
+            pl.BlockSpec((1, k // GROUP_SIZE, bn),
+                         lambda e, i, ids: (ids[e], 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, bm, bn), lambda e, i, ids: (e, 0, i)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_experts, bm=bm, bn=bn, k=k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_sel, m_pad, n), jnp.float32),
+        interpret=interpret,
+    )(expert_ids.astype(jnp.int32), a, qs_all, eff_all)
+    return out[:, :m]
+
+
+def _kernel_experts_rows(ids_ref, a_ref, qs_ref, eff_ref, out_ref, *, bn, k):
+    acc = jnp.zeros((1, bn), jnp.float32)
+    for sb in range(k // TILE_K):
+        w_q = _unpack_w4(qs_ref[0, sb * (TILE_K // 2):(sb + 1) * (TILE_K // 2), :])
+        e = eff_ref[0, sb * GROUPS:(sb + 1) * GROUPS, :].astype(jnp.float32)
+        w32 = (w_q.astype(jnp.float32).reshape(GROUPS, GROUP_SIZE, bn)
+               * e[:, None, :]).reshape(TILE_K, bn)
+        acc += jax.lax.dot_general(
+            a_ref[0, :, sb * TILE_K:(sb + 1) * TILE_K].astype(jnp.bfloat16),
+            w32.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "interpret"))
+def tcq4_matmul_experts_rows(
+    a: jnp.ndarray,           # f32 [n_sel, K]: row i belongs to expert_ids[i]
+    qs_all: jnp.ndarray,      # uint8 [E, K//2, N]
+    eff_all: jnp.ndarray,     # [E, K//32, N]
+    expert_ids: jnp.ndarray,  # int32 [n_sel]
+    *,
+    bn: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out[i] = a[i] @ dequant(w[expert_ids[i]]); f32 [n_sel, N]."""
+    n_sel, k = a.shape
+    n_exp, k2, n = qs_all.shape
+    assert k2 * 2 == k, (a.shape, qs_all.shape)
+    if bn == 0:
+        bn = _pick_bn(n, limit=max(128, (3 * 1024 * 1024) // k2 // 128 * 128))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_sel, n // bn),
+        in_specs=[
+            pl.BlockSpec((1, 1, k), lambda e, i, ids: (e, 0, 0)),
+            pl.BlockSpec((1, k2, bn), lambda e, i, ids: (ids[e], 0, i)),
+            pl.BlockSpec((1, k // GROUP_SIZE, bn),
+                         lambda e, i, ids: (ids[e], 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bn), lambda e, i, ids: (e, 0, i)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_experts_rows, bn=bn, k=k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_sel, 1, n), jnp.float32),
+        interpret=interpret,
+    )(expert_ids.astype(jnp.int32), a[:, None, :], qs_all, eff_all)
+    return out[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
 # Fully-fused kernel: FWHT rotation + activation int4 quant + matmul in one
 # pallas call (the reference's fused activation pipeline, tcq4_k32.cu:71-277
 # + fused GEMV — FWHT is recomputed per weight tile, like the CUDA kernel)

@@ -43,6 +43,17 @@ def _is_tcq4_eligible(name: str, shape) -> bool:
     return name.endswith(".weight") and "norm" not in name
 
 
+def _is_tcq4_exps_eligible(name: str, shape) -> bool:
+    """Stacked MoE expert tensors ([E, N, K], llama.cpp *_exps layout):
+    eligible when each expert slice is — both matmul dims must also be
+    FWHT-rotatable (% 256) since MoE runs W4A4 on both projections."""
+    if len(shape) != 3 or "_exps." not in name:
+        return False
+    _, n, k = shape
+    return (k % 256 == 0 and n % 256 == 0
+            and name.endswith(".weight") and "norm" not in name)
+
+
 def quantize_model(
     src_path: str | Path,
     dst_path: str | Path,
@@ -79,6 +90,21 @@ def quantize_model(
             if verbose:
                 bpw = len(payload) * 8 / f32.size
                 print(f"  {name}: {info.shape} {info.ggml_type.name} -> TCQ4_K32 ({bpw:.3f} bpw)")
+        elif _is_tcq4_exps_eligible(name, info.shape):
+            # per-expert TCQ4 payloads, concatenated in expert order (the
+            # mul_mat_id weights; llama-quant.cpp quantizes *_exps per type
+            # policy the same way)
+            f32 = g.tensor(name).astype(np.float32)
+            payload = b"".join(
+                bytes(encode_tcq4_gguf(quantize_tcq4(f32[ei])))
+                for ei in range(info.shape[0]))
+            w.add_tensor(name, np.frombuffer(payload, np.uint8),
+                         shape=info.shape, ggml_type=GGMLType.TCQ4_K32)
+            stats["tcq4"] += 1
+            stats["bytes_out"] += len(payload)
+            if verbose:
+                bpw = len(payload) * 8 / f32.size
+                print(f"  {name}: {info.shape} {info.ggml_type.name} -> TCQ4_K32 x{info.shape[0]} experts ({bpw:.3f} bpw)")
         elif len(info.shape) == 2 and info.shape[-1] % 32 == 0:
             f32 = g.tensor(name).astype(np.float32)
             payload = kquants.quantize_q8_0(f32).tobytes()

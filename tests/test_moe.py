@@ -116,3 +116,33 @@ def test_quantized_experts_match_dense():
     ))[0, 0].astype(np.float32)
     want_w = np.asarray(dequantize_w_jnp(qmw.gate_qs[0], qmw.gate_eff[0]))
     np.testing.assert_allclose(got_w, want_w, rtol=1e-2, atol=1e-4)
+
+
+def test_quantized_decode_and_prefill_branches_agree():
+    """The decode path (scalar-prefetch expert-gather kernel) and the prefill
+    path (scan over all experts, one-hot combine) compute the same MoE —
+    feeding 20 tokens at once must match feeding them in <=16-token chunks."""
+    import jax.numpy as jnp
+
+    from rrs_tpu.models.moe import moe_ffn, quantize_experts
+
+    cfg = ModelConfig(
+        arch="qwen3moe", n_layers=1, n_embd=256, n_heads=4, n_kv_heads=2,
+        head_dim=64, n_ff=0, vocab_size=64, context_length=64,
+        n_experts=4, n_experts_used=2, n_ff_exp=256, norm_topk_prob=True)
+    rng = np.random.default_rng(1)
+    e, f = cfg.n_embd, cfg.n_ff_exp
+    mw = MoEWeights(
+        router=jnp.asarray(rng.standard_normal((e, 4)) * 0.1, jnp.float32),
+        gate=jnp.asarray(rng.standard_normal((4, e, f)) * 0.05, jnp.float32),
+        up=jnp.asarray(rng.standard_normal((4, e, f)) * 0.05, jnp.float32),
+        down=jnp.asarray(rng.standard_normal((4, f, e)) * 0.05, jnp.float32),
+    )
+    qmw = quantize_experts(mw)
+    x = jnp.asarray(rng.standard_normal((1, 20, e)) * 0.5, jnp.float32)
+
+    prefill = np.asarray(moe_ffn(cfg, qmw, x))          # n_tok=20 > 16
+    chunks = [np.asarray(moe_ffn(cfg, qmw, x[:, i:i + 10]))
+              for i in range(0, 20, 10)]                # n_tok=10 <= 16
+    decode = np.concatenate(chunks, axis=1)
+    np.testing.assert_allclose(prefill, decode, rtol=5e-2, atol=5e-3)

@@ -130,3 +130,34 @@ def test_fused_kernel_matches_pipeline():
     want = np.asarray(tcq4_matmul(a, jnp.asarray(qs), jnp.asarray(eff),
                                   bn=128, interpret=True))
     np.testing.assert_allclose(fused, want, rtol=2e-2, atol=2e-2)
+
+
+def test_expert_kernels_match_single_expert():
+    """tcq4_matmul_experts / _rows (the ggml_mul_mat_id analogs) equal the
+    single-expert kernel applied per selected expert."""
+    from rrs_tpu.ops.tcq4_matmul import (tcq4_matmul, tcq4_matmul_experts,
+                                         tcq4_matmul_experts_rows)
+
+    rng = np.random.default_rng(5)
+    n_exp, k, n = 5, 512, 256
+    qs = jnp.asarray(rng.integers(0, 256, (n_exp, k // 2, n), dtype=np.uint8))
+    eff = jnp.asarray(rng.random((n_exp, k // 32, n), dtype=np.float32) * 0.01)
+    ids = jnp.asarray([3, 0, 3, 4], jnp.int32)
+
+    # shared activations: out[e] = a @ w[ids[e]]
+    a = jnp.asarray(rng.standard_normal((2, k)), jnp.float32)
+    out = tcq4_matmul_experts(a, qs, eff, ids, interpret=True)
+    assert out.shape == (4, 2, n)
+    for i, e in enumerate(np.asarray(ids)):
+        ref = tcq4_matmul(a, qs[e], eff[e], interpret=True)
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2)
+
+    # per-row activations: out[i] = a[i] @ w[ids[i]]
+    ar = jnp.asarray(rng.standard_normal((4, k)), jnp.float32)
+    outr = tcq4_matmul_experts_rows(ar, qs, eff, ids, interpret=True)
+    assert outr.shape == (4, n)
+    for i, e in enumerate(np.asarray(ids)):
+        ref = tcq4_matmul(ar[i:i + 1], qs[e], eff[e], interpret=True)
+        np.testing.assert_allclose(np.asarray(outr[i]), np.asarray(ref[0]),
+                                   rtol=2e-2, atol=2e-2)
