@@ -78,10 +78,44 @@ def _linear_spec(col: bool) -> object:
     return dense, quant, q8
 
 
-def weight_pspecs(weights: llama_model.ModelWeights) -> llama_model.ModelWeights:
+def _moe_pspecs(moe, ep_axis: Optional[str]):
+    """PartitionSpec pytree for MoEWeights: expert stacks shard E over the
+    ``ep_axis`` (None -> replicated experts), dense expert matmul dims follow
+    the megatron col->row pairing over tp; packed TCQ4 expert stacks shard
+    only E (their inner layout is kernel-owned)."""
+    from rrs_tpu.models.moe import MoEWeights
+
+    ep = ep_axis
+
+    def stack3(val, col):           # dense [E, K_in, N] / down [E, F, K_out]
+        if val is None:
+            return None
+        return P(ep, None, "tp") if col else P(ep, "tp", None)
+
+    def qstack(val):
+        return None if val is None else P(ep, None, None)
+
+    return MoEWeights(
+        router=P(None, None),
+        gate=stack3(moe.gate, col=True),
+        up=stack3(moe.up, col=True),
+        down=stack3(moe.down, col=False),
+        shared_gate=None if moe.shared_gate is None else P(None, "tp"),
+        shared_up=None if moe.shared_up is None else P(None, "tp"),
+        shared_down=None if moe.shared_down is None else P("tp", None),
+        gate_qs=qstack(moe.gate_qs), gate_eff=qstack(moe.gate_eff),
+        up_qs=qstack(moe.up_qs), up_eff=qstack(moe.up_eff),
+        down_qs=qstack(moe.down_qs), down_eff=qstack(moe.down_eff),
+    )
+
+
+def weight_pspecs(weights: llama_model.ModelWeights,
+                  ep_axis: Optional[str] = None) -> llama_model.ModelWeights:
     """Build a pytree of PartitionSpecs mirroring the weights pytree."""
 
     def spec_linear(lin, col: bool):
+        if lin is None:
+            return None
         dense, quant, q8 = _linear_spec(col)
         if isinstance(lin, DenseLinear):
             return dense(lin)
@@ -105,6 +139,7 @@ def weight_pspecs(weights: llama_model.ModelWeights) -> llama_model.ModelWeights
             w_gate=spec_linear(lw.w_gate, col=True),
             w_up=spec_linear(lw.w_up, col=True),
             w_down=spec_linear(lw.w_down, col=False),
+            moe=None if lw.moe is None else _moe_pspecs(lw.moe, ep_axis),
             attn_post_norm=None if lw.attn_post_norm is None else P(None),
             ffn_post_norm=None if lw.ffn_post_norm is None else P(None),
             attn_sinks=None if lw.attn_sinks is None else P("tp"),

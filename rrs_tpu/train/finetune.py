@@ -50,8 +50,13 @@ def make_dataset(tokens: list[int], seq_len: int, batch: int = 1,
     return out
 
 
-def _loss_fn(cfg: ModelConfig, weights, batch: jnp.ndarray):
-    """Mean next-token cross-entropy over a [B, T+1] batch."""
+def _loss_fn(cfg: ModelConfig, weights, batch: jnp.ndarray,
+             logits_sharding=None):
+    """Mean next-token cross-entropy over a [B, T+1] batch.
+
+    ``logits_sharding`` (a NamedSharding) constrains the [B, T, V] logits —
+    the SPMD train step passes P(dp, tp, None) so the log-softmax region is
+    sequence-parallel over the tp axis (sp-over-tp)."""
     toks = batch[:, :-1]
     labels = batch[:, 1:]
     b, t = toks.shape
@@ -60,6 +65,8 @@ def _loss_fn(cfg: ModelConfig, weights, batch: jnp.ndarray):
     kc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(cfg.n_layers)]
     vc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(cfg.n_layers)]
     logits, _, _ = llama_model.forward(cfg, weights, toks, pos, kc, vc, pos, pos)
+    if logits_sharding is not None:
+        logits = jax.lax.with_sharding_constraint(logits, logits_sharding)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     return nll.mean()
