@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from rrs_tpu.models.config import ModelConfig
 from rrs_tpu.models import llama as llama_model
@@ -233,7 +233,7 @@ def make_sharded_step(cfg: ModelConfig, mesh: Mesh):
                 [kv_spec] * cfg.n_layers,
                 [kv_spec] * cfg.n_layers,
             ),
-            check_rep=False,
+            check_vma=False,
         )
         return jax.jit(fn)
 
