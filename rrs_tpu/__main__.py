@@ -153,6 +153,9 @@ def main(argv=None):
                    help="draft model GGUF for server-side speculative decoding")
     s.add_argument("--draft", type=int, default=4,
                    help="speculative draft length")
+    s.add_argument("--slot-save-path", default=None,
+                   help="base dir for /slots save/restore (endpoint "
+                        "disabled when unset)")
 
     args = p.parse_args(argv)
 

@@ -187,7 +187,14 @@ class Engine:
             # (update_slots prompt reuse, server-context.cpp); at least one
             # prompt token must be re-evaluated to produce logits
             n_common = 0
-            limit = min(len(slot.cache_tokens), len(req.prompt_tokens) - 1)
+            # cache_tokens includes the final generated token, which was
+            # sampled but never fed to the KV cache (lane holds one fewer
+            # position) — clamp reuse to what the lane actually stores, or
+            # the next prefill would start one KV position ahead of the
+            # cache and silently shift every later position
+            stored = self.ctx.kv.lengths[self.ctx.kv.lane_of(slot.retained_seq)]
+            limit = min(len(slot.cache_tokens), stored,
+                        len(req.prompt_tokens) - 1)
             while n_common < limit and \
                     slot.cache_tokens[n_common] == req.prompt_tokens[n_common]:
                 n_common += 1
@@ -450,6 +457,16 @@ class Engine:
                         # SWA models can't context-shift (iSWA restriction);
                         # finish the slot at the context limit instead
                         self._release(s, "length")
+                        continue
+                    if s.draft_seq >= 0 and self.draft_ctx is not None:
+                        # the draft cache can't be realigned after a target
+                        # shift (positions diverge); drop it and fall back
+                        # to one-token decode for the rest of this slot
+                        try:
+                            self.draft_ctx.kv.seq_rm(s.draft_seq)
+                        except ValueError:
+                            pass
+                        s.draft_seq = -1
 
         # 1) one prompt chunk for the first PROMPT slot. A failed step rolls
         # back the sequence and releases the slot with an error (the
@@ -526,13 +543,25 @@ class Engine:
 
     def _spec_eligible(self, s: Slot) -> bool:
         p = s.req.params
-        return (self.draft_ctx is not None and s.draft_seq >= 0
+        if not (self.draft_ctx is not None and s.draft_seq >= 0
                 and p.temperature == 0.0 and s.grammar is None
                 and s.req.n_probs == 0 and p.penalty_repeat == 1.0
                 and not p.penalty_freq and not p.penalty_present
                 and not p.dry_multiplier and not p.mirostat
                 and not self.ctx.cfg.is_recurrent
-                and not self.ctx.cfg.is_hybrid)
+                and not self.ctx.cfg.is_hybrid):
+            return False
+        # a spec round feeds up to n_draft+1 tokens into the target cache
+        # (and n_draft into the draft's) between context-shift checks; fall
+        # back to one-token decode near the limit or cache writes past
+        # max_seq would be clipped into the last slot, corrupting attention
+        kv = self.ctx.kv
+        if kv.lengths[kv.lane_of(s.seq_id)] + self.n_draft + 1 > kv.max_seq:
+            return False
+        dkv = self.draft_ctx.kv
+        if dkv.lengths[dkv.lane_of(s.draft_seq)] + self.n_draft + 1 > dkv.max_seq:
+            return False
+        return True
 
     def _decode_step_spec(self, s: Slot) -> None:
         """One speculative round: draft proposes, target verifies in a single

@@ -78,6 +78,9 @@ class ServerState:
         # multimodal projector (clip.cpp weights), set via --mmproj
         self.clip_cfg = None
         self.clip_weights = None
+        # /slots save/restore base dir (--slot-save-path); endpoints are
+        # disabled when unset, mirroring the reference's slot_save_path gate
+        self.slot_save_path = None
 
 
 def _sampler_params(body: dict) -> SamplerParams:
@@ -356,13 +359,32 @@ def make_handler(state: ServerState):
                 self._json({"error": "no such slot"}, 400)
                 return
             action = (parse_qs(u.query).get("action") or [""])[0]
+
+            def _confined(fname: str) -> str:
+                # save/restore write the filesystem on behalf of an HTTP
+                # client: require an operator-configured base dir and a
+                # plain basename (no separators / '..'), like the
+                # reference's --slot-save-path validation
+                import os
+                base = self.st.slot_save_path
+                if not base:
+                    raise ValueError(
+                        "slot save/restore disabled (start the server "
+                        "with --slot-save-path)")
+                if (not fname or os.path.basename(fname) != fname
+                        or fname in (".", "..")):
+                    raise ValueError(f"invalid filename {fname!r}")
+                return os.path.join(base, fname)
+
             try:
                 if action == "save":
                     self._json(self.st.engine.save_slot(
-                        idx, body.get("filename", f"slot{idx}.rrsstate")))
+                        idx, _confined(body.get("filename",
+                                                f"slot{idx}.rrsstate"))))
                 elif action == "restore":
                     self._json(self.st.engine.restore_slot(
-                        idx, body.get("filename", f"slot{idx}.rrsstate")))
+                        idx, _confined(body.get("filename",
+                                                f"slot{idx}.rrsstate"))))
                 elif action == "erase":
                     self.st.engine.call(lambda: self.st.engine.erase_slot(idx))
                     self._json({"id_slot": idx, "success": True})
@@ -689,6 +711,10 @@ def serve(args):
                     n_draft=getattr(args, "draft", 4))
     engine.start()
     state = ServerState(cfg, vocab, engine, md, model_name=str(args.model))
+    if getattr(args, "slot_save_path", None):
+        import os
+        os.makedirs(args.slot_save_path, exist_ok=True)
+        state.slot_save_path = args.slot_save_path
     if getattr(args, "mmproj", None):
         from rrs_tpu.mtmd.clip import load_mmproj
 

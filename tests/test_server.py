@@ -188,7 +188,23 @@ def test_slot_save_restore(server, tmp_path_factory):
          {"prompt": [9, 10, 11, 12], "max_tokens": 2, "temperature": 0.0})
     idx = next(i for i, s in enumerate(engine.slots) if s.retained_seq >= 0
                or s.cache_tokens)
-    fn = str(tmp_path_factory.mktemp("slots") / "s.rrsstate.npz")
+
+    # endpoint is disabled until --slot-save-path is configured
+    _STATE_HOLDER["state"].slot_save_path = None
+    status, data = _req(port, "POST", f"/slots/{idx}?action=save",
+                        {"filename": "s.rrsstate.npz"})
+    assert status == 400 and b"slot-save-path" in data
+
+    base = tmp_path_factory.mktemp("slots")
+    _STATE_HOLDER["state"].slot_save_path = str(base)
+
+    # path traversal / absolute paths are rejected
+    for bad in ("../evil.npz", "/tmp/evil.npz", "a/b.npz", ".."):
+        status, data = _req(port, "POST", f"/slots/{idx}?action=save",
+                            {"filename": bad})
+        assert status == 400, (bad, data)
+
+    fn = "s.rrsstate.npz"
     status, data = _req(port, "POST", f"/slots/{idx}?action=save",
                         {"filename": fn})
     assert status == 200, data
