@@ -319,8 +319,11 @@ int64_t rrs_bpe_init(const char* vocab_blob, const int64_t* vocab_off,
     auto* s = new BpeSession();
     s->vocab.reserve((size_t)n_vocab * 2);
     for (int64_t i = 0; i < n_vocab; ++i) {
-        s->vocab.emplace(std::string(vocab_blob + vocab_off[i],
-                                     vocab_blob + vocab_off[i + 1]), (int32_t)i);
+        // assignment, not emplace: duplicate token strings resolve to the
+        // LAST id, matching token_to_id[word] = i (llama-vocab.cpp:2105) —
+        // MPT's vocab has duplicate whitespace tokens
+        s->vocab[std::string(vocab_blob + vocab_off[i],
+                             vocab_blob + vocab_off[i + 1])] = (int32_t)i;
     }
     s->merge_rank.reserve((size_t)n_merges * 2);
     for (int64_t i = 0; i < n_merges; ++i) {

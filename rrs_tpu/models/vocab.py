@@ -34,17 +34,76 @@ TOKEN_TYPE_USER_DEFINED = 4
 TOKEN_TYPE_UNUSED = 5
 TOKEN_TYPE_BYTE = 6
 
-# pretokenizer regexes keyed by tokenizer.ggml.pre (llama-vocab.cpp:283-400)
+# pretokenizer regexes keyed by tokenizer.ggml.pre (llama-vocab.cpp:279-480:
+# pre string -> LLAMA_VOCAB_PRE_TYPE_* -> regex_exprs; flattened here to
+# string -> regexes since the enum is an internal detail). Patterns use the
+# `regex` module's \p{..} unicode categories — the role the reference's
+# hand-rolled engine in src/unicode.cpp plays for C++.
+_RE_LLAMA3 = r"(?:'[sS]|'[tT]|'[rR][eE]|'[vV][eE]|'[mM]|'[lL][lL]|'[dD])|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"
+_RE_QWEN2 = r"(?:'[sS]|'[tT]|'[rR][eE]|'[vV][eE]|'[mM]|'[lL][lL]|'[dD])|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"
+_RE_GPT2 = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+_RE_STARCODER = [r"\p{N}",
+                 r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)"]
 _PRE_REGEX = {
-    "llama3": [
-        r"(?:'[sS]|'[tT]|'[rR][eE]|'[vV][eE]|'[mM]|'[lL][lL]|'[dD])|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+",
+    "llama3": [_RE_LLAMA3],
+    "llama-v3": [_RE_LLAMA3],
+    "llama-bpe": [_RE_LLAMA3],
+    "falcon3": [_RE_LLAMA3],
+    "pixtral": [_RE_LLAMA3],
+    "dbrx": [_RE_LLAMA3],
+    "smaug-bpe": [_RE_LLAMA3],
+    "chatglm-bpe": [_RE_LLAMA3],
+    "qwen2": [_RE_QWEN2],
+    "stablelm2": [_RE_QWEN2],
+    "hunyuan": [_RE_QWEN2],
+    "grok-2": [_RE_QWEN2],
+    "gpt-2": [_RE_GPT2],
+    "mpt": [_RE_GPT2],
+    "olmo": [_RE_GPT2],
+    "jais": [_RE_GPT2],
+    # ranges transcribed codepoint-exact from the C++ literals (several
+    # chars there have confusable lookalikes, e.g. ώ vs ώ)
+    "deepseek-llm": [
+        r"[\r\n]",
+        r"\s?[A-Za-z\u00b5\u00c0-\u00d6\u00d8-\u00f6\u00f8-\u01ba\u01bc-\u01bf\u01c4-\u0293\u0295-\u02af\u0370-\u0373\u0376\u0377\u037b-\u037d\u037f\u0386\u0388-\u038a\u038c\u038e-\u03a1\u03a3-\u03f5\u03f7-\u0481\u048a-\u052f\u0531-\u0556\u10a0-\u10c5\u13a0-\u13f5\u13f8-\u13fd\u1c90-\u1cba\u1cbd-\u1cbf\u1d00-\u1d2b\u1d6b-\u1d77\u1d79-\u1d9a\u1e00-\u1f15\u1f18-\u1f1d\u1f20-\u1f45\u1f48-\u1f4d\u1f50-\u1f57\u1f59\u1f5b\u1f5d\u1f5f-\u1f7d\u1f80-\u1fb4\u1fb6-\u1fbc\u1fbe\u1fc2-\u1fc4\u1fc6-\u1fcc\u1fd0-\u1fd3\u1fd6-\u1fdb\u1fe0-\u1fec\u1ff2-\u1ff4\u1ff6-\u1ffc\u2102\u2107\u210a-\u2113\u2115\u2119-\u211d\u2124\u2126\u2128\u212a-\u212d\u212f-\u2134\u2139\u213c-\u213f\u2145-\u2149\u214e\u2183\u2184\u2c00-\u2c7b\u2c7e-\u2ce4\u2ceb-\u2cee\u2cf2\u2cf3\ua640-\ua66d\ua680-\ua69b\ua722-\ua76f\ua771-\ua787\ua78b-\ua78e\uab70-\uabbf\ufb00-\ufb06\ufb13-\ufb17\uff21-\uff3a\uff41-\uff5a\U00010400-\U0001044f\U000104b0-\U000104d3\U000104d8-\U000104fb\U00010c80-\U00010cb2\U00010cc0-\U00010cf2\U000118a0-\U000118df\U0001e900-\U0001e943]+",
+        r"\s?[!-/:-~\uff01-\uff0f\uff1a-\uff5e\u2018-\u201f\u3000-\u3002]+",
+        r"\s+$",
+        r"[一-龥ࠀ-一가-퟿]+",
+        r"\p{N}+",
     ],
-    "qwen2": [
-        r"(?:'[sS]|'[tT]|'[rR][eE]|'[vV][eE]|'[mM]|'[lL][lL]|'[dD])|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+",
+    "deepseek-coder": [
+        r"[\r\n]",
+        r"\s?\p{L}+",
+        r"\s?\p{P}+",
+        r"[一-龥ࠀ-一가-퟿]+",
+        r"\p{N}",
     ],
-    "gpt-2": [
-        r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+",
+    "deepseek-v3": [
+        r"\p{N}{1,3}",
+        r"[一-龥぀-ゟ゠-ヿ]+",
+        r"[!\"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~][A-Za-z]+|[^\r\n\p{L}\p{P}\p{S}]?[\p{L}\p{M}]+| ?[\p{P}\p{S}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+",
     ],
+    "falcon": [
+        r"[\p{P}\$\+<=>\^~\|`]+",
+        r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)",
+        r"[0-9][0-9][0-9]",
+    ],
+    "starcoder": _RE_STARCODER,
+    "refact": _RE_STARCODER,
+    "command-r": _RE_STARCODER,
+    "smollm": _RE_STARCODER,
+    "codeshell": _RE_STARCODER,
+    "exaone": _RE_STARCODER,
+    "minerva-7b": _RE_STARCODER,
+    "tekken": [
+        r"[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]*[\p{Ll}\p{Lm}\p{Lo}\p{M}]+|[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]+[\p{Ll}\p{Lm}\p{Lo}\p{M}]*|\p{N}| ?[^\s\p{L}\p{N}]+[\r\n/]*|\s*[\r\n]+|\s+(?!\S)|\s+",
+    ],
+    "gpt-4o": [
+        r"[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]*[\p{Ll}\p{Lm}\p{Lo}\p{M}]+(?i:'s|'t|'re|'ve|'m|'ll|'d)?|[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]+[\p{Ll}\p{Lm}\p{Lo}\p{M}]*(?i:'s|'t|'re|'ve|'m|'ll|'d)?|\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n/]*|\s*[\r\n]+|\s+(?!\S)|\s+",
+    ],
+    "poro-chat": [r" ?[^(\s|.,!?…。，、।۔،)]+"],
+    "bloom": [r" ?[^(\s|.,!?…。，、।۔،)]+"],
+    "viking": [r" ?[^(\s|.,!?…。，、।۔،)]+", r"\p{N}"],
     "default": [
         r"[\p{P}\$\+<=>\^~\|]+",
         r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)",
@@ -53,13 +112,21 @@ _PRE_REGEX = {
     ],
 }
 
+# pre types that look the whole pretokenized word up in the vocab before
+# running merges (ignore_merges, llama-vocab.cpp:1863,1881,1954)
+_IGNORE_MERGES_PRE = {
+    "llama3", "llama-v3", "llama-bpe", "falcon3", "falcon-h1", "pixtral",
+    "midm-2.0", "lfm2", "tekken", "youtu",
+}
 
-@lru_cache(maxsize=1)
+
 def _is_cjk(ch: str) -> bool:
-    """CJK unified ideograph ranges (BERT basic-tokenizer convention)."""
+    """CJK ranges (is_chinese_char, llama-vocab.cpp — mirrors HF BERT)."""
     cp = ord(ch)
     return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
-            or 0x20000 <= cp <= 0x2A6DF or 0xF900 <= cp <= 0xFAFF)
+            or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+            or 0x2B740 <= cp <= 0x2B81F or 0x2B920 <= cp <= 0x2CEAF
+            or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F)
 
 
 def _byte_encoder() -> dict[int, str]:
@@ -111,14 +178,22 @@ class Vocab:
             for rank, m in enumerate(self.merges):
                 a, sep, b = m.partition(" ")
                 self._merge_ranks[(a, b)] = rank
+        # (text, is_user_defined) pairs, longest-text first — the special
+        # tokens cache (llama-vocab.cpp:2512-2524). USER_DEFINED tokens are
+        # partitioned even when parse_special=false (tokenizer_st_partition
+        # :2732-2738, the neox/mpt added-token rule); CONTROL/UNKNOWN only
+        # when parse_special=true.
         self._specials = sorted(
             (
-                t for i, t in enumerate(self.tokens)
+                (t, self.token_types[i] == TOKEN_TYPE_USER_DEFINED)
+                for i, t in enumerate(self.tokens)
                 if self.token_types is not None
-                and self.token_types[i] in (TOKEN_TYPE_CONTROL, TOKEN_TYPE_USER_DEFINED)
+                and self.token_types[i] in (TOKEN_TYPE_CONTROL,
+                                            TOKEN_TYPE_USER_DEFINED,
+                                            TOKEN_TYPE_UNKNOWN)
                 and t
             ),
-            key=len, reverse=True,
+            key=lambda p: len(p[0].encode("utf-8")), reverse=True,
         )
         self._byte_tokens: dict[int, int] = {}
         if self.model == "llama":
@@ -184,7 +259,7 @@ class Vocab:
         if add_special and self.add_bos and self.bos_id >= 0:
             out.append(self.bos_id)
 
-        fragments = self._split_specials(text) if parse_special else [("text", text)]
+        fragments = self._split_specials(text, parse_special)
         is_first = True
         for kind, frag in fragments:
             if kind == "special":
@@ -219,44 +294,61 @@ class Vocab:
         return out
 
     def _encode_wpm(self, text: str) -> list[int]:
-        """BERT WordPiece (llm_tokenizer_wpm): lowercase + strip accents,
-        split on whitespace/punct/CJK, then greedy longest-match with "##"
-        continuations; whole word -> UNK if any piece is unmatched."""
+        """BERT WordPiece (llm_tokenizer_wpm_session, llama-vocab.cpp:674):
+        NFD + lowercase, isolate punctuation / ASCII symbols / CJK chars,
+        then per word prepend the phantom "▁" and greedy longest-match over
+        raw substrings (GGUF BERT vocabs use the ▁-prefix convention, not
+        "##"); a word with any unmatched span collapses to UNK."""
         import unicodedata
 
-        norm = []
-        for ch in unicodedata.normalize("NFD", text.lower()):
+        words: list[str] = [""]
+        for ch in unicodedata.normalize("NFD", text):
             cat = unicodedata.category(ch)
-            if cat == "Mn":                       # strip combining accents
+            if ch.isspace():
+                if words[-1]:
+                    words.append("")
                 continue
-            if cat.startswith("P") or _is_cjk(ch):
-                norm.append(f" {ch} ")            # punctuation/CJK isolate
-            elif ch.isspace():
-                norm.append(" ")
+            if ord(ch) in (0, 0xFFFD) or cat.startswith("C") \
+                    or cat.startswith("M"):
+                # drop control chars and combining accent marks (uncased
+                # BERT strip-accents; 'Äpfel' -> 'apfel')
+                continue
+            s = ch.lower()
+            if cat.startswith("P") or (ord(ch) < 0x7F and cat.startswith("S")) \
+                    or _is_cjk(ch):
+                if words[-1]:
+                    words.append("")
+                words[-1] = s          # single-char word
+                words.append("")
             else:
-                norm.append(ch)
+                words[-1] += s
+        if words and not words[-1]:
+            words.pop()
+
+        if not hasattr(self, "_wpm_maxlen"):
+            self._wpm_maxlen = max((len(t) for t in self.tokens if t),
+                                   default=1)
         out: list[int] = []
-        for word in "".join(norm).split():
-            ids: list[int] = []
+        for word in words:
+            if not word:
+                continue
+            word1 = SPIECE_UNDERLINE + word
+            n = len(word1)
+            start_len = len(out)
             i = 0
-            ok = True
-            while i < len(word):
-                end = len(word)
-                tid = None
-                while end > i:
-                    piece = ("##" if i > 0 else "") + word[i:end]
-                    tid = self._token_to_id.get(piece)
+            while i < n:
+                match = False
+                for j in range(min(n, i + self._wpm_maxlen + 1), i, -1):
+                    tid = self._token_to_id.get(word1[i:j])
                     if tid is not None:
+                        out.append(tid)
+                        i = j
+                        match = True
                         break
-                    end -= 1
-                if tid is None:
-                    ok = False
+                if not match:          # discard the whole word
+                    del out[start_len:]
                     break
-                ids.append(tid)
-                i = end
-            if ok and ids:
-                out.extend(ids)
-            elif self.unk_id >= 0:
+            if len(out) == start_len and self.unk_id >= 0:
                 out.append(self.unk_id)
         return out
 
@@ -335,12 +427,16 @@ class Vocab:
                 i = end
         return out
 
-    def _split_specials(self, text: str):
-        """Greedy partition on special-token literals (tokenizer_st_partition)."""
-        if not self._specials:
-            return [("text", text)]
+    def _split_specials(self, text: str, parse_special: bool = True):
+        """Greedy partition on special-token literals (tokenizer_st_partition).
+        USER_DEFINED tokens always partition; CONTROL/UNKNOWN only when
+        parse_special (llama-vocab.cpp:2732-2738)."""
         frags = [("text", text)]
-        for sp in self._specials:
+        specials = [t for t, user in self._specials
+                    if parse_special or user]
+        if not specials:
+            return frags
+        for sp in specials:
             new = []
             for kind, frag in frags:
                 if kind != "text" or sp not in frag:
@@ -443,8 +539,16 @@ class Vocab:
         enc = _byte_encoder()
         out: list[int] = []
         native_h = self._native_bpe_handle()
+        ignore_merges = self.pre in _IGNORE_MERGES_PRE
         for word in words:
             frag = "".join(enc[b] for b in word.encode("utf-8"))
+            if ignore_merges:
+                # whole-word vocab hit bypasses merging (ignore_merges,
+                # llama-vocab.cpp:540)
+                tid = self._token_to_id.get(frag)
+                if tid is not None:
+                    out.append(tid)
+                    continue
             if native_h is not None:
                 from rrs_tpu import native
 

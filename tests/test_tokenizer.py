@@ -29,32 +29,30 @@ def _load_vocab(stem: str) -> Vocab:
         return Vocab.from_gguf(g.metadata)
 
 
-@pytest.mark.parametrize("stem", ["ggml-vocab-llama-spm"])
-def test_spm_fixture_corpus(stem):
+# every fixture stem shipped with the reference (test-tokenizer-0 corpus);
+# stems whose vocab GGUF was stripped from the mirror auto-skip in
+# _load_vocab (qwen2, llama-bpe, command-r) — their pre-regexes are covered
+# by test_pretokenizer_oracle below instead
+ALL_STEMS = [
+    "ggml-vocab-llama-spm", "ggml-vocab-phi-3",
+    "ggml-vocab-gpt-2", "ggml-vocab-mpt", "ggml-vocab-starcoder",
+    "ggml-vocab-refact", "ggml-vocab-falcon",
+    "ggml-vocab-deepseek-llm", "ggml-vocab-deepseek-coder",
+    "ggml-vocab-bert-bge",
+    "ggml-vocab-qwen2", "ggml-vocab-llama-bpe", "ggml-vocab-command-r",
+]
+
+
+@pytest.mark.parametrize("stem", ALL_STEMS)
+def test_fixture_corpus_exact(stem):
     vocab = _load_vocab(stem)
     cases = _load_cases(stem)
-    assert len(cases) == len(cases)
     bad = []
     for text, expected in cases:
         got = vocab.encode(text, add_special=False, parse_special=False)
         if got != expected:
             bad.append((text, got, expected))
-    assert not bad, bad[:3]
-
-
-@pytest.mark.parametrize("stem", ["ggml-vocab-gpt-2",
-    pytest.param("ggml-vocab-deepseek-llm",
-                 marks=pytest.mark.xfail(reason="deepseek pre-regex not yet supported"))])
-def test_bpe_fixture_corpus(stem):
-    vocab = _load_vocab(stem)
-    cases = _load_cases(stem)
-    bad = []
-    for text, expected in cases:
-        got = vocab.encode(text, add_special=False, parse_special=False)
-        if got != expected:
-            bad.append((text, got, expected))
-    # allow a small number of unicode-edge mismatches for BPE in round 1
-    assert len(bad) <= max(1, len(cases) // 10), (len(bad), bad[:3])
+    assert not bad, (len(bad), bad[:3])
 
 
 def test_spm_detokenize_roundtrip():
@@ -71,11 +69,12 @@ def test_special_token_parsing():
 
 
 def test_wpm_tokenizer():
-    """BERT WordPiece (llm_tokenizer_wpm semantics)."""
+    """BERT WordPiece (llm_tokenizer_wpm semantics: ▁-prefixed words,
+    greedy longest-match continuations without "##")."""
     from rrs_tpu.models.vocab import Vocab
 
-    toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "hello", "world", "un",
-            "##want", "##ed", "runn", "##ing", ",", "want"]
+    toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "▁hello", "▁world", "▁un",
+            "want", "ed", "▁runn", "ing", "▁,", "▁want"]
     v = Vocab(model="bert", tokens=toks, scores=None,
               token_types=[3, 2, 3, 3] + [1] * 9, merges=None,
               unk_id=1, add_bos=False)
