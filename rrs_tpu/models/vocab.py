@@ -520,7 +520,10 @@ class Vocab:
 
     # BPE ---------------------------------------------------------------
 
-    def _encode_bpe(self, text: str) -> list[int]:
+    def _pre_split(self, text: str) -> list[str]:
+        """Sequential regex splitting (unicode_regex_split, unicode.cpp:1015+):
+        each pattern re-splits every fragment — matches AND gaps — from the
+        previous stage."""
         words = [text]
         for pattern in _PRE_REGEX.get(self.pre, _PRE_REGEX["default"]):
             nxt: list[str] = []
@@ -535,6 +538,10 @@ class Vocab:
                 if pos < len(w):
                     nxt.append(w[pos:])
             words = nxt
+        return words
+
+    def _encode_bpe(self, text: str) -> list[int]:
+        words = self._pre_split(text)
 
         enc = _byte_encoder()
         out: list[int] = []

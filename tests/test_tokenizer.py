@@ -55,6 +55,33 @@ def test_fixture_corpus_exact(stem):
     assert not bad, (len(bad), bad[:3])
 
 
+@pytest.mark.parametrize("stem,pre", [
+    ("ggml-vocab-qwen2", "qwen2"),
+    ("ggml-vocab-llama-bpe", "llama3"),
+    ("ggml-vocab-command-r", "command-r"),
+])
+def test_pretokenizer_oracle(stem, pre):
+    """The vocab GGUFs for the BASELINE BPE families (qwen2/llama-bpe) are
+    stripped from the reference mirror, so token-id comparison is impossible;
+    instead validate our pre-split against an independent oracle — the HF
+    `tokenizers` regex engine running the same per-model patterns — over the
+    full fixture .inp corpus."""
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers import pre_tokenizers, Regex
+    from rrs_tpu.models.vocab import _PRE_REGEX, Vocab
+
+    texts = (FIXTURES / f"{stem}.gguf.inp").read_text(
+        encoding="utf-8").split("\n__ggml_vocab_test__\n")
+    v = Vocab(model="gpt2", tokens=["x"], scores=None, token_types=[1],
+              merges=[], pre=pre)
+    for t in texts:
+        pieces = [t]
+        for p in _PRE_REGEX[pre]:
+            pt = pre_tokenizers.Split(Regex(p), behavior="isolated")
+            pieces = [s for w in pieces for s, _ in pt.pre_tokenize_str(w)]
+        assert [w for w in v._pre_split(t) if w] == [w for w in pieces if w], t
+
+
 def test_spm_detokenize_roundtrip():
     vocab = _load_vocab("ggml-vocab-llama-spm")
     text = "Hello world, this is a test."
