@@ -92,19 +92,23 @@ def main():
     first = jnp.zeros((b,), jnp.int32)
     pos0 = jnp.zeros((b,), jnp.int32)
     n_steps = 512
+    # no donate_argnums (relay artifact, PERF.md round-2 note); median of 3
+    # varied-input reps
     scan = jax.jit(
-        lambda wt, fi, p, k, v: lm.decode_scan(cfg, wt, fi, p, k, v, n_steps),
-        donate_argnums=(3, 4))
+        lambda wt, fi, p, k, v: lm.decode_scan(cfg, wt, fi, p, k, v, n_steps))
     k0, v0 = fresh()
     r = scan(w, first, pos0, k0, v0)
     int(np.asarray(r[0]).sum())
     log("compiled")
-    k0, v0 = fresh()
-    t0 = time.perf_counter()
-    r = scan(w, first + 1, pos0, k0, v0)
-    int(np.asarray(r[0]).sum())
-    dt = time.perf_counter() - t0
-    log(f"{n_steps} MoE decode steps in {dt:.2f}s")
+    times = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        r = scan(w, first + 1 + rep, pos0 + rep, k0, v0)
+        int(np.asarray(r[0]).sum())
+        times.append(time.perf_counter() - t0)
+        log(f"rep {rep}: {n_steps} MoE decode steps in {times[-1]:.2f}s")
+    import statistics
+    dt = statistics.median(times)
     print(json.dumps({
         "metric": "moe_20b_tcq4_decode_1chip",
         "value": round(n_steps / dt, 1),

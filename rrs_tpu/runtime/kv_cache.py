@@ -180,7 +180,10 @@ class KVCache:
 
         import functools
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        # no donate_argnums: donated executables compile ~16x slower and
+        # stall their first dispatch through the axon relay (PERF.md round-2
+        # note); the transient double-buffer during a rare shift is cheap
+        @jax.jit
         def shift(ks, vs):
             def rope_shift_k(lk):
                 """[H, S, D] -> rolled + rope(-delta) on the moved tail."""
