@@ -36,6 +36,8 @@ def main(argv=None):
     g.add_argument("--draft", type=int, default=4, help="draft length")
     g.add_argument("--lookup", action="store_true",
                    help="prompt-lookup (ngram) speculative decoding")
+    from rrs_tpu.parallel.distributed import add_parallel_args
+    add_parallel_args(g)
 
     pp = sub.add_parser("perplexity", help="windowed NLL perplexity on a text file")
     pp.add_argument("--model", "-m", required=True)
@@ -71,6 +73,7 @@ def main(argv=None):
     b.add_argument("--pp", type=int, nargs="*", default=[512])
     b.add_argument("--tg", type=int, nargs="*", default=[128])
     b.add_argument("--json", action="store_true")
+    add_parallel_args(b)
 
     bb = sub.add_parser("batched-bench", help="parallel decode throughput grid")
     bb.add_argument("--model", "-m", default=None)
@@ -156,6 +159,7 @@ def main(argv=None):
     s.add_argument("--slot-save-path", default=None,
                    help="base dir for /slots save/restore (endpoint "
                         "disabled when unset)")
+    add_parallel_args(s)
 
     args = p.parse_args(argv)
 
@@ -271,23 +275,34 @@ def main(argv=None):
         serve(args)
 
 
-def _load(model_path, n_lanes=1, max_seq=2048, kv_quant="none"):
+def _load(model_path, n_lanes=1, max_seq=2048, kv_quant="none", mesh=None):
     from rrs_tpu.models.loader import load_model
     from rrs_tpu.models.vocab import Vocab
     from rrs_tpu.runtime.recurrent import make_context
 
-    cfg, weights, md = load_model(model_path)
+    # fused q|k|v / gate|up projections can't be TP-sharded (the megatron
+    # column split needs the per-head boundaries); load unfused under a mesh
+    cfg, weights, md = load_model(model_path, fuse=mesh is None)
     vocab = Vocab.from_gguf(md)
+    kw = {} if mesh is None else {"mesh": mesh}
+    if mesh is not None:
+        dp = mesh.shape["dp"]
+        n_lanes = -(-n_lanes // dp) * dp      # lanes shard evenly over dp
     ctx = make_context(cfg, weights, n_lanes=n_lanes, max_seq=max_seq,
-                           kv_quant=kv_quant)
+                       kv_quant=kv_quant, **kw)
     return cfg, vocab, ctx
 
 
 def cmd_generate(args):
     from rrs_tpu.runtime.sampler import SamplerParams
 
+    from rrs_tpu.parallel.distributed import maybe_initialize, mesh_from_args
+
+    maybe_initialize(args)
+    mesh = mesh_from_args(args)
     cfg, vocab, ctx = _load(args.model, max_seq=args.ctx,
-                            kv_quant=getattr(args, "cache_type", "none"))
+                            kv_quant=getattr(args, "cache_type", "none"),
+                            mesh=mesh)
     tokens = vocab.encode(args.prompt, add_special=not args.no_bos)
     params = SamplerParams(
         temperature=args.temp, top_k=args.top_k, top_p=args.top_p, seed=args.seed

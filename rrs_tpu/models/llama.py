@@ -313,6 +313,7 @@ def decode_scan(
     start_pos: jnp.ndarray,       # [B] int32
     k_caches, v_caches,
     n_steps: int,
+    logits_fixup=None,            # e.g. TP all_gather of vocab shards
 ):
     """Greedy-decode n_steps tokens on device. Returns (tokens [B, n_steps], caches)."""
     s = k_caches[0].shape[2]
@@ -323,6 +324,8 @@ def decode_scan(
         logits, nk, nv = forward(
             cfg, w, token[:, None], pos[:, None], ks, vs, pos[:, None], slots
         )
+        if logits_fixup is not None:
+            logits = logits_fixup(logits)
         nxt = jnp.argmax(logits[:, 0, :], axis=-1).astype(jnp.int32)
         return (nxt, pos + 1, nk, nv), token
 

@@ -42,8 +42,22 @@ class InferenceContext:
         max_seq: int = 2048,
         kv_dtype=jnp.bfloat16,
         kv_quant: str = "none",
+        mesh=None,
     ):
+        """``mesh``: optional jax Mesh with ("dp", "tp") axes — the product
+        entry to tensor parallelism (--tp on generate/serve; the reference's
+        --split-mode row, llama.h:193-197). Weights are sharded per
+        parallel/sharding.py's megatron plan, KV heads over tp and lanes
+        over dp, and the step functions run under shard_map."""
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            from rrs_tpu.parallel import sharding as _sh
+
+            if mesh.shape["dp"] > 1 and n_lanes % mesh.shape["dp"]:
+                raise ValueError(
+                    f"n_lanes={n_lanes} must be divisible by dp={mesh.shape['dp']}")
+            weights = _sh.shard_weights(weights, mesh)
         self.weights = weights
         self.kv = KVCache.create(cfg, n_lanes, max_seq, kv_dtype, quant=kv_quant)
         self._next_seq_id = 0
@@ -53,9 +67,59 @@ class InferenceContext:
         self.t_prefill_s = 0.0
         self.t_decode_s = 0.0
 
-        self._step_fn = jax.jit(functools.partial(self._step, cfg))
-        self._step_last_fn = jax.jit(
-            functools.partial(self._step, cfg, last_only=True))
+        if mesh is None:
+            self._step_fn = jax.jit(functools.partial(self._step, cfg))
+            self._step_last_fn = jax.jit(
+                functools.partial(self._step, cfg, last_only=True))
+        else:
+            self._shard_kv()
+            self._step_fn = self._make_tp_step(last_only=False)
+            self._step_last_fn = self._make_tp_step(last_only=True)
+
+    # -- tensor-parallel plumbing -----------------------------------------
+
+    def _kv_pspec(self):
+        from jax.sharding import PartitionSpec as P
+
+        kvp = P("dp", "tp", None, None)
+        return [(kvp, kvp) if isinstance(c, tuple) else kvp for c in self.kv.k]
+
+    def _shard_kv(self):
+        from jax.sharding import NamedSharding
+
+        specs = self._kv_pspec()
+        put = lambda c, s: jax.tree.map(
+            lambda a, sp: jax.device_put(a, NamedSharding(self.mesh, sp)),
+            c, s, is_leaf=lambda x: not isinstance(x, tuple))
+        self.kv.k = [put(c, s) for c, s in zip(self.kv.k, specs)]
+        self.kv.v = [put(c, s) for c, s in zip(self.kv.v, specs)]
+
+    def _make_tp_step(self, last_only: bool):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from rrs_tpu.parallel import sharding as _sh
+
+        cfg = self.cfg
+        mesh = self.mesh
+        lcfg = _sh._local_cfg(cfg, mesh.shape["tp"])
+        wspecs = _sh.weight_pspecs(self.weights)
+        kv_specs = self._kv_pspec()
+
+        def step(weights, tokens, start_pos, lengths, k_caches, v_caches):
+            logits, nk, nv = InferenceContext._step(
+                lcfg, weights, tokens, start_pos, lengths, k_caches,
+                v_caches, last_only=last_only)
+            # lm_head is column-parallel: gather vocab shards, drop padding
+            logits = jax.lax.all_gather(logits, "tp", axis=-1, tiled=True)
+            return logits[..., : cfg.vocab_size], nk, nv
+
+        fn = shard_map(
+            step, mesh=mesh,
+            in_specs=(wspecs, P("dp", None), P("dp"), P("dp"),
+                      kv_specs, kv_specs),
+            out_specs=(P("dp", None, None), kv_specs, kv_specs),
+            check_vma=False)
+        return jax.jit(fn)
 
     def perf(self) -> dict:
         """llama_perf_context analog: token counts + throughput."""
@@ -165,6 +229,9 @@ class InferenceContext:
     def prefill_embeds(self, seq_id: int, embeds: np.ndarray) -> np.ndarray:
         """Feed raw input embeddings [T, E] (multimodal image chunks; the
         llama_batch.embd path). Returns logits [T, V]."""
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "multimodal embedding prefill is not yet supported with --tp")
         lane = self.kv.lane_of(seq_id)
         b = self.kv.n_lanes
         if not hasattr(self, "_embd_step"):
@@ -224,6 +291,9 @@ class InferenceContext:
         """Sequence embedding from the final hidden state (llama_encode +
         pooling analog; causal-LM contexts support mean/last pooling).
         Runs a standalone forward without the LM head or persistent cache."""
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "embedding extraction is not yet supported with --tp")
         import jax
 
         @jax.jit

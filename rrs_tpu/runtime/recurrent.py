@@ -247,6 +247,11 @@ class RecurrentContext:
 def make_context(cfg: ModelConfig, weights, **kw):
     """Context factory: hybrid vs recurrent vs attention (the memory-variant
     switch in llama_model::create_memory)."""
+    if cfg.is_hybrid or cfg.is_recurrent:
+        if kw.get("mesh") is not None:
+            raise NotImplementedError(
+                "--tp/--dp is not yet supported for recurrent/hybrid models")
+        kw.pop("mesh", None)
     if cfg.is_hybrid:
         from rrs_tpu.runtime.hybrid import HybridContext
 

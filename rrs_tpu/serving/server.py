@@ -696,11 +696,20 @@ def serve(args):
     from rrs_tpu.models.loader import load_model
     from rrs_tpu.models.vocab import Vocab
     from rrs_tpu.runtime.recurrent import make_context
+    from rrs_tpu.parallel.distributed import maybe_initialize, mesh_from_args
 
-    cfg, weights, md = load_model(args.model)
+    maybe_initialize(args)
+    mesh = mesh_from_args(args)
+    cfg, weights, md = load_model(args.model, fuse=mesh is None)
     vocab = Vocab.from_gguf(md)
-    ctx = make_context(cfg, weights, n_lanes=args.parallel, max_seq=args.ctx,
-                           kv_quant=getattr(args, "cache_type", "none"))
+    n_lanes = args.parallel
+    if mesh is not None:
+        n_lanes = -(-n_lanes // mesh.shape["dp"]) * mesh.shape["dp"]
+    ctx = make_context(cfg, weights, n_lanes=n_lanes, max_seq=args.ctx,
+                       kv_quant=getattr(args, "cache_type", "none"),
+                       mesh=mesh)
+    if mesh is not None:
+        print(f"tensor/data parallel over mesh {dict(mesh.shape)}")
     draft_ctx = None
     if getattr(args, "model_draft", None):
         dcfg, dweights, _ = load_model(args.model_draft)

@@ -1,0 +1,113 @@
+"""Product-surface tensor parallelism: InferenceContext(mesh=...) and the
+serving engine on a sharded context must reproduce single-device results
+(the user-facing analog of --split-mode row, llama.h:193-197)."""
+
+import numpy as np
+import pytest
+
+from rrs_tpu.models.config import ModelConfig, PRESETS
+from rrs_tpu.models import llama as llama_model
+from rrs_tpu.parallel.sharding import make_mesh
+from rrs_tpu.runtime.context import InferenceContext
+
+
+def _cfg():
+    # local K shards (heads*head_dim/tp, n_ff/tp) stay 256-aligned at tp=4
+    return ModelConfig(
+        arch="qwen3", n_layers=2, n_embd=256, n_heads=8, n_kv_heads=4,
+        head_dim=128, n_ff=1024, vocab_size=512, context_length=128,
+        qk_norm=True,
+    )
+
+
+def test_tp_context_matches_single_device():
+    cfg = _cfg()
+    w = llama_model.random_weights(cfg, seed=3, quantize=True)
+
+    ref = InferenceContext(cfg, w, n_lanes=2, max_seq=64)
+    mesh = make_mesh(8, dp=2)
+    tpc = InferenceContext(cfg, w, n_lanes=2, max_seq=64, mesh=mesh)
+
+    prompt = [1, 2, 3, 4, 5]
+    sr = ref.new_sequence()
+    st = tpc.new_sequence()
+    lr = ref.prefill(sr, prompt)
+    lt = tpc.prefill(st, prompt)
+    assert lt.shape == lr.shape
+    np.testing.assert_allclose(lt, lr, rtol=3e-2, atol=3e-2)
+    np.testing.assert_array_equal(lt.argmax(-1), lr.argmax(-1))
+
+    # several decode steps through the public API
+    tok_r, tok_t = int(lr[-1].argmax()), int(lt[-1].argmax())
+    for _ in range(4):
+        dr = ref.decode({sr: tok_r})[sr]
+        dt = tpc.decode({st: tok_t})[st]
+        # bf16 + different psum reduction order: wider elementwise band,
+        # but the greedy decision must agree
+        np.testing.assert_allclose(dt, dr, rtol=1e-1, atol=1e-1)
+        tok_r, tok_t = int(dr.argmax()), int(dt.argmax())
+        assert tok_r == tok_t
+
+
+def test_tp_context_q8_kv():
+    cfg = _cfg()
+    w = llama_model.random_weights(cfg, seed=5, quantize=True)
+    ref = InferenceContext(cfg, w, n_lanes=1, max_seq=64, kv_quant="q8")
+    mesh = make_mesh(8, dp=1)       # tp=8: kv heads 4 not divisible -> tp=4
+    mesh = make_mesh(4, dp=1)
+    tpc = InferenceContext(cfg, w, n_lanes=1, max_seq=64, kv_quant="q8",
+                           mesh=mesh)
+    prompt = [7, 8, 9]
+    sr, st = ref.new_sequence(), tpc.new_sequence()
+    lr = ref.prefill(sr, prompt)
+    lt = tpc.prefill(st, prompt)
+    np.testing.assert_allclose(lt, lr, rtol=5e-2, atol=5e-2)
+    np.testing.assert_array_equal(lt[-1].argmax(), lr[-1].argmax())
+
+
+def test_engine_serves_on_tp_context():
+    from rrs_tpu.runtime.sampler import SamplerParams
+    from rrs_tpu.serving.engine import Engine, GenRequest
+
+    cfg = _cfg()
+    w = llama_model.random_weights(cfg, seed=4, quantize=True)
+    mesh = make_mesh(8, dp=2)
+    ctx = InferenceContext(cfg, w, n_lanes=2, max_seq=64, mesh=mesh)
+    eng = Engine(ctx)
+    out, done = [], {}
+
+    def on_token(tok, piece, finished, reason):
+        if finished:
+            done["r"] = reason
+        elif tok is not None:
+            out.append(tok)
+
+    eng.submit(GenRequest(prompt_tokens=[1, 2, 3], max_tokens=4,
+                          params=SamplerParams(temperature=0.0),
+                          on_token=on_token))
+    for _ in range(100):
+        eng._iterate()
+        if done:
+            break
+    assert done.get("r") in ("stop", "length")
+    assert len(out) == 4
+
+    # fresh single-device engine agrees
+    ref = InferenceContext(cfg, w, n_lanes=2, max_seq=64)
+    eng2 = Engine(ref)
+    out2, done2 = [], {}
+
+    def on_token2(tok, piece, finished, reason):
+        if finished:
+            done2["r"] = reason
+        elif tok is not None:
+            out2.append(tok)
+
+    eng2.submit(GenRequest(prompt_tokens=[1, 2, 3], max_tokens=4,
+                           params=SamplerParams(temperature=0.0),
+                           on_token=on_token2))
+    for _ in range(100):
+        eng2._iterate()
+        if done2:
+            break
+    assert out == out2
