@@ -287,6 +287,157 @@ class InferenceContext:
         self.t_decode_s += _time.perf_counter() - t0
         return out
 
+    # -- device-side multi-token decode (serving fast path) ----------------
+
+    # 16 tokens/dispatch puts served decode within ~1.3x of the benched
+    # scan through the ~30ms relay dispatch cost; overshoot past a stop is
+    # rewound (bounded waste)
+    DECODE_RUN_STEPS = 16
+
+    def _decode_run_fn(self, n_steps: int):
+        """Build (and cache) the jitted n_steps-token decode+sample scan —
+        the serving analog of CUDA-graph decode capture (ggml-cuda.cu:
+        2881-2930): one dispatch per n_steps tokens instead of one per
+        token, with on-device temperature/top-k/top-p/min-p sampling."""
+        from rrs_tpu.runtime.sampler import device_sample
+
+        cfg = self.cfg
+        mesh = self.mesh
+        if mesh is not None:
+            from rrs_tpu.parallel import sharding as _sh
+
+            run_cfg = _sh._local_cfg(cfg, mesh.shape["tp"])
+        else:
+            run_cfg = cfg
+
+        def body(weights, token, start, keys, temp, top_k, top_p, min_p,
+                 k_caches, v_caches):
+            s = max((c[0] if isinstance(c, tuple) else c).shape[2]
+                    for c in k_caches)
+
+            def step(carry, _):
+                tok, pos, ks, vs, kk = carry
+                mask_pos = jnp.where(pos[:, None] < 0, -1, pos[:, None])
+                safe_slots = jnp.where(pos[:, None] < 0, s - 1,
+                                       jnp.clip(pos[:, None], 0, s - 1))
+                logits, nk, nv = llama_model.forward(
+                    run_cfg, weights, jnp.maximum(tok[:, None], 0),
+                    mask_pos, ks, vs, mask_pos, safe_slots)
+                l = logits[:, 0, :].astype(jnp.float32)
+                if mesh is not None:
+                    l = jax.lax.all_gather(l, "tp", axis=-1, tiled=True)
+                    l = l[..., : cfg.vocab_size]
+                nk2 = jax.vmap(jax.random.split)(kk)
+                sub, kk = nk2[:, 0], nk2[:, 1]
+                nxt = device_sample(l, sub, temp, top_k, top_p, min_p)
+                nxt = jnp.where(pos < 0, tok, nxt)
+                npos = jnp.where(pos < 0, pos, pos + 1)
+                return (nxt, npos, nk, nv, kk), nxt
+
+            (tok, pos, ks, vs, kk), out = jax.lax.scan(
+                step, (token, start, k_caches, v_caches, keys), None,
+                length=n_steps)
+            return jnp.moveaxis(out, 0, 1), ks, vs, kk   # [B, n_steps]
+
+        if mesh is None:
+            return jax.jit(body)
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from rrs_tpu.parallel import sharding as _sh
+
+        wspecs = _sh.weight_pspecs(self.weights)
+        kv_specs = self._kv_pspec()
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(wspecs, P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+                      P("dp"), P("dp"), kv_specs, kv_specs),
+            out_specs=(P("dp", None), kv_specs, kv_specs, P("dp")),
+            check_vma=False)
+        return jax.jit(fn)
+
+    def decode_run_start(
+        self,
+        seq_tokens: dict[int, int],
+        keys: dict[int, jax.Array],
+        params: dict[int, SamplerParams],
+        n_steps: int = 0,
+        chain: Optional[dict] = None,
+    ) -> dict:
+        """Dispatch (without waiting) an n_steps decode+sample run. Feeds
+        each sequence's pending token and samples n_steps tokens per lane
+        on device; lane lengths advance by n_steps (the final sampled token
+        is NOT fed) — callers rewind with seq_rm when they accept fewer.
+
+        ``chain``: a previous run's handle; the token/key vectors are taken
+        from its device outputs, so back-to-back runs pipeline without a
+        host round-trip (the relay dispatch latency hides behind device
+        compute). Returns a handle {toks, keys, lanes, n}; results are
+        device arrays until the caller np.asarray()s them."""
+        n_steps = n_steps or self.DECODE_RUN_STEPS
+        if not hasattr(self, "_run_fns"):
+            self._run_fns = {}
+        if n_steps not in self._run_fns:
+            self._run_fns[n_steps] = self._decode_run_fn(n_steps)
+        fn = self._run_fns[n_steps]
+
+        b = self.kv.n_lanes
+        start = np.full((b,), -1, np.int32)
+        temp = np.zeros((b,), np.float32)
+        top_k = np.ones((b,), np.int32)
+        top_p = np.ones((b,), np.float32)
+        min_p = np.zeros((b,), np.float32)
+        lanes = {}
+        for seq_id in seq_tokens:
+            lane = self.kv.lane_of(seq_id)
+            lanes[seq_id] = lane
+            start[lane] = self.kv.lengths[lane]
+            p = params[seq_id]
+            temp[lane] = p.temperature
+            top_k[lane] = min(p.top_k, 128) if p.top_k > 0 else 128
+            top_p[lane] = p.top_p
+            min_p[lane] = p.min_p
+        if chain is not None:
+            tokv = chain["toks"][:, -1]
+            keyv = chain["keys"]
+        else:
+            tok = np.zeros((b,), np.int32)
+            key_rows = [jax.random.PRNGKey(0)] * b
+            for seq_id, token in seq_tokens.items():
+                tok[lanes[seq_id]] = token
+                key_rows[lanes[seq_id]] = keys[seq_id]
+            tokv = jnp.asarray(tok)
+            keyv = jnp.stack(key_rows)
+
+        import time as _time
+
+        t0 = _time.perf_counter()
+        toks, nk, nv, nkeys = fn(
+            self.weights, tokv, jnp.asarray(start),
+            keyv, jnp.asarray(temp), jnp.asarray(top_k),
+            jnp.asarray(top_p), jnp.asarray(min_p), self.kv.k, self.kv.v)
+        self.kv.k, self.kv.v = nk, nv
+        for seq_id, lane in lanes.items():
+            self.kv.lengths[lane] += n_steps
+            self.n_decode_tokens += n_steps
+        self.t_decode_s += _time.perf_counter() - t0
+        return {"toks": toks, "keys": nkeys, "lanes": lanes, "n": n_steps}
+
+    def decode_run(
+        self,
+        seq_tokens: dict[int, int],
+        keys: dict[int, jax.Array],
+        params: dict[int, SamplerParams],
+        n_steps: int = 0,
+    ) -> tuple[dict[int, np.ndarray], dict[int, jax.Array]]:
+        """Synchronous decode_run_start: returns ({seq: [n] tokens},
+        {seq: key'})."""
+        h = self.decode_run_start(seq_tokens, keys, params, n_steps)
+        toks_np = np.asarray(h["toks"])
+        out = {s: toks_np[lane] for s, lane in h["lanes"].items()}
+        out_keys = {s: h["keys"][lane] for s, lane in h["lanes"].items()}
+        return out, out_keys
+
     def embed(self, tokens: list[int], pooling: str = "mean") -> np.ndarray:
         """Sequence embedding from the final hidden state (llama_encode +
         pooling analog; causal-LM contexts support mean/last pooling).

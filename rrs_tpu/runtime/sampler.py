@@ -199,6 +199,41 @@ def sample(
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
+def device_sample(
+    logits: jnp.ndarray,            # [B, V] f32
+    keys: jnp.ndarray,              # [B] PRNG keys (uint32 [B, 2] typed key)
+    temp: jnp.ndarray,              # [B] f32; <=0 -> greedy
+    top_k: jnp.ndarray,             # [B] i32 in [1, k_max]
+    top_p: jnp.ndarray,             # [B] f32
+    min_p: jnp.ndarray,             # [B] f32
+    k_max: int = 128,
+) -> jnp.ndarray:
+    """Jit-friendly per-lane sampler for device-side decode runs: the
+    temperature/top-k/top-p/min-p subset of the chain (the GPU-sampling
+    analog of llama_context_params.samplers, llama.h:1012-1035), restricted
+    to the k_max most likely candidates. Lanes with temp<=0 take argmax.
+    Returns [B] int32."""
+    vals, idx = jax.lax.top_k(logits, k_max)                # [B, K]
+    rank = jnp.arange(k_max, dtype=jnp.int32)[None, :]
+    allowed = rank < jnp.maximum(top_k, 1)[:, None]
+    t = jnp.where(temp > 0, temp, 1.0)[:, None]
+    scaled = jnp.where(allowed, vals / t, -jnp.inf)
+    probs = jax.nn.softmax(scaled, axis=-1)
+    # top-p: keep the prefix whose cumulative mass crosses p (the crossing
+    # token included, llama-sampling top_p semantics)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep_p = (cum - probs) < top_p[:, None]
+    # min-p: relative to the max candidate probability
+    keep_m = probs >= min_p[:, None] * probs.max(axis=-1, keepdims=True)
+    final = allowed & keep_p & keep_m
+    final = final.at[:, 0].set(True)
+    logp = jnp.where(final, scaled, -jnp.inf)
+    g = jax.vmap(lambda k: jax.random.gumbel(k, (k_max,)))(keys)
+    choice = jnp.argmax(logp + g, axis=-1)
+    sampled = jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
+    return jnp.where(temp <= 0, idx[:, 0], sampled).astype(jnp.int32)
+
+
 def dry_penalties(
     tokens: list[int],
     vocab_size: int,

@@ -105,6 +105,8 @@ class Engine:
         # safely with decode — the single-compute-thread rule of the
         # reference's server loop)
         self._side: "queue.Queue" = queue.Queue()
+        # inflight device micro-run (pipelined decode; see _decode_step)
+        self._inflight = None
         # metrics (/metrics analog)
         self.n_prompt_tokens = 0
         self.n_generated_tokens = 0
@@ -611,9 +613,101 @@ class Engine:
                     s, "stop" if tok in s.req.stop_tokens else "length")
                 return
 
+    def _fast_eligible(self, s: Slot) -> bool:
+        """Slot can decode via the device-side multi-token run: plain
+        temperature/top-k/top-p/min-p sampling only (grammar, penalties,
+        DRY, mirostat, XTC, logit bias, logprobs fall back to the host
+        chain), no draft model, and cache headroom for the whole run."""
+        if not hasattr(self.ctx, "decode_run"):   # recurrent/hybrid contexts
+            return False
+        p = s.req.params
+        n = self.ctx.DECODE_RUN_STEPS
+        kv = self.ctx.kv
+        return (s.grammar is None and s.req.n_probs == 0
+                and s.draft_seq < 0
+                and p.penalty_repeat == 1.0 and not p.penalty_freq
+                and not p.penalty_present and not p.dry_multiplier
+                and not p.mirostat and not p.xtc_probability
+                and not p.top_n_sigma and not p.logit_bias
+                and p.typical_p >= 1.0
+                and (p.top_k <= 0 or p.top_k <= 128)
+                # headroom: post-dispatch length stays below the
+                # context-shift trigger (max_seq-1), so a shift can never
+                # fire while a run is in flight
+                and kv.lengths[kv.lane_of(s.seq_id)] + n + 1 < kv.max_seq)
+
+    def _dispatch_fast(self, gen: list, chain=None) -> dict:
+        """Dispatch one device-side micro-run (DECODE_RUN_STEPS tokens per
+        slot, on-device sampling). Returns the inflight record."""
+        handle = self.ctx.decode_run_start(
+            {s.seq_id: (s.generated[-1] if chain is None else None)
+             for s in gen},
+            {s.seq_id: s.key for s in gen},
+            {s.seq_id: s.req.params for s in gen},
+            chain=chain,
+        )
+        # keyed by (seq_id, request id): a released lane retains its seq_id
+        # as a prompt cache, so a later request on the same lane must NOT
+        # match a dangling inflight run from the previous one
+        items = {
+            (s.seq_id, s.req.id):
+                self.ctx.kv.lengths[self.ctx.kv.lane_of(s.seq_id)]
+                - handle["n"]
+            for s in gen
+        }
+        return {"handle": handle, "items": items}
+
+    def _flush_fast(self, inf: dict) -> None:
+        """Read an inflight run's tokens and emit them. Sequences whose slot
+        was released while the run was in flight are skipped (their lengths
+        were already rewound at release; the run's extra cache writes sit
+        past the rewound length and are overwritten on reuse)."""
+        h = inf["handle"]
+        toks_np = np.asarray(h["toks"])
+        for (seq_id, req_id), base in inf["items"].items():
+            slot = next(
+                (s for s in self.slots
+                 if s.seq_id == seq_id and s.state == SlotState.GENERATING
+                 and s.req is not None and s.req.id == req_id),
+                None)
+            if slot is None:
+                continue
+            lane = h["lanes"][seq_id]
+            slot.key = h["keys"][lane]
+            for i, tok in enumerate(toks_np[lane].tolist()):
+                if self._emit(slot, tok):   # stop token/string or max_tokens
+                    # the cache holds tokens fed through step i; rewind the
+                    # overshoot past the accepted token
+                    self.ctx.kv.seq_rm(seq_id, p0=base + i + 1)
+                    self._release(
+                        slot,
+                        "stop" if tok in slot.req.stop_tokens else "length")
+                    break
+
     def _decode_step(self, gen: list) -> None:
+        # pipelined device micro-runs: dispatch run N+1 (chained on run N's
+        # device-resident last token) BEFORE reading run N's results, so the
+        # relay round-trip hides behind device compute — the serving analog
+        # of CUDA-graph decode capture (ggml-cuda.cu:2881-2930)
+        if self._inflight is not None:
+            prev, self._inflight = self._inflight, None
+            gen_set = {(s.seq_id, s.req.id) for s in gen}
+            if (set(prev["items"]) == gen_set
+                    and all(self._fast_eligible(s) for s in gen)):
+                self._inflight = self._dispatch_fast(
+                    gen, chain=prev["handle"])
+                self._flush_fast(prev)
+                return
+            self._flush_fast(prev)
+            gen = [s for s in self.slots
+                   if s.state == SlotState.GENERATING]
+            if not gen:
+                return
         if len(gen) == 1 and self._spec_eligible(gen[0]):
             self._decode_step_spec(gen[0])
+            return
+        if all(self._fast_eligible(s) for s in gen):
+            self._inflight = self._dispatch_fast(gen)
             return
         step = {s.seq_id: s.generated[-1] for s in gen}
         out = self.ctx.decode(step)
