@@ -1,14 +1,19 @@
 """Chat templating + tool-call parsing + reasoning extraction
 (common/chat*.cpp analog).
 
-Supports the template families of the BASELINE model set (ChatML for Qwen,
-Llama-3 header format, Gemma, Mistral) plus a generic fallback. Full Jinja
-execution is out of scope; detection keys off the GGUF
-``tokenizer.chat_template`` string the same way llama.cpp's
-llm_chat_detect_template does. Tool calls use the Hermes-style
-``<tool_call>{json}</tool_call>`` convention (common/chat-parser.cpp), with
-a bare-JSON fallback; reasoning extraction splits ``<think>...</think>``
-(common_chat_params reasoning_format analog).
+Primary path: the GGUF's ``tokenizer.chat_template`` rendered with jinja2
+in an HF-compatible sandbox (the role common/jinja/'s hand-written engine
+plays for C++ — Python has the real engine these templates were written
+for). Heuristic template families (ChatML/Llama-3/Gemma/Mistral) remain
+the fallback when a model ships no template or it fails to render.
+
+Tool-call output parsing covers the major dialects of common/chat.cpp
+(COMMON_CHAT_FORMAT_*): Hermes/Qwen ``<tool_call>{json}</tool_call>``,
+Llama-3.x bare JSON + ``<|python_tag|>``, Mistral-Nemo ``[TOOL_CALLS]``,
+DeepSeek-R1 marker blocks, Command-R7B ``<|START_ACTION|>``, Functionary
+v3.1 ``<function=...>``, GPT-OSS harmony channels, with a generic JSON
+fallback; reasoning extraction handles ``<think>`` and
+``<|START_THINKING|>`` (common_chat_params reasoning_format analog).
 """
 
 from __future__ import annotations
@@ -17,6 +22,85 @@ import json
 import re
 import uuid
 from typing import Optional
+
+
+# ---------------------------------------------------------------------------
+# Jinja rendering (common/chat.cpp apply + common/jinja/ analog)
+# ---------------------------------------------------------------------------
+
+def _jinja_env():
+    from jinja2 import Environment
+    from jinja2.ext import loopcontrols
+    from jinja2.sandbox import ImmutableSandboxedEnvironment
+
+    env = ImmutableSandboxedEnvironment(
+        trim_blocks=True, lstrip_blocks=True, extensions=[loopcontrols])
+
+    def raise_exception(msg):
+        raise RuntimeError(f"chat template error: {msg}")
+
+    def strftime_now(fmt):
+        import datetime
+
+        return datetime.datetime.now().strftime(fmt)
+
+    env.globals["raise_exception"] = raise_exception
+    env.globals["strftime_now"] = strftime_now
+    env.filters["tojson"] = lambda v, indent=None: json.dumps(
+        v, ensure_ascii=False, indent=indent)
+    return env
+
+
+_ENV = None
+
+
+def render_jinja(
+    template: str,
+    messages: list[dict],
+    tools: Optional[list[dict]] = None,
+    add_generation_prompt: bool = True,
+    special: Optional[dict] = None,
+) -> str:
+    """Render a tokenizer.chat_template with the HF-conventional context
+    (messages/tools/add_generation_prompt/bos_token/eos_token). Raises on
+    template errors — callers fall back to the heuristic families."""
+    global _ENV
+    if _ENV is None:
+        _ENV = _jinja_env()
+    ctx = {
+        "messages": messages,
+        "tools": tools if tools else None,
+        "add_generation_prompt": add_generation_prompt,
+        "bos_token": "",
+        "eos_token": "",
+    }
+    if special:
+        ctx.update(special)
+    return _ENV.from_string(template).render(**ctx)
+
+
+def build_prompt(
+    md_template: str,
+    fallback: str,
+    messages: list[dict],
+    tools: Optional[list[dict]] = None,
+    add_assistant: bool = True,
+    special: Optional[dict] = None,
+) -> tuple[str, tuple[str, ...]]:
+    """Render the chat prompt, preferring the model's own Jinja template.
+    Returns (prompt, extra stop strings)."""
+    if md_template:
+        try:
+            text = render_jinja(md_template, messages, tools=tools,
+                                add_generation_prompt=add_assistant,
+                                special=special)
+            return text, stop_strings_for(detect_template(
+                {"tokenizer.chat_template": md_template}))
+        except Exception:                                   # noqa: BLE001
+            pass
+    return (apply_template(fallback, messages, add_assistant=add_assistant,
+                           tools=tools),
+            stop_strings_for(fallback))
 
 
 def detect_template(md: dict) -> str:
@@ -164,57 +248,150 @@ def _inject_tools(messages: list[dict], tools: list[dict]) -> list[dict]:
 _TOOL_CALL_RE = re.compile(r"<tool_call>\s*(\{.*?\})\s*</tool_call>", re.S)
 
 
-def parse_tool_calls(text: str):
-    """Extract tool calls from generated text. Returns (content, calls) where
-    calls is a list of OAI tool_call dicts. Handles <tool_call> blocks and a
-    single bare JSON object with name+arguments."""
+def detect_tool_format(template: str) -> str:
+    """Map a chat template's markers to a tool-call dialect (the format
+    switch of common_chat_templates_apply_jinja, common/chat.cpp:650+)."""
+    t = template or ""
+    if "<tool_call>" in t or "<|im_start|>" in t:
+        return "hermes"                 # Hermes-2-Pro / Qwen family
+    if "<｜tool▁calls▁begin｜>" in t or "<｜tool▁calls｜>" in t:
+        return "deepseek"
+    if "[TOOL_CALLS]" in t:
+        return "mistral"
+    if "<|START_ACTION|>" in t:
+        return "command-r7b"
+    if "<function=" in t:
+        return "functionary-3.1"
+    if "<|channel|>" in t:
+        return "gpt-oss"
+    if "<|python_tag|>" in t or "<|start_header_id|>" in t:
+        return "llama3"
+    return "generic"
+
+
+def _mk_call(name, args, call_id=None):
+    return {
+        "id": call_id or f"call_{uuid.uuid4().hex[:8]}",
+        "type": "function",
+        "function": {
+            "name": name or "",
+            "arguments": args if isinstance(args, str)
+            else json.dumps(args, ensure_ascii=False),
+        },
+    }
+
+
+def _parse_json_maybe(blob):
+    try:
+        return json.loads(blob)
+    except Exception:                                       # noqa: BLE001
+        return None
+
+
+_DS_CALL_RE = re.compile(
+    r"<｜tool▁call▁begin｜>(?:function<｜tool▁sep｜>)?([^\n<]+)\n"
+    r"```json\n(.*?)\n```<｜tool▁call▁end｜>", re.S)
+_DS_BLOCK_RE = re.compile(
+    r"<｜tool▁calls▁begin｜>.*?(?:<｜tool▁calls▁end｜>|$)", re.S)
+_MISTRAL_RE = re.compile(r"\[TOOL_CALLS\]\s*(\[.*?\])(?=\s*(?:\[TOOL_CALLS\]|$))", re.S)
+_ACTION_RE = re.compile(r"<\|START_ACTION\|>\s*(\[.*?\])\s*<\|END_ACTION\|>", re.S)
+_FUNC31_RE = re.compile(r"<function=([^>]+)>(.*?)</function>", re.S)
+_GPTOSS_RE = re.compile(
+    r"<\|channel\|>commentary to=functions\.([\w.-]+)"
+    r"(?:\s*<\|constrain\|>json)?\s*<\|message\|>(.*?)(?:<\|call\|>|$)", re.S)
+_PYTAG_RE = re.compile(r"<\|python_tag\|>(.*?)(?:<\|eom_id\|>|$)", re.S)
+
+
+def parse_tool_calls(text: str, fmt: str = "auto"):
+    """Extract tool calls from generated text for the given dialect.
+    Returns (content, calls) with OAI-shaped tool_call dicts."""
     calls = []
-
-    def add(obj):
-        args = obj.get("arguments", obj.get("parameters", {}))
-        calls.append({
-            "id": f"call_{uuid.uuid4().hex[:8]}",
-            "type": "function",
-            "function": {
-                "name": obj.get("name", ""),
-                "arguments": json.dumps(args) if not isinstance(args, str) else args,
-            },
-        })
-
     content = text
-    found = _TOOL_CALL_RE.findall(text)
-    if found:
-        for blob in found:
-            try:
-                add(json.loads(blob))
-            except Exception:
-                pass
+
+    def add_objs(objs):
+        for obj in objs:
+            if not isinstance(obj, dict):
+                continue
+            fn = obj.get("function", obj)
+            calls.append(_mk_call(
+                fn.get("name") or obj.get("tool_name"),
+                fn.get("arguments", fn.get("parameters",
+                                           obj.get("parameters", {}))),
+                call_id=obj.get("id") or obj.get("tool_call_id")))
+
+    if fmt in ("auto", "hermes", "generic") and _TOOL_CALL_RE.search(text):
+        add_objs(filter(None, (_parse_json_maybe(b)
+                               for b in _TOOL_CALL_RE.findall(text))))
         content = _TOOL_CALL_RE.sub("", text).strip()
+    elif fmt in ("auto", "deepseek") and "<｜tool▁call▁begin｜>" in text:
+        for name, blob in _DS_CALL_RE.findall(text):
+            obj = _parse_json_maybe(blob)
+            if obj is not None:
+                calls.append(_mk_call(name.strip(), obj))
+        content = _DS_BLOCK_RE.sub("", text).strip()
+    elif fmt in ("auto", "mistral") and "[TOOL_CALLS]" in text:
+        for blob in _MISTRAL_RE.findall(text):
+            arr = _parse_json_maybe(blob)
+            if isinstance(arr, list):
+                add_objs(arr)
+        content = _MISTRAL_RE.sub("", text).replace("[TOOL_CALLS]", "").strip()
+    elif fmt in ("auto", "command-r7b") and "<|START_ACTION|>" in text:
+        for blob in _ACTION_RE.findall(text):
+            arr = _parse_json_maybe(blob)
+            if isinstance(arr, list):
+                add_objs(arr)
+        content = _ACTION_RE.sub("", text).strip()
+    elif fmt in ("auto", "functionary-3.1") and "<function=" in text:
+        for name, blob in _FUNC31_RE.findall(text):
+            obj = _parse_json_maybe(blob.strip())
+            calls.append(_mk_call(name, obj if obj is not None
+                                  else blob.strip()))
+        content = _FUNC31_RE.sub("", text).strip()
+    elif fmt in ("auto", "gpt-oss") and "<|channel|>commentary to=" in text:
+        for name, blob in _GPTOSS_RE.findall(text):
+            obj = _parse_json_maybe(blob.strip())
+            calls.append(_mk_call(name, obj if obj is not None
+                                  else blob.strip()))
+        content = _GPTOSS_RE.sub("", text).strip()
+    elif fmt in ("auto", "llama3") and "<|python_tag|>" in text:
+        for blob in _PYTAG_RE.findall(text):
+            obj = _parse_json_maybe(blob.strip())
+            if isinstance(obj, dict) and "name" in obj:
+                calls.append(_mk_call(obj["name"],
+                                      obj.get("parameters",
+                                              obj.get("arguments", {}))))
+            else:
+                calls.append(_mk_call("python", {"code": blob.strip()}))
+        content = _PYTAG_RE.sub("", text).strip()
     else:
+        # llama3-style / generic bare JSON object
         stripped = text.strip()
         if stripped.startswith("{") and stripped.endswith("}"):
-            try:
-                obj = json.loads(stripped)
-                if isinstance(obj, dict) and "name" in obj and (
-                        "arguments" in obj or "parameters" in obj):
-                    add(obj)
-                    content = ""
-            except Exception:
-                pass
+            obj = _parse_json_maybe(stripped)
+            if isinstance(obj, dict) and "name" in obj and (
+                    "arguments" in obj or "parameters" in obj):
+                calls.append(_mk_call(
+                    obj["name"],
+                    obj.get("arguments", obj.get("parameters", {}))))
+                content = ""
     return content, calls
 
 
 _THINK_RE = re.compile(r"<think>(.*?)</think>", re.S)
+_CR_THINK_RE = re.compile(r"<\|START_THINKING\|>(.*?)<\|END_THINKING\|>", re.S)
 
 
 def extract_reasoning(text: str):
-    """Split <think>...</think> reasoning from content (reasoning_format
-    deepseek/qwen3 convention). Returns (reasoning or None, content)."""
-    parts = _THINK_RE.findall(text)
-    if not parts:
-        # unclosed think block (generation cut off mid-reasoning)
-        if text.lstrip().startswith("<think>"):
-            return text.lstrip()[len("<think>"):].strip(), ""
-        return None, text
-    content = _THINK_RE.sub("", text)
-    return "\n".join(p.strip() for p in parts), content.lstrip("\n")
+    """Split <think>...</think> (deepseek/qwen3) or command-r7b
+    <|START_THINKING|> reasoning from content. Returns
+    (reasoning or None, content)."""
+    for rx, open_tag in ((_THINK_RE, "<think>"),
+                         (_CR_THINK_RE, "<|START_THINKING|>")):
+        parts = rx.findall(text)
+        if parts:
+            content = rx.sub("", text)
+            return "\n".join(p.strip() for p in parts), content.lstrip("\n")
+        if text.lstrip().startswith(open_tag):
+            # unclosed block (generation cut off mid-reasoning)
+            return text.lstrip()[len(open_tag):].strip(), ""
+    return None, text

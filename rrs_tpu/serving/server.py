@@ -71,6 +71,14 @@ class ServerState:
         self.md = md
         self.model_name = model_name
         self.template = detect_template(md)
+        # model's own Jinja template (primary path) + tool-call dialect
+        self.chat_template = str(md.get("tokenizer.chat_template", "") or "")
+        from rrs_tpu.serving.chat import detect_tool_format
+
+        self.tool_format = detect_tool_format(self.chat_template)
+        bos = vocab.tokens[vocab.bos_id] if 0 <= vocab.bos_id < len(vocab.tokens) else ""
+        eos = vocab.tokens[vocab.eos_id] if 0 <= vocab.eos_id < len(vocab.tokens) else ""
+        self.special_tokens = {"bos_token": bos, "eos_token": eos}
         self.t_start = time.time()
         # multi-model router (server-models.cpp): name -> ModelHandle;
         # requests with a different "model" field route to that handle
@@ -81,6 +89,15 @@ class ServerState:
         # /slots save/restore base dir (--slot-save-path); endpoints are
         # disabled when unset, mirroring the reference's slot_save_path gate
         self.slot_save_path = None
+
+    def render_chat(self, messages, tools=None, add_assistant=True):
+        """(prompt text, extra stop strings) via the model's Jinja template,
+        falling back to the heuristic family."""
+        from rrs_tpu.serving.chat import build_prompt
+
+        return build_prompt(self.chat_template, self.template, messages,
+                            tools=tools, add_assistant=add_assistant,
+                            special=self.special_tokens)
 
 
 def _sampler_params(body: dict) -> SamplerParams:
@@ -216,13 +233,12 @@ def make_handler(state: ServerState):
             messages = list(body.get("messages", []))
             if body.get("system"):
                 messages = [{"role": "system", "content": body["system"]}] + messages
-            text = apply_template(self.st.template, messages)
+            text, stops = self.st.render_chat(messages)
             toks = self.st.vocab.encode(text, add_special=False)
             rid = f"msg_{uuid.uuid4().hex[:16]}"
             body = dict(body)
             body.setdefault("max_tokens", 256)
-            gen = self._run_request(
-                toks, body, stop_strings=stop_strings_for(self.st.template))
+            gen = self._run_request(toks, body, stop_strings=stops)
             if body.get("stream"):
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
@@ -532,7 +548,7 @@ def make_handler(state: ServerState):
                             m = {**m, "content": parts}
                         msgs2.append(m)
                     messages = msgs2
-                text = apply_template(self.st.template, messages, tools=tools)
+                text, chat_stops = self.st.render_chat(messages, tools=tools)
                 toks = self.st.vocab.encode(text, add_special=False)
                 rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
                 probs = []
@@ -553,7 +569,7 @@ def make_handler(state: ServerState):
                         if i < len(chunks):
                             segments.append(("embeds", chunks[i]))
                 gen = self._run_request(
-                    toks, body, stop_strings=stop_strings_for(self.st.template),
+                    toks, body, stop_strings=chat_stops,
                     probs_out=probs, segments=segments,
                 )
                 if body.get("stream"):
@@ -576,7 +592,8 @@ def make_handler(state: ServerState):
                     reasoning, content = extract_reasoning(content)
                     tool_calls = []
                     if tools:
-                        content, tool_calls = parse_tool_calls(content)
+                        content, tool_calls = parse_tool_calls(
+                            content, fmt=self.st.tool_format)
                     msg = {"role": "assistant", "content": content}
                     if reasoning is not None:
                         msg["reasoning_content"] = reasoning
@@ -611,9 +628,9 @@ def make_handler(state: ServerState):
 
             if self.path == "/apply-template":
                 messages = body.get("messages", [])
-                self._json({"prompt": apply_template(
-                    self.st.template, messages,
-                    tools=body.get("tools") or None)})
+                text, _ = self.st.render_chat(
+                    messages, tools=body.get("tools") or None)
+                self._json({"prompt": text})
                 return
 
             if self.path == "/infill":
