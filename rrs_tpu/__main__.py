@@ -60,6 +60,17 @@ def main(argv=None):
     q.add_argument("--tcq4-imatrix", dest="imatrix", default=None,
                    help="imatrix GGUF for per-block channel reordering")
 
+    qs2 = sub.add_parser("quantize-stats",
+                         help="per-tensor RMSE + matvec error per format "
+                              "(test-quantize-stats analog)")
+    qs2.add_argument("--model", "-m", default=None,
+                     help="GGUF to analyze (default: synthetic weights)")
+    qs2.add_argument("--max-tensors", type=int, default=8)
+    qs2.add_argument("--samples", type=int, default=64,
+                     help="activation rows per tensor")
+    qs2.add_argument("--seed", type=int, default=0)
+    qs2.add_argument("--json", action="store_true")
+
     im = sub.add_parser("imatrix", help="collect activation statistics")
     im.add_argument("--model", "-m", required=True)
     im.add_argument("--file", "-f", required=True)
@@ -171,6 +182,9 @@ def main(argv=None):
         cmd_quantize(args)
     elif args.cmd == "imatrix":
         cmd_imatrix(args)
+    elif args.cmd == "quantize-stats":
+        from rrs_tpu.tools.quantize_stats import run as qs_run
+        qs_run(args)
     elif args.cmd == "bench":
         from rrs_tpu.tools.bench_sweep import run as bench_run
         bench_run(args)

@@ -70,6 +70,118 @@ def _q4k_scale_min(scales: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return sc.astype(np.float32), m.astype(np.float32)
 
 
+def _round_half_away_kq(x: np.ndarray) -> np.ndarray:
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def quantize_q4_k(x: np.ndarray) -> np.ndarray:
+    """Q4_K quantizer (quantize_row_q4_K_ref, ggml-quants.c — 256-block
+    superblocks of 8x32 sub-blocks, 6-bit scales/mins, asymmetric 4-bit),
+    vectorized over all sub-blocks: the make_qkx2_quants weighted
+    least-squares scale/min search (rmin=-1, rdelta=0.1, nstep=20) runs as
+    a 21-candidate sweep in numpy. Returns the raw 144-byte/block buffer."""
+    x = np.ascontiguousarray(x, np.float32).reshape(-1)
+    assert x.size % 256 == 0, x.size
+    nb = x.size // 256
+    xb = x.reshape(nb * 8, 32)                  # all sub-blocks [M, 32]
+
+    # weights: av_x + |x| per sub-block
+    av = np.sqrt((xb * xb).sum(1) / 32)[:, None]
+    wgt = av + np.abs(xb)
+    mn = np.minimum(xb.min(1), 0.0)             # min>0 -> 0
+    mx = xb.max(1)
+    flat = mx == mn                             # degenerate: all L=0, min=-min
+    rng = np.where(flat, 1.0, mx - mn)
+
+    sum_w = wgt.sum(1)
+    sum_x = (wgt * xb).sum(1)
+
+    def quant_L(iscale, mins):
+        l = _round_half_away_kq(iscale[:, None] * (xb - mins[:, None]))
+        return np.clip(l, 0, 15)
+
+    def err_of(scale, mins, L):
+        diff = scale[:, None] * L + mins[:, None] - xb
+        return (wgt * diff * diff).sum(1)
+
+    # initial candidate
+    iscale0 = 15.0 / rng
+    L_best = quant_L(iscale0, mn)
+    scale_best = 1.0 / iscale0
+    min_best = mn.copy()
+    err_best = err_of(scale_best, min_best, L_best)
+
+    for is_ in range(21):                       # nstep=20 inclusive sweep
+        iscale = (-1.0 + 0.1 * is_ + 15.0) / rng
+        L = quant_L(iscale, mn)
+        sum_l = (wgt * L).sum(1)
+        sum_l2 = (wgt * L * L).sum(1)
+        sum_xl = (wgt * L * xb).sum(1)
+        D = sum_w * sum_l2 - sum_l * sum_l
+        with np.errstate(divide="ignore", invalid="ignore"):
+            this_scale = (sum_w * sum_xl - sum_x * sum_l) / D
+            this_min = (sum_l2 * sum_x - sum_l * sum_xl) / D
+            pos = this_min > 0
+            this_min = np.where(pos, 0.0, this_min)
+            this_scale = np.where(pos, sum_xl / np.maximum(sum_l2, 1e-30),
+                                  this_scale)
+        ok = D > 0
+        cur = err_of(np.nan_to_num(this_scale), np.nan_to_num(this_min), L)
+        better = ok & (cur < err_best)
+        err_best = np.where(better, cur, err_best)
+        scale_best = np.where(better, this_scale, scale_best)
+        min_best = np.where(better, this_min, min_best)
+        L_best = np.where(better[:, None], L, L_best)
+
+    scale_best = np.where(flat, 0.0, scale_best)
+    min_best = np.where(flat, mn, min_best)
+
+    scales = scale_best.reshape(nb, 8)          # positive by construction
+    mins = (-min_best).reshape(nb, 8)           # stored min is -min
+
+    max_scale = scales.max(1)
+    max_min = np.maximum(mins.max(1), 0.0)
+    inv_scale = np.where(max_scale > 0, 63.0 / np.maximum(max_scale, 1e-30), 0.0)
+    inv_min = np.where(max_min > 0, 63.0 / np.maximum(max_min, 1e-30), 0.0)
+    ls = np.minimum(_round_half_away_kq(inv_scale[:, None] * scales), 63
+                    ).astype(np.uint8)
+    lm = np.minimum(_round_half_away_kq(inv_min[:, None] * mins), 63
+                    ).astype(np.uint8)
+
+    sbytes = np.zeros((nb, 12), np.uint8)
+    sbytes[:, 0:4] = ls[:, 0:4]
+    sbytes[:, 4:8] = lm[:, 0:4]
+    sbytes[:, 8:12] = (ls[:, 4:8] & 0xF) | ((lm[:, 4:8] & 0xF) << 4)
+    sbytes[:, 0:4] |= (ls[:, 4:8] >> 4) << 6
+    sbytes[:, 4:8] |= (lm[:, 4:8] >> 4) << 6
+
+    d = (max_scale / 63.0).astype(np.float16)
+    dmin = (max_min / 63.0).astype(np.float16)
+
+    # final requant with the packed 6-bit scales (matches the ref's second
+    # pass through get_scale_min_k4)
+    sc, m = _q4k_scale_min(sbytes)
+    dd = d.astype(np.float32)[:, None] * sc     # [nb, 8]
+    dm = dmin.astype(np.float32)[:, None] * m
+    xs = x.reshape(nb, 8, 32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Lq = _round_half_away_kq((xs + dm[..., None]) / dd[..., None])
+    Lq = np.where(dd[..., None] != 0, np.clip(Lq, 0, 15), 0).astype(np.uint8)
+
+    qs = np.zeros((nb, 128), np.uint8)
+    Lf = Lq.reshape(nb, 256)
+    for c in range(4):
+        qs[:, c * 32 : (c + 1) * 32] = (Lf[:, c * 64 : c * 64 + 32]
+                                        | (Lf[:, c * 64 + 32 : c * 64 + 64] << 4))
+
+    out = np.empty((nb, 144), np.uint8)
+    out[:, 0:2] = d.view(np.uint8).reshape(nb, 2)
+    out[:, 2:4] = dmin.view(np.uint8).reshape(nb, 2)
+    out[:, 4:16] = sbytes
+    out[:, 16:144] = qs
+    return out.reshape(-1)
+
+
 def dequantize_q4_k(raw: np.ndarray, n: int) -> np.ndarray:
     # block: fp16 d, fp16 dmin, 12B scales, 128B qs (dequantize_row_q4_K :1643)
     blocks = raw.reshape(-1, 144)
