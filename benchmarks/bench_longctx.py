@@ -1,0 +1,93 @@
+"""Long-context decode/prefill benchmark (VERDICT r1 item 7).
+
+Measures on the real chip:
+  * decode tok/s at S in {2048, 8192}, bf16 KV and q8 KV (steady-state:
+    cache pre-filled, positions near the end)
+  * prefill pp2048 tok/s
+
+Methodology per PERF.md: device-side scans (>=256 steps), no donation,
+median of 3 varied-input reps, value readback.
+"""
+
+import json
+import statistics
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rrs_tpu.models.config import PRESETS
+from rrs_tpu.models import llama as lm
+from rrs_tpu.formats.tcq4 import quantize_activations_rrs  # noqa: F401
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _timed(fn, args, n_work, label, reps=3):
+    out = fn(*args)
+    _ = int(np.asarray(out[0]).sum())
+    times = []
+    for r in range(reps):
+        a = list(args)
+        a[1] = a[1] + r + 1          # vary an input (relay caches identical)
+        t0 = time.time()
+        out = fn(*a)
+        _ = int(np.asarray(out[0]).sum())
+        times.append(time.time() - t0)
+    med = statistics.median(times)
+    log(f"{label}: {n_work / med:.1f} tok/s (median of {reps}, "
+        f"{med:.3f}s)")
+    return n_work / med
+
+
+def main():
+    cfg = PRESETS["qwen3-4b"]
+    w = lm.fabricated_tcq4_weights(cfg, seed=0)
+    jax.block_until_ready(w.embed)
+    log(f"weights ready on {jax.devices()[0]}")
+    results = {}
+
+    n_steps = 256
+    for s in (2048, 8192):
+        for quant in ("bf16", "q8"):
+            shape = (1, cfg.n_kv_heads, s, cfg.head_dim)
+            if quant == "q8":
+                mk = lambda: ((jnp.zeros(shape, jnp.int8),
+                               jnp.ones((1, cfg.n_kv_heads, 1, s),
+                                        jnp.float32)))
+            else:
+                mk = lambda: jnp.zeros(shape, jnp.bfloat16)
+            ks = [mk() for _ in range(cfg.n_layers)]
+            vs = [mk() for _ in range(cfg.n_layers)]
+            first = jnp.zeros((1,), jnp.int32)
+            # steady state near the end of the window
+            pos0 = jnp.full((1,), s - n_steps - 2, jnp.int32)
+
+            fn = jax.jit(lambda w, f, p, k, v: lm.decode_scan(
+                cfg, w, f, p, k, v, n_steps))
+            t0 = time.time()
+            tps = _timed(fn, [w, first, pos0, ks, vs], n_steps,
+                         f"decode S={s} kv={quant}")
+            results[f"tg{n_steps}_S{s}_{quant}"] = round(tps, 1)
+            log(f"  (incl compile {time.time() - t0:.0f}s)")
+
+    # prefill pp2048 (bf16 KV)
+    s = 2048 + 128
+    shape = (1, cfg.n_kv_heads, s, cfg.head_dim)
+    ks = [jnp.zeros(shape, jnp.bfloat16) for _ in range(cfg.n_layers)]
+    vs = [jnp.zeros(shape, jnp.bfloat16) for _ in range(cfg.n_layers)]
+    toks = jnp.zeros((1, 2048), jnp.int32)
+    pos = jnp.arange(2048, dtype=jnp.int32)[None, :]
+    fn = jax.jit(lambda w, t, k, v: lm.forward(cfg, w, t, pos, k, v, pos, pos))
+    tps = _timed(fn, [w, toks, ks, vs], 2048, "prefill pp2048")
+    results["pp2048"] = round(tps, 1)
+
+    print(json.dumps({"metric": "qwen3_4b_tcq4_longctx", **results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -206,10 +206,8 @@ def attention(
             ctx = fa.flash_attention_q8(
                 q, k_cache[0], k_cache[1], v_cache[0], v_cache[1],
                 mask_positions, scale, softcap=softcap, window=window,
+                sinks=sinks,
             )
-            if sinks is not None:
-                raise NotImplementedError(
-                    "attention sinks + q8 KV cache not supported together yet")
     elif jax.default_backend() == "cpu":
         ctx = fa.attention_ref(q, k_cache, v_cache, mask_positions, scale,
                                softcap=softcap, window=window, sinks=sinks)

@@ -122,6 +122,19 @@ def _kernel_q8(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref,
                  softcap=softcap, window=window)
 
 
+def _kernel_q8_sink(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, sink_ref,
+                    out_ref, acc_ref, m_ref, l_ref, *, tq, g, d, bs, s_total,
+                    scale, softcap, window):
+    ksc = ks_ref[0, 0, 0, :]
+    vsc = vs_ref[0, 0, 0, :]
+    k = k_ref[0, 0, :, :].astype(jnp.float32) * ksc[:, None]
+    v = v_ref[0, 0, :, :].astype(jnp.float32) * vsc[:, None]
+    q = q_ref[0, 0, :, :, :].reshape(tq * g, d).astype(jnp.float32)
+    _flash_inner(pos_ref[0, 0, :], q, k, v, acc_ref, m_ref, l_ref, out_ref,
+                 tq=tq, g=g, d=d, bs=bs, s_total=s_total, scale=scale,
+                 softcap=softcap, window=window, sink_ref=sink_ref)
+
+
 def _pick_bs(s: int, limit: int = 1024) -> int:
     """Largest divisor of S that's a multiple of 128 and <= limit."""
     best = 0
@@ -224,6 +237,7 @@ def flash_attention_q8(
     tq: int = 0,
     interpret: bool = False,
     window: int = 0,
+    sinks=None,              # [H] per-head attention-sink logits (gpt-oss)
 ) -> jnp.ndarray:
     """Attention over an int8-quantized KV cache; dequantization in VMEM."""
     hkv, s = k_q.shape[1], k_q.shape[2]
@@ -234,26 +248,34 @@ def flash_attention_q8(
                            memory_space=pltpu.VMEM)
     spec_sc = pl.BlockSpec((1, 1, 1, bs), lambda b, h, i, si: (b, h, 0, si),
                            memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1, tq), lambda b, h, i, si: (b, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tq, g, d), lambda b, h, i, si: (b, h, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        spec_kv, spec_sc, spec_kv, spec_sc,
+    ]
+    args = [pos3, q5, k_q, k_s, v_q, v_s]
+    kern = _kernel_q8
+    if sinks is not None:
+        kern = _kernel_q8_sink
+        in_specs.append(pl.BlockSpec((1, g), lambda b, h, i, si: (h, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(sinks, jnp.float32).reshape(hkv, g))
     out = pl.pallas_call(
         functools.partial(
-            _kernel_q8, tq=tq, g=g, d=d, bs=bs, s_total=s, scale=scale,
+            kern, tq=tq, g=g, d=d, bs=bs, s_total=s, scale=scale,
             softcap=softcap, window=window,
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, tq), lambda b, h, i, si: (b, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tq, g, d), lambda b, h, i, si: (b, h, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            spec_kv, spec_sc, spec_kv, spec_sc,
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, tq, g, d),
                                lambda b, h, i, si: (b, h, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hkv, t_pad, g, d), q.dtype),
         scratch_shapes=_scratch(tq, g, d),
         interpret=interpret,
-    )(pos3, q5, k_q, k_s, v_q, v_s)
+    )(*args)
     return out.transpose(0, 2, 1, 3, 4).reshape(b, t_pad, q.shape[2], d)[:, :t]
 
 

@@ -21,7 +21,7 @@ from rrs_tpu.models import llama as llama_model
 from rrs_tpu.runtime.kv_cache import KVCache
 from rrs_tpu.runtime.sampler import SamplerParams, sample
 
-PREFILL_BUCKETS = (16, 64, 256, 512)
+PREFILL_BUCKETS = (16, 64, 256, 512, 1024, 2048)
 
 
 def _bucket(n: int) -> int:
@@ -59,7 +59,10 @@ class InferenceContext:
                     f"n_lanes={n_lanes} must be divisible by dp={mesh.shape['dp']}")
             weights = _sh.shard_weights(weights, mesh)
         self.weights = weights
-        self.kv = KVCache.create(cfg, n_lanes, max_seq, kv_dtype, quant=kv_quant)
+        # SWA ring sizing must cover the largest prefill chunk in use
+        self.kv = KVCache.create(cfg, n_lanes, max_seq, kv_dtype,
+                                 quant=kv_quant,
+                                 max_chunk=min(PREFILL_BUCKETS[-1], max_seq))
         self._next_seq_id = 0
         # perf counters (llama_perf_context analog, llama-context.cpp:2716)
         self.n_prefill_tokens = 0

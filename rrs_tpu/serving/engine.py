@@ -81,7 +81,9 @@ class Slot:
 class Engine:
     """Background thread turning queued requests into streamed tokens."""
 
-    PROMPT_CHUNK = 256
+    # per-iteration prompt budget (n_batch analog); long prompts land in
+    # the 1024/2048 prefill buckets instead of paying many 256-dispatches
+    PROMPT_CHUNK = 1024
 
     def __init__(self, ctx: InferenceContext, draft_ctx=None, n_draft: int = 4):
         # server-side speculative decoding (server-context.cpp batch_spec

@@ -144,3 +144,34 @@ def test_attention_sinks():
     # no sinks != sinks
     base = fa.attention_ref(q, k, v, pos, 0.125)
     assert np.abs(np.asarray(base) - np.asarray(ref)).max() > 1e-4
+
+
+def test_attention_sinks_q8_kv():
+    """Sinks + int8-quantized KV (the gpt-oss + -ctk q8 combination,
+    previously rejected in models/llama.py)."""
+    import jax.numpy as jnp
+
+    from rrs_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(12)
+    b, t, h, hkv, s, d = 1, 4, 4, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    pos = jnp.asarray([[60, 61, 62, 63]], jnp.int32)
+    sinks = jnp.asarray(rng.standard_normal(h), jnp.float32)
+
+    # per-slot symmetric int8 quantization of K/V
+    def q8(x):
+        sc = jnp.abs(x).max(-1, keepdims=True) / 127.0
+        sc = jnp.maximum(sc, 1e-10)
+        return (jnp.round(x / sc).astype(jnp.int8),
+                sc[..., 0][:, :, None, :])          # [B, Hkv, 1, S]
+
+    kq, ks = q8(k)
+    vq, vs = q8(v)
+    out = fa.flash_attention_q8(q, kq, ks, vq, vs, pos, 0.125, sinks=sinks,
+                                interpret=True)
+    ref = fa.attention_ref(q, k, v, pos, 0.125, sinks=sinks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
