@@ -314,7 +314,8 @@ def decode_scan(
     logits_fixup=None,            # e.g. TP all_gather of vocab shards
 ):
     """Greedy-decode n_steps tokens on device. Returns (tokens [B, n_steps], caches)."""
-    s = k_caches[0].shape[2]
+    c0 = k_caches[0][0] if isinstance(k_caches[0], tuple) else k_caches[0]
+    s = c0.shape[2]
 
     def step(carry, _):
         token, pos, ks, vs = carry

@@ -292,15 +292,29 @@ def _class_matches(seq: list[Elem], i: int, ch: int) -> tuple[bool, int]:
 
 
 class Grammar:
-    """Push-down recognizer over parse stacks (llama_grammar semantics)."""
+    """Push-down recognizer over parse stacks (llama_grammar semantics).
 
-    def __init__(self, gbnf: str):
+    ``lazy`` grammars (llama-grammar.h:119-143) buffer output unconstrained
+    until a trigger token or regex pattern fires, then constrain from the
+    match start — the tool-call-grammar enforcement mode."""
+
+    def __init__(self, gbnf: str, lazy: bool = False,
+                 trigger_tokens=(), trigger_patterns=(), trigger_words=()):
+        import re as _re
+
         self.rules, self.root = _Parser(gbnf).parse()
         # stack entries are (rule_id, alt_idx, pos); expand to frames of
         # remaining element tuples for hashability
         self.stacks: set[tuple] = set()
         for alt in self.rules[self.root]:
             self._push(tuple(), tuple(alt), self.stacks, set())
+        self.lazy = bool(lazy)
+        self.awaiting_trigger = bool(lazy)
+        self.trigger_tokens = frozenset(trigger_tokens)
+        self.trigger_patterns = [
+            _re.compile(p, _re.S) for p in trigger_patterns
+        ] + [_re.compile(_re.escape(w)) for w in trigger_words]
+        self._trigger_buffer = ""
 
     # -- stack machinery ---------------------------------------------------
 
@@ -366,8 +380,33 @@ class Grammar:
     def must_end(self) -> bool:
         return self.stacks == {tuple()}
 
+    def feed_token(self, token: int, piece: str) -> None:
+        """llama_grammar_accept_impl with lazy-trigger buffering
+        (llama-grammar.cpp:1296-1344): while awaiting a trigger, output is
+        buffered; a trigger token consumes just its own piece, a trigger
+        pattern replays the buffer from the match start."""
+        if self.awaiting_trigger:
+            if token in self.trigger_tokens:
+                self.awaiting_trigger = False
+                self._trigger_buffer = ""
+                self.accept_text(piece)
+                return
+            self._trigger_buffer += piece
+            for rx in self.trigger_patterns:
+                m = rx.search(self._trigger_buffer)
+                if m:
+                    self.awaiting_trigger = False
+                    constrained = self._trigger_buffer[m.start():]
+                    self._trigger_buffer = ""
+                    self.accept_text(constrained)
+                    return
+            return
+        self.accept_text(piece)
+
     def allowed_mask(self, token_texts: list[str]) -> list[bool]:
         """Admissibility of each candidate token (the full-mask fallback)."""
+        if self.awaiting_trigger:
+            return [True] * len(token_texts)
         return [bool(t) and self.accepts_text(t) for t in token_texts]
 
     def copy(self) -> "Grammar":
@@ -375,4 +414,9 @@ class Grammar:
         g.rules = self.rules
         g.root = self.root
         g.stacks = set(self.stacks)
+        g.lazy = self.lazy
+        g.awaiting_trigger = self.lazy
+        g.trigger_tokens = self.trigger_tokens
+        g.trigger_patterns = self.trigger_patterns
+        g._trigger_buffer = ""
         return g

@@ -234,6 +234,70 @@ def device_sample(
     return jnp.where(temp <= 0, idx[:, 0], sampled).astype(jnp.int32)
 
 
+def infill_sample(
+    logits: "np.ndarray",           # [V] f32 host logits
+    pieces: list[str],              # token id -> text piece
+    eog_ids: set,                   # EOG token ids (eos/eot/stop)
+    key: jax.Array,
+    k_max: int = 64,
+    thold: float = 0.2,
+) -> int:
+    """Fill-in-the-middle sampler (llama_sampler_init_infill,
+    llama-sampling.cpp:3641+): over the top candidates —
+      1. if EOG mass dominates (3*p_eog*n > p_txt) sample among EOG only;
+      2. merge tokens whose piece is a prefix of another candidate's piece
+         into the higher-probability one;
+      3. drop non-EOG tokens below the 0.2 probability threshold;
+      4. if nothing non-EOG survives, emit EOG deterministically.
+    """
+    import numpy as np
+
+    v = logits.shape[-1]
+    x = logits.astype(np.float64)
+    x = x - x.max()
+    p_full = np.exp(x)
+    p_full /= p_full.sum()
+    k = min(k_max, v)
+    cand = np.argpartition(-p_full, k - 1)[:k]
+    cand = cand[np.argsort(-p_full[cand])]
+    probs = p_full[cand].copy()
+
+    is_eog = np.asarray([int(c) in eog_ids for c in cand])
+    p_eog = probs[is_eog].sum()
+    p_txt = probs[~is_eog].sum()
+
+    def draw(ids, ps):
+        ps = np.maximum(ps, 0)
+        s = ps.sum()
+        if s <= 0 or len(ids) == 1:
+            return int(ids[0])
+        r = float(jax.random.uniform(key))
+        return int(ids[np.searchsorted(np.cumsum(ps / s), r)])
+
+    if p_eog > 0 and 3.0 * p_eog * len(cand) > p_txt:
+        return draw(cand[is_eog], probs[is_eog])
+
+    # combine common-prefix tokens into the more probable one
+    texts = [pieces[int(c)] if int(c) < len(pieces) else "" for c in cand]
+    alive = np.ones(len(cand), bool)
+    for i0 in range(len(cand)):
+        for i1 in range(len(cand)):
+            if i0 == i1 or not alive[i0] or not alive[i1]:
+                continue
+            t0, t1 = texts[i0], texts[i1]
+            if t0 and len(t0) <= len(t1) and t1.startswith(t0):
+                dst, src = (i0, i1) if probs[i0] >= probs[i1] else (i1, i0)
+                probs[dst] += probs[src]
+                probs[src] = 0.0
+                alive[src] = False
+
+    keep = alive & (is_eog | (probs >= thold))
+    if not (keep & ~is_eog).any():
+        eogs = [int(c) for c in cand[is_eog]] or sorted(eog_ids)
+        return int(eogs[0]) if eogs else int(cand[0])
+    return draw(cand[keep], probs[keep])
+
+
 def dry_penalties(
     tokens: list[int],
     vocab_size: int,

@@ -51,6 +51,9 @@ class GenRequest:
     # multimodal: ordered prompt segments [("tokens", [ids]) | ("embeds",
     # np.ndarray [T, E])]; when set, prompt_tokens is ignored for prefill
     segments: Optional[list] = None
+    # fill-in-the-middle: use the dedicated infill sampler
+    # (llama_sampler_init_infill)
+    infill: bool = False
     id: int = 0
 
 
@@ -375,6 +378,12 @@ class Engine:
                 jnp.asarray(raw), sub, slot.mirostat_mu, p
             )
             return self._grammar_check(slot, token)
+        if slot.req.infill and slot.req.token_pieces:
+            from rrs_tpu.runtime.sampler import infill_sample
+
+            token = infill_sample(np.asarray(raw), slot.req.token_pieces,
+                                  set(slot.req.stop_tokens), sub)
+            return self._grammar_check(slot, token)
         logits = jnp.asarray(raw[None, :])
         counts = None
         if p.penalty_repeat != 1.0 or p.penalty_freq or p.penalty_present:
@@ -395,6 +404,11 @@ class Engine:
         if g is not None:
             pieces = slot.req.token_pieces
             piece = pieces[token] if pieces and token < len(pieces) else ""
+            if getattr(g, "awaiting_trigger", False):
+                # lazy grammar: unconstrained until the trigger fires
+                # (llama-grammar.h:119-143)
+                g.feed_token(token, piece)
+                return token
             if token in slot.req.stop_tokens:
                 if g.done:
                     return token    # grammar complete: EOS allowed
@@ -626,7 +640,7 @@ class Engine:
         n = self.ctx.DECODE_RUN_STEPS
         kv = self.ctx.kv
         return (s.grammar is None and s.req.n_probs == 0
-                and s.draft_seq < 0
+                and s.draft_seq < 0 and not s.req.infill
                 and p.penalty_repeat == 1.0 and not p.penalty_freq
                 and not p.penalty_present and not p.dry_multiplier
                 and not p.mirostat and not p.xtc_probability

@@ -149,7 +149,7 @@ def make_handler(state: ServerState):
             return json.loads(self.rfile.read(n) or b"{}")
 
         def _run_request(self, prompt_tokens, body, stop_strings=(),
-                         probs_out=None, segments=None):
+                         probs_out=None, segments=None, infill=False):
             """Submit and collect; yields (piece, finished, reason)."""
             q: "queue.Queue" = queue.Queue()
 
@@ -184,7 +184,29 @@ def make_handler(state: ServerState):
                 gbnf = json_schema_to_gbnf({})
             if gbnf:
                 from rrs_tpu.runtime.grammar import Grammar
-                grammar = Grammar(gbnf)
+
+                # lazy tool-call grammars: grammar_lazy + grammar_triggers
+                # ([{"type": "word"|"pattern"|"token", "value": ...}] or
+                # plain strings), server-task.cpp params
+                words, patterns, ttoks = [], [], []
+                for trig in body.get("grammar_triggers") or []:
+                    if isinstance(trig, str):
+                        words.append(trig)
+                    elif isinstance(trig, dict):
+                        ty = trig.get("type", "word")
+                        val = trig.get("value", trig.get("word", ""))
+                        if ty in ("pattern", "pattern_full", 2, 3):
+                            patterns.append(str(val))
+                        elif ty in ("token", 0):
+                            ttoks.append(int(val))
+                        else:
+                            words.append(str(val))
+                grammar = Grammar(
+                    gbnf,
+                    lazy=bool(body.get("grammar_lazy"))
+                    or bool(words or patterns or ttoks),
+                    trigger_words=words, trigger_patterns=patterns,
+                    trigger_tokens=ttoks)
             req = GenRequest(
                 prompt_tokens=prompt_tokens,
                 max_tokens=int(body.get("max_tokens") or body.get("n_predict") or 128),
@@ -196,10 +218,12 @@ def make_handler(state: ServerState):
                 on_token=on_token,
                 decode_fn=lambda ids: self.st.vocab.decode(ids),
                 grammar=grammar,
-                token_pieces=self.st.vocab.pieces() if grammar else None,
+                token_pieces=(self.st.vocab.pieces()
+                              if grammar or infill else None),
                 n_probs=n_probs,
                 on_probs=on_probs,
                 segments=segments,
+                infill=infill,
             )
             self.st.engine.submit(req)
             while True:
@@ -306,7 +330,7 @@ def make_handler(state: ServerState):
                     + [v.fim_suf_id] + v.encode(suffix, add_special=False)
                     + [v.fim_mid_id]
                     + (v.encode(extra, add_special=False) if extra else []))
-            gen = self._run_request(toks, body)
+            gen = self._run_request(toks, body, infill=True)
             parts, reason = [], "stop"
             for piece, finished, r in gen:
                 parts.append(piece)

@@ -107,3 +107,39 @@ def test_token_mask():
 def _complete(g: Grammar, s: str) -> bool:
     c = g.copy()
     return c.accept_text(s) and c.done
+
+
+def test_lazy_trigger_word():
+    """Lazy grammars buffer unconstrained output until a trigger pattern
+    fires, then constrain from the match start (llama-grammar.h:119-143)."""
+    from rrs_tpu.runtime.grammar import Grammar
+
+    g = Grammar('root ::= "<tool_call>" [a-z]+ "</tool_call>"',
+                lazy=True, trigger_words=["<tool_call>"])
+    assert g.awaiting_trigger
+    # anything goes while awaiting
+    assert all(g.allowed_mask(["xyz", "!!!", "<tool"]))
+    g.feed_token(1, "free text ")
+    assert g.awaiting_trigger
+    # trigger inside a token piece: constrained replay starts at the match
+    g.feed_token(2, "ok <tool_call>ab")
+    assert not g.awaiting_trigger
+    assert g.accept_text("c")
+    assert not g.accepts_text("9")       # now constrained
+    assert g.accept_text("</tool_call>")
+    assert g.done
+
+
+def test_lazy_trigger_token():
+    from rrs_tpu.runtime.grammar import Grammar
+
+    g = Grammar('root ::= "{" [a-z]* "}"', lazy=True, trigger_tokens=[42])
+    g.feed_token(7, "anything at all")
+    assert g.awaiting_trigger
+    g.feed_token(42, "{")                # trigger token consumes its piece
+    assert not g.awaiting_trigger
+    assert g.accept_text("ab}")
+    assert g.done
+    # copy() resets to awaiting
+    g2 = Grammar('root ::= "x"', lazy=True, trigger_words=["x"]).copy()
+    assert g2.awaiting_trigger

@@ -96,3 +96,37 @@ def test_distribution_sampling_respects_seed():
     a = int(S.sample(logits, jax.random.PRNGKey(7), p)[0])
     b = int(S.sample(logits, jax.random.PRNGKey(7), p)[0])
     assert a == b
+
+
+def test_infill_sampler():
+    """llama_sampler_init_infill semantics: EOG dominance check, common-
+    prefix merging, 0.2 threshold, EOG fallback."""
+    import jax
+
+    from rrs_tpu.runtime.sampler import infill_sample
+
+    pieces = ["", "<eos>", "def", "de", "x", "y"]
+    key = jax.random.PRNGKey(0)
+
+    # "de" (p high) and "def": prefix-merge into the higher-p one; both
+    # well above threshold -> deterministic winner
+    logits = np.full(6, -20.0, np.float32)
+    logits[2] = 4.0    # def
+    logits[3] = 4.5    # de
+    logits[4] = 1.0
+    tok = infill_sample(logits, pieces, {1}, key)
+    assert tok == 3    # merged mass lands on "de"
+
+    # overwhelming EOG mass -> sample EOG
+    logits = np.full(6, -20.0, np.float32)
+    logits[1] = 10.0
+    logits[2] = 0.0
+    assert infill_sample(logits, pieces, {1}, key) == 1
+
+    # nothing above threshold (no prefix relations to merge) and no EOG
+    # candidate mass -> EOG fallback
+    pieces2 = ["", "<eos>", "aa", "bb", "cc", "dd"]
+    logits = np.zeros(6, np.float32)    # uniform: all p = 1/6 < 0.2
+    logits[1] = -30.0
+    tok = infill_sample(logits, pieces2, {1}, key)
+    assert tok == 1
