@@ -29,7 +29,7 @@ def main(argv=None):
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--ctx", type=int, default=2048)
     g.add_argument("--no-bos", action="store_true")
-    g.add_argument("--cache-type", default="none", choices=["none", "q8"],
+    g.add_argument("--cache-type", default="none", choices=["none", "q8", "q4"],
                    help="KV cache quantization (-ctk/-ctv analog)")
     g.add_argument("--model-draft", "-md", default=None,
                    help="draft model for speculative decoding")
@@ -142,7 +142,7 @@ def main(argv=None):
     fp.add_argument("--hbm-gib", type=float, default=16.0)
     fp.add_argument("--parallel", type=int, default=1)
     fp.add_argument("--ctx", type=int, default=0)
-    fp.add_argument("--cache-type", default="none", choices=["none", "q8"])
+    fp.add_argument("--cache-type", default="none", choices=["none", "q8", "q4"])
 
     ch = sub.add_parser("convert-hf",
                         help="convert a local HF checkpoint dir to GGUF")
@@ -156,7 +156,7 @@ def main(argv=None):
     s.add_argument("--port", type=int, default=8080)
     s.add_argument("--parallel", type=int, default=4, help="server slots")
     s.add_argument("--ctx", type=int, default=4096)
-    s.add_argument("--cache-type", default="none", choices=["none", "q8"],
+    s.add_argument("--cache-type", default="none", choices=["none", "q8", "q4"],
                    help="KV cache quantization (-ctk/-ctv analog)")
     s.add_argument("--models", nargs="*", default=None,
                    help="extra routable models: name=path.gguf ... "

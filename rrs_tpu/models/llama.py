@@ -177,12 +177,13 @@ def attention(
 
     def store(cache, new):
         if isinstance(cache, tuple):
+            from rrs_tpu.runtime import kv_codec
+
             arr, sc = cache
-            amax = jnp.max(jnp.abs(new.astype(jnp.float32)), axis=-1)
-            s_new = jnp.maximum(amax / 127.0, 1e-10)                # [B,Hkv,T]
-            q8 = jnp.clip(jnp.rint(new.astype(jnp.float32) / s_new[..., None]),
-                          -127, 127).astype(jnp.int8)
-            arr = store_arr(arr, q8)
+            q, s_new = kv_codec.quantize_rows(new, kv_codec.kv_qmax(arr))
+            if arr.dtype == jnp.uint8:                  # q4: packed nibbles
+                q = kv_codec.pack4(q)
+            arr = store_arr(arr, q)
             sc = store_arr(sc.swapaxes(2, 3), s_new[..., None]).swapaxes(2, 3)
             return (arr, sc)
         return store_arr(cache, new)
@@ -198,10 +199,18 @@ def attention(
     sinks = lw.attn_sinks
     if isinstance(k_cache, tuple):
         if jax.default_backend() == "cpu":
-            kd = k_cache[0].astype(jnp.float32) * k_cache[1].transpose(0, 1, 3, 2)
-            vd = v_cache[0].astype(jnp.float32) * v_cache[1].transpose(0, 1, 3, 2)
+            from rrs_tpu.runtime import kv_codec
+
+            kd = kv_codec.dequantize(*k_cache)
+            vd = kv_codec.dequantize(*v_cache)
             ctx = fa.attention_ref(q, kd, vd, mask_positions, scale,
                                    softcap=softcap, window=window, sinks=sinks)
+        elif k_cache[0].dtype == jnp.uint8:
+            ctx = fa.flash_attention_q4(
+                q, k_cache[0], k_cache[1], v_cache[0], v_cache[1],
+                mask_positions, scale, softcap=softcap, window=window,
+                sinks=sinks,
+            )
         else:
             ctx = fa.flash_attention_q8(
                 q, k_cache[0], k_cache[1], v_cache[0], v_cache[1],

@@ -214,6 +214,14 @@ class Vocab:
             self._pieces = [self.decode([i]) for i in range(len(self.tokens))]
         return self._pieces
 
+    def token_trie(self) -> dict:
+        """Character trie over pieces() (cached); grammar-mask accelerator."""
+        if not hasattr(self, "_trie"):
+            from rrs_tpu.runtime.grammar import build_token_trie
+
+            self._trie = build_token_trie(self.pieces())
+        return self._trie
+
     def token_to_id(self, t: str) -> Optional[int]:
         return self._token_to_id.get(t)
 

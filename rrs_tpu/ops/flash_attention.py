@@ -122,6 +122,41 @@ def _kernel_q8(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref,
                  softcap=softcap, window=window)
 
 
+def _unpack_kv4(raw):
+    """uint8 [BS, D/2] halves-packed -> f32 [BS, D] (sign-extending shifts;
+    see runtime/kv_codec.py layout)."""
+    p32 = raw.astype(jnp.int32)
+    lo = (p32 << 28) >> 28
+    hi = (p32 << 24) >> 28
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+
+
+def _kernel_q4(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref,
+               acc_ref, m_ref, l_ref, *, tq, g, d, bs, s_total, scale,
+               softcap, window):
+    ksc = ks_ref[0, 0, 0, :]                                 # [BS] f32
+    vsc = vs_ref[0, 0, 0, :]
+    k = _unpack_kv4(k_ref[0, 0, :, :]) * ksc[:, None]
+    v = _unpack_kv4(v_ref[0, 0, :, :]) * vsc[:, None]
+    q = q_ref[0, 0, :, :, :].reshape(tq * g, d).astype(jnp.float32)
+    _flash_inner(pos_ref[0, 0, :], q, k, v, acc_ref, m_ref, l_ref, out_ref,
+                 tq=tq, g=g, d=d, bs=bs, s_total=s_total, scale=scale,
+                 softcap=softcap, window=window)
+
+
+def _kernel_q4_sink(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, sink_ref,
+                    out_ref, acc_ref, m_ref, l_ref, *, tq, g, d, bs, s_total,
+                    scale, softcap, window):
+    ksc = ks_ref[0, 0, 0, :]
+    vsc = vs_ref[0, 0, 0, :]
+    k = _unpack_kv4(k_ref[0, 0, :, :]) * ksc[:, None]
+    v = _unpack_kv4(v_ref[0, 0, :, :]) * vsc[:, None]
+    q = q_ref[0, 0, :, :, :].reshape(tq * g, d).astype(jnp.float32)
+    _flash_inner(pos_ref[0, 0, :], q, k, v, acc_ref, m_ref, l_ref, out_ref,
+                 tq=tq, g=g, d=d, bs=bs, s_total=s_total, scale=scale,
+                 softcap=softcap, window=window, sink_ref=sink_ref)
+
+
 def _kernel_q8_sink(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, sink_ref,
                     out_ref, acc_ref, m_ref, l_ref, *, tq, g, d, bs, s_total,
                     scale, softcap, window):
@@ -259,6 +294,66 @@ def flash_attention_q8(
     kern = _kernel_q8
     if sinks is not None:
         kern = _kernel_q8_sink
+        in_specs.append(pl.BlockSpec((1, g), lambda b, h, i, si: (h, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(sinks, jnp.float32).reshape(hkv, g))
+    out = pl.pallas_call(
+        functools.partial(
+            kern, tq=tq, g=g, d=d, bs=bs, s_total=s, scale=scale,
+            softcap=softcap, window=window,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, tq, g, d),
+                               lambda b, h, i, si: (b, h, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, t_pad, g, d), q.dtype),
+        scratch_shapes=_scratch(tq, g, d),
+        interpret=interpret,
+    )(*args)
+    return out.transpose(0, 2, 1, 3, 4).reshape(b, t_pad, q.shape[2], d)[:, :t]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "softcap", "tq", "interpret", "window")
+)
+def flash_attention_q4(
+    q: jnp.ndarray,          # [B, T, H, D]
+    k_q: jnp.ndarray,        # uint8 [B, Hkv, S, D/2] (kv_codec halves pack)
+    k_s: jnp.ndarray,        # f32 [B, Hkv, 1, S]
+    v_q: jnp.ndarray,
+    v_s: jnp.ndarray,
+    positions: jnp.ndarray,  # [B, T] int32
+    scale: float,
+    softcap: float = 0.0,
+    tq: int = 0,
+    interpret: bool = False,
+    window: int = 0,
+    sinks=None,
+) -> jnp.ndarray:
+    """Attention over a packed-int4 KV cache (Q4_0-class -ctk/-ctv analog);
+    nibble unpack + dequantization in VMEM — half the q8 cache's HBM
+    traffic at long context."""
+    hkv, s = k_q.shape[1], k_q.shape[2]
+    q5, pos3, b, t, t_pad, g, d, tq = _common(q, positions, hkv, s, tq)
+    dp = k_q.shape[3]                # D/2 packed
+    bs = _pick_bs(s)
+    grid = (b, hkv, t_pad // tq, s // bs)
+    spec_kv = pl.BlockSpec((1, 1, bs, dp), lambda b, h, i, si: (b, h, si, 0),
+                           memory_space=pltpu.VMEM)
+    spec_sc = pl.BlockSpec((1, 1, 1, bs), lambda b, h, i, si: (b, h, 0, si),
+                           memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1, tq), lambda b, h, i, si: (b, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tq, g, d), lambda b, h, i, si: (b, h, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        spec_kv, spec_sc, spec_kv, spec_sc,
+    ]
+    args = [pos3, q5, k_q, k_s, v_q, v_s]
+    kern = _kernel_q4
+    if sinks is not None:
+        kern = _kernel_q4_sink
         in_specs.append(pl.BlockSpec((1, g), lambda b, h, i, si: (h, 0),
                                      memory_space=pltpu.VMEM))
         args.append(jnp.asarray(sinks, jnp.float32).reshape(hkv, g))

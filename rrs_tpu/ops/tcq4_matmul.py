@@ -376,6 +376,40 @@ def _kernel(a_ref, qs_ref, eff_ref, out_ref, *, bm: int, bn: int, bk: int,
     out_ref[...] += acc
 
 
+def _kernel_cast(a_ref, qs_ref, eff_ref, out_ref, acc_ref, *, bm: int,
+                 bn: int, bk: int, fast: bool):
+    """_kernel with an f32 VMEM scratch accumulator and a narrowing final
+    store — used when the output dtype is bf16 (large-M prefill: halves the
+    output HBM traffic and keeps XLA's scoped-vmem placement of the result
+    under the 16MB limit at M=2048)."""
+    acc = jnp.zeros((bm, bn), jnp.float32)
+    for sb in range(bk // TILE_K):
+        w_q = _unpack_w4(qs_ref[sb * (TILE_K // 2):(sb + 1) * (TILE_K // 2), :])
+        e = eff_ref[sb * GROUPS:(sb + 1) * GROUPS, :].astype(jnp.float32)
+        w32 = (w_q.astype(jnp.float32).reshape(GROUPS, GROUP_SIZE, bn)
+               * e[:, None, :]).reshape(TILE_K, bn)
+        a_sb = a_ref[:, sb * TILE_K : (sb + 1) * TILE_K]
+        acc += jax.lax.dot_general(
+            a_sb.astype(jnp.bfloat16), w32.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) if fast else jax.lax.dot_general(
+            a_sb, w32, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros((bm, bn), jnp.float32)
+
+    acc_ref[...] += acc
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
 def _pick_bk(k: int, bn: int, vmem_budget: int = 4 * 1024 * 1024) -> int:
     """Largest multiple of 256 dividing K whose qs block fits the budget,
     with (bk//32) staying a multiple of 8 (Pallas sublane constraint)."""
@@ -438,14 +472,25 @@ def tcq4_matmul(
     if m_pad != m:
         a = jnp.pad(a, ((0, m_pad - m), (0, 0)))
 
+    # large-M prefill stores bf16: halves the output HBM write traffic and
+    # keeps the result under XLA's 16MB scoped-vmem placement at M>=2048
+    # (activations downstream are bf16 anyway; linear_apply casts)
+    out_dtype = jnp.bfloat16 if m_pad >= 1024 else jnp.float32
+
     grid = (n // bn, m_pad // bm, k // bk)
     kwargs = {}
     if not interpret:
         # N/M grid dims are independent; only the K dim accumulates
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"))
+    if out_dtype == jnp.float32:
+        kern = functools.partial(_kernel, bm=bm, bn=bn, bk=bk, fast=fast)
+        scratch = []
+    else:
+        kern = functools.partial(_kernel_cast, bm=bm, bn=bn, bk=bk, fast=fast)
+        scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
     out = pl.pallas_call(
-        functools.partial(_kernel, bm=bm, bn=bn, bk=bk, fast=fast),
+        kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, s: (j, s), memory_space=pltpu.VMEM),
@@ -453,7 +498,8 @@ def tcq4_matmul(
             pl.BlockSpec((bk // GROUP_SIZE, bn), lambda i, j, s: (s, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, s: (j, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        scratch_shapes=scratch,
         interpret=interpret,
         **kwargs,
     )(a, qs, eff)

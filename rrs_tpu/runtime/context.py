@@ -21,7 +21,10 @@ from rrs_tpu.models import llama as llama_model
 from rrs_tpu.runtime.kv_cache import KVCache
 from rrs_tpu.runtime.sampler import SamplerParams, sample
 
-PREFILL_BUCKETS = (16, 64, 256, 512, 1024, 2048)
+# capped at 1024: T=2048 forwards make XLA place >16MB custom-call outputs
+# in scoped VMEM and fail to compile (flash-attention out = 24MB at 2048);
+# a 2048-token prompt runs as two 1024 dispatches at ~2000 t/s each
+PREFILL_BUCKETS = (16, 64, 256, 512, 1024)
 
 
 def _bucket(n: int) -> int:
@@ -59,10 +62,14 @@ class InferenceContext:
                     f"n_lanes={n_lanes} must be divisible by dp={mesh.shape['dp']}")
             weights = _sh.shard_weights(weights, mesh)
         self.weights = weights
-        # SWA ring sizing must cover the largest prefill chunk in use
+        # SWA ring sizing must cover the largest prefill chunk in use; SWA
+        # models cap the chunk at 512 (the reference's n_ubatch default) so
+        # rings stay window+512 instead of ballooning to the top bucket
+        chunk_cap = 512 if getattr(cfg, "any_swa", False) \
+            else PREFILL_BUCKETS[-1]
+        self.max_chunk = min(chunk_cap, max_seq)
         self.kv = KVCache.create(cfg, n_lanes, max_seq, kv_dtype,
-                                 quant=kv_quant,
-                                 max_chunk=min(PREFILL_BUCKETS[-1], max_seq))
+                                 quant=kv_quant, max_chunk=self.max_chunk)
         self._next_seq_id = 0
         # perf counters (llama_perf_context analog, llama-context.cpp:2716)
         self.n_prefill_tokens = 0
@@ -202,7 +209,7 @@ class InferenceContext:
         avoids materializing GBs of [B, chunk, V])."""
         lane = self.kv.lane_of(seq_id)
         b = self.kv.n_lanes
-        max_chunk = min(PREFILL_BUCKETS[-1], self.kv.max_seq)
+        max_chunk = self.max_chunk
         out = []
         i = 0
         while i < len(tokens):

@@ -291,6 +291,21 @@ def _class_matches(seq: list[Elem], i: int, ch: int) -> tuple[bool, int]:
     return (found != neg), j
 
 
+def build_token_trie(pieces: list[str]) -> dict:
+    """Character trie over token pieces: nested {ord(ch): subtrie} dicts;
+    key -1 holds the list of token ids ending at that node. Build once per
+    vocab (Vocab.token_trie caches)."""
+    root: dict = {}
+    for tid, piece in enumerate(pieces):
+        if not piece:
+            continue
+        node = root
+        for ch in piece:
+            node = node.setdefault(ord(ch), {})
+        node.setdefault(-1, []).append(tid)
+    return root
+
+
 class Grammar:
     """Push-down recognizer over parse stacks (llama_grammar semantics).
 
@@ -403,11 +418,34 @@ class Grammar:
             return
         self.accept_text(piece)
 
-    def allowed_mask(self, token_texts: list[str]) -> list[bool]:
-        """Admissibility of each candidate token (the full-mask fallback)."""
+    def allowed_mask(self, token_texts: list[str], trie=None) -> list[bool]:
+        """Admissibility of each candidate token.
+
+        With a token ``trie`` (build_token_trie) the mask is computed by a
+        prefix-sharing DFS with subtree pruning: a char that empties the
+        stacks rejects every token sharing that prefix in one step —
+        replacing the O(vocab x piece-walk) per-token loop that made
+        grammar serving unusable at real vocab sizes (r1 weak-#7)."""
         if self.awaiting_trigger:
             return [True] * len(token_texts)
-        return [bool(t) and self.accepts_text(t) for t in token_texts]
+        if trie is None:
+            return [bool(t) and self.accepts_text(t) for t in token_texts]
+        mask = [False] * len(token_texts)
+
+        def dfs(node, stacks):
+            tid = node.get(-1)
+            if tid is not None:
+                for t in tid:
+                    mask[t] = True
+            for ch, child in node.items():
+                if ch == -1:
+                    continue
+                ns = self._advance_char(stacks, ch)
+                if ns:
+                    dfs(child, ns)
+
+        dfs(trie, self.stacks)
+        return mask
 
     def copy(self) -> "Grammar":
         g = object.__new__(Grammar)

@@ -53,7 +53,7 @@ class KVCache:
         n_lanes: int,
         max_seq: int,
         dtype=jnp.bfloat16,
-        quant: str = "none",      # "none" | "q8" (int8 values + f32 scales)
+        quant: str = "none",      # "none" | "q8" | "q4" (values + f32 scales)
         max_chunk: int = 512,     # largest ubatch; bounds SWA ring size
     ) -> "KVCache":
         # SWA layers only need window + max_chunk slots: within one ubatch a
@@ -69,9 +69,14 @@ class KVCache:
 
         def make(li):
             shape = (n_lanes, cfg.n_kv_heads, sizes[li], cfg.head_dim)
+            sshape = (n_lanes, cfg.n_kv_heads, 1, sizes[li])
             if quant == "q8":
-                sshape = (n_lanes, cfg.n_kv_heads, 1, sizes[li])
                 return (jnp.zeros(shape, jnp.int8),
+                        jnp.ones(sshape, jnp.float32))
+            if quant == "q4":
+                # packed nibbles, halves layout (runtime/kv_codec.py)
+                return (jnp.zeros(shape[:-1] + (cfg.head_dim // 2,),
+                                  jnp.uint8),
                         jnp.ones(sshape, jnp.float32))
             return jnp.zeros(shape, dtype)
 
@@ -199,15 +204,22 @@ class KVCache:
             for k, v in zip(ks, vs):
                 if isinstance(k, tuple):
                     # quantized: dequant the lane, shift+rope, requant
+                    from rrs_tpu.runtime import kv_codec
+
                     arr, sc = k
                     # sc[lane]: [H, 1, S] -> per-(head, slot) scale column
-                    lk = arr[lane].astype(jnp.float32) * sc[lane][:, 0, :][:, :, None]
+                    scl = sc[lane][:, 0, :][:, :, None]
+                    if arr.dtype == jnp.uint8:
+                        lk = kv_codec.unpack4(arr[lane]).astype(
+                            jnp.float32) * scl
+                    else:
+                        lk = arr[lane].astype(jnp.float32) * scl
                     new_k = rope_shift_k(lk)
-                    amax = jnp.max(jnp.abs(new_k), axis=-1)
-                    s_new = jnp.maximum(amax / 127.0, 1e-10)
-                    q8 = jnp.clip(jnp.rint(new_k / s_new[..., None]),
-                                  -127, 127).astype(jnp.int8)
-                    out_k.append((arr.at[lane].set(q8),
+                    q, s_new = kv_codec.quantize_rows(
+                        new_k, kv_codec.kv_qmax(arr))
+                    if arr.dtype == jnp.uint8:
+                        q = kv_codec.pack4(q)
+                    out_k.append((arr.at[lane].set(q),
                                   sc.at[lane, :, 0, :].set(s_new)))
                     varr, vsc = v
                     lv = varr[lane]

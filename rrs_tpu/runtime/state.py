@@ -42,6 +42,27 @@ def _check_header(meta: dict, cfg):
         )
 
 
+def _np_dequant(arr: np.ndarray, sc: np.ndarray) -> np.ndarray:
+    """numpy mirror of runtime/kv_codec.dequantize (arr [..., S, D or D/2],
+    sc [..., S])."""
+    if arr.dtype == np.uint8:
+        a32 = arr.astype(np.int32)
+        arr = np.concatenate([(a32 << 28) >> 28, (a32 << 24) >> 28], axis=-1)
+    return arr.astype(np.float32) * sc[..., None]
+
+
+def _np_requant(data: np.ndarray, u8: bool):
+    """f32 [..., D] -> (stored values, scales [...])."""
+    qmax = 7.0 if u8 else 127.0
+    sc = np.maximum(np.abs(data).max(-1) / qmax, 1e-10)
+    q = np.clip(np.rint(data / sc[..., None]), -qmax, qmax).astype(np.int8)
+    if u8:
+        d = q.shape[-1]
+        q = ((q[..., : d // 2].astype(np.uint8) & 0xF)
+             | ((q[..., d // 2:].astype(np.uint8) & 0xF) << 4))
+    return q, sc.astype(np.float32)
+
+
 def save_state(ctx, path: str | Path) -> int:
     """Serialize the full context (all lanes). Returns bytes written."""
     import jax
@@ -60,8 +81,8 @@ def save_state(ctx, path: str | Path) -> int:
     def deq(c):
         if isinstance(c, tuple):
             arr, sc = c
-            return np.asarray(arr[:, :, :max_len]).astype(np.float32) * \
-                np.asarray(sc[:, :, 0, :max_len])[..., None]
+            return _np_dequant(np.asarray(arr[:, :, :max_len]),
+                               np.asarray(sc[:, :, 0, :max_len]))
         return np.asarray(c[:, :, :max_len]).astype(np.float32)
 
     for li in range(len(ctx.kv.k)):
@@ -86,10 +107,9 @@ def load_state(ctx, path: str | Path) -> None:
         def req(c, data):
             if isinstance(c, tuple):
                 arr, sc = c
-                amax = np.maximum(np.abs(data).max(-1), 1e-10)
-                q8 = np.clip(np.rint(data / amax[..., None] * 127), -127, 127)
-                arr = arr.at[:, :, :n].set(jnp.asarray(q8, jnp.int8))
-                sc = sc.at[:, :, 0, :n].set(jnp.asarray(amax / 127.0, jnp.float32))
+                q, s = _np_requant(data, arr.dtype == jnp.uint8)
+                arr = arr.at[:, :, :n].set(jnp.asarray(q, arr.dtype))
+                sc = sc.at[:, :, 0, :n].set(jnp.asarray(s, jnp.float32))
                 return (arr, sc)
             return c.at[:, :, :n].set(jnp.asarray(data, c.dtype))
 
@@ -117,8 +137,8 @@ def save_sequence(ctx, seq_id: int, path: str | Path, tokens=None) -> int:
         if isinstance(c, tuple):
             arr, sc = c
             nl = min(n, arr.shape[2])
-            return np.asarray(arr[lane, :, :nl]).astype(np.float32) * \
-                np.asarray(sc[lane, :, 0, :nl])[..., None]
+            return _np_dequant(np.asarray(arr[lane, :, :nl]),
+                               np.asarray(sc[lane, :, 0, :nl]))
         nl = min(n, c.shape[2])
         return np.asarray(c[lane, :, :nl]).astype(np.float32)
 
@@ -147,10 +167,9 @@ def load_sequence(ctx, path: str | Path):
             nl = data.shape[1]
             if isinstance(c, tuple):
                 arr, sc = c
-                amax = np.maximum(np.abs(data).max(-1), 1e-10)
-                q8 = np.clip(np.rint(data / amax[..., None] * 127), -127, 127)
-                arr = arr.at[lane, :, :nl].set(jnp.asarray(q8, jnp.int8))
-                sc = sc.at[lane, :, 0, :nl].set(jnp.asarray(amax / 127.0, jnp.float32))
+                q, s = _np_requant(data, arr.dtype == jnp.uint8)
+                arr = arr.at[lane, :, :nl].set(jnp.asarray(q, arr.dtype))
+                sc = sc.at[lane, :, 0, :nl].set(jnp.asarray(s, jnp.float32))
                 return (arr, sc)
             return c.at[lane, :, :nl].set(jnp.asarray(data, c.dtype))
 

@@ -45,6 +45,8 @@ class GenRequest:
     decode_fn: Optional[Callable[[list[int]], str]] = None  # ids -> text
     grammar: Optional[object] = None          # runtime.grammar.Grammar
     token_pieces: Optional[list[str]] = None  # vocab pieces for grammar masking
+    token_trie: Optional[dict] = None         # prefix trie over pieces (mask
+                                              # acceleration; vocab.token_trie)
     n_probs: int = 0                          # top-k logprobs per token
     # callback(token_id, logprob, [(tid, logprob) x n_probs])
     on_probs: Optional[Callable] = None
@@ -415,7 +417,8 @@ class Engine:
             elif piece and g.accept_text(piece):
                 return token
             # rejected: lazy full mask + resample (common_sampler strategy)
-            mask = np.asarray(g.allowed_mask(pieces), bool)
+            mask = np.asarray(
+                g.allowed_mask(pieces, trie=slot.req.token_trie), bool)
             if g.done:
                 for st in slot.req.stop_tokens:
                     if st < mask.shape[0]:

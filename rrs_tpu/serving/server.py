@@ -220,6 +220,8 @@ def make_handler(state: ServerState):
                 grammar=grammar,
                 token_pieces=(self.st.vocab.pieces()
                               if grammar or infill else None),
+                token_trie=(self.st.vocab.token_trie()
+                            if grammar is not None else None),
                 n_probs=n_probs,
                 on_probs=on_probs,
                 segments=segments,

@@ -37,13 +37,14 @@ def kv_bytes_per_slot(cfg: ModelConfig, kv_quant: str = "none") -> int:
     """KV bytes per (lane, position) across all layers (SWA rings reduced)."""
     if cfg.is_recurrent:
         return 0
-    el = 1 if kv_quant == "q8" else 2
+    el = {"q8": 1.0, "q4": 0.5}.get(kv_quant, 2.0)
+    scale_b = 4 if kv_quant in ("q8", "q4") else 0   # f32 scale per slot
     per = 0
     for li in range(cfg.n_layers):
         frac = 1.0
         if cfg.is_swa(li):
             frac = min(1.0, (cfg.swa_window + 512) / cfg.context_length)
-        per += 2 * cfg.n_kv_heads * cfg.head_dim * el * frac
+        per += 2 * cfg.n_kv_heads * (cfg.head_dim * el + scale_b) * frac
     return int(per)
 
 

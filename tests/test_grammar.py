@@ -143,3 +143,36 @@ def test_lazy_trigger_token():
     # copy() resets to awaiting
     g2 = Grammar('root ::= "x"', lazy=True, trigger_words=["x"]).copy()
     assert g2.awaiting_trigger
+
+
+def test_trie_mask_matches_naive_and_is_fast():
+    """Trie-DFS mask == naive per-token mask; and on a realistic vocab size
+    the trie path prunes instead of walking every piece."""
+    import time
+
+    import numpy as np
+
+    from rrs_tpu.runtime.grammar import Grammar, build_token_trie
+
+    g = Grammar('root ::= "{" ws "\\"a\\"" ws ":" ws [0-9]+ ws "}" '
+                '\nws ::= [ \\t]*')
+    # synthetic vocab: json-ish pieces + lots of irrelevant words
+    pieces = ['{', '}', '"a"', ':', ' ', '\t'] + \
+             [f"{i}" for i in range(10)] + \
+             [f"word{i}" for i in range(5000)] + ['{"', '{ "a', '": 1}']
+    trie = build_token_trie(pieces)
+
+    naive = g.allowed_mask(pieces)
+    fast = g.allowed_mask(pieces, trie=trie)
+    assert fast == naive
+    assert fast[0] and fast[pieces.index('{"')]    # '{' and '{"' admissible
+    assert not fast[pieces.index("word0")]
+
+    g.accept_text('{"a"')
+    naive = g.allowed_mask(pieces)
+    t0 = time.perf_counter()
+    fast = g.allowed_mask(pieces, trie=trie)
+    dt_fast = time.perf_counter() - t0
+    assert fast == naive
+    # mid-grammar the DFS must prune the 5000 word* tokens at 'w'
+    assert dt_fast < 0.05, dt_fast

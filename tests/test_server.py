@@ -255,10 +255,8 @@ def test_multi_model_router(server, tmp_path_factory):
     vocab = [chr(33 + i) if 33 + i < 288 else f"<t{i}>" for i in range(256)]
     p2 = export_random_gguf(cfg2, d / "second.gguf", seed=1,
                             vocab_tokens=vocab)
-    # register on the running server's default state
-    import tests.test_server as _self  # noqa
-    # reach the state through the handler class of the live server: register
-    # via the engine's back-reference is not exposed; use the module fixture
+    # register on the running server's default state via the module fixture
+    # (the live handler class isn't exposed)
     state = _STATE_HOLDER["state"]
     state.models["second"] = ModelHandle("second", str(p2), n_lanes=1,
                                          max_seq=128)

@@ -98,6 +98,18 @@ def test_flash_attention_variants():
     ref = np.asarray(fa.attention_ref(q, k, v, pos, 0.125, sinks=sinks))
     np.testing.assert_allclose(got, ref, rtol=5e-2, atol=5e-2)
 
+    # packed-int4 KV variant
+    from rrs_tpu.runtime import kv_codec
+
+    kq4, ks4 = kv_codec.quantize_rows(k, 7.0)
+    vq4, vs4 = kv_codec.quantize_rows(v, 7.0)
+    got4 = np.asarray(fa.flash_attention_q4(
+        q, kv_codec.pack4(kq4), ks4[:, :, None, :],
+        kv_codec.pack4(vq4), vs4[:, :, None, :], pos, 0.125))
+    ref = np.asarray(fa.attention_ref(q, k, v, pos, 0.125))
+    np.testing.assert_allclose(got4, ref, rtol=2e-1, atol=2e-1)
+    assert np.corrcoef(got4.ravel(), ref.ravel())[0, 1] > 0.99
+
 
 def test_two_layer_decode_matches_cpu_oracle():
     """End-to-end: a tiny TCQ4 model decodes the same greedy tokens on the
