@@ -25,6 +25,37 @@ def decode_image_b64(data: str):
     return Image.open(io.BytesIO(base64.b64decode(data)))
 
 
+def decode_audio_b64(data: str, fmt: str = "wav") -> np.ndarray:
+    """base64 (optionally data: URL) WAV -> mono f32 PCM @16kHz.
+    Stdlib-only decode (PCM16/PCM8/f32 WAV); naive linear resample."""
+    import struct
+    import wave
+
+    if data.startswith("data:"):
+        data = data.split(",", 1)[1]
+    raw = base64.b64decode(data)
+    with wave.open(io.BytesIO(raw)) as w:
+        sr = w.getframerate()
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if width == 2:
+        x = np.frombuffer(frames, np.int16).astype(np.float32) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(frames, np.uint8).astype(np.float32) - 128) / 128.0
+    elif width == 4:
+        x = np.frombuffer(frames, np.int32).astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(-1)
+    if sr != 16000:
+        n_out = int(round(x.size * 16000 / sr))
+        x = np.interp(np.linspace(0, x.size - 1, n_out),
+                      np.arange(x.size), x).astype(np.float32)
+    return x
+
+
 def embed_images(cfg: ClipConfig, weights: ClipWeights, images) -> list:
     """Encode images -> list of [n_patches, n_embd_llm] numpy chunks."""
     out = []

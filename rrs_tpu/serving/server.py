@@ -86,6 +86,9 @@ class ServerState:
         # multimodal projector (clip.cpp weights), set via --mmproj
         self.clip_cfg = None
         self.clip_weights = None
+        # audio tower (mtmd-audio + whisper-enc analog), same --mmproj file
+        self.audio_cfg = None
+        self.audio_weights = None
         # /slots save/restore base dir (--slot-save-path); endpoints are
         # disabled when unset, mirroring the reference's slot_save_path gate
         self.slot_save_path = None
@@ -552,9 +555,11 @@ def make_handler(state: ServerState):
 
                 messages = body.get("messages", [])
                 tools = body.get("tools") or None
-                # multimodal: lift image parts out, leave markers in the text
-                images = []
-                if self.st.clip_weights is not None:
+                # multimodal: lift image/audio parts out in order, leaving
+                # markers in the text (mtmd media chunks)
+                media = []          # ordered ("image", url) | ("audio", b64)
+                if (self.st.clip_weights is not None
+                        or self.st.audio_weights is not None):
                     from rrs_tpu.mtmd.pipeline import IMAGE_MARKER
 
                     msgs2 = []
@@ -563,10 +568,17 @@ def make_handler(state: ServerState):
                         if isinstance(c, list):
                             parts = []
                             for part in c:
-                                if part.get("type") == "image_url":
+                                if (part.get("type") == "image_url"
+                                        and self.st.clip_weights is not None):
                                     url = part["image_url"]
                                     url = url.get("url") if isinstance(url, dict) else url
-                                    images.append(url)
+                                    media.append(("image", url))
+                                    parts.append({"type": "text",
+                                                  "text": IMAGE_MARKER})
+                                elif (part.get("type") == "input_audio"
+                                        and self.st.audio_weights is not None):
+                                    ia = part.get("input_audio", {})
+                                    media.append(("audio", ia.get("data", "")))
                                     parts.append({"type": "text",
                                                   "text": IMAGE_MARKER})
                                 else:
@@ -579,14 +591,27 @@ def make_handler(state: ServerState):
                 rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
                 probs = []
                 segments = None
-                if images:
+                if media:
                     from rrs_tpu.mtmd.pipeline import (IMAGE_MARKER,
+                                                       decode_audio_b64,
                                                        decode_image_b64,
                                                        embed_images)
 
-                    chunks = embed_images(
-                        self.st.clip_cfg, self.st.clip_weights,
-                        [decode_image_b64(u) for u in images])
+                    chunks = []
+                    for kind, payload in media:
+                        if kind == "image":
+                            chunks.extend(embed_images(
+                                self.st.clip_cfg, self.st.clip_weights,
+                                [decode_image_b64(payload)]))
+                        else:
+                            import numpy as np
+
+                            from rrs_tpu.mtmd.audio import embed_audio
+
+                            pcm = decode_audio_b64(payload)
+                            emb = embed_audio(self.st.audio_cfg,
+                                              self.st.audio_weights, pcm)
+                            chunks.append(np.concatenate(emb, axis=0))
                     segments = []
                     for i, piece in enumerate(text.split(IMAGE_MARKER)):
                         if piece:
@@ -768,11 +793,24 @@ def serve(args):
         os.makedirs(args.slot_save_path, exist_ok=True)
         state.slot_save_path = args.slot_save_path
     if getattr(args, "mmproj", None):
-        from rrs_tpu.mtmd.clip import load_mmproj
+        from rrs_tpu.gguf.reader import read_gguf
 
-        state.clip_cfg, state.clip_weights = load_mmproj(args.mmproj)
-        print(f"loaded multimodal projector {args.mmproj} "
-              f"({state.clip_cfg.n_patches} patches/img)")
+        with read_gguf(args.mmproj) as g:
+            names = set(g.tensors)
+        if "v.blk.0.ln1.weight" in names or "v.patch_embd.weight" in names:
+            from rrs_tpu.mtmd.clip import load_mmproj
+
+            state.clip_cfg, state.clip_weights = load_mmproj(args.mmproj)
+            print(f"loaded multimodal projector {args.mmproj} "
+                  f"({state.clip_cfg.n_patches} patches/img)")
+        if "a.conv1d.1.weight" in names:
+            from rrs_tpu.mtmd.audio import load_audio_mmproj
+
+            state.audio_cfg, state.audio_weights = load_audio_mmproj(
+                args.mmproj)
+            print(f"loaded audio tower {args.mmproj} "
+                  f"({state.audio_cfg.projector} projector, "
+                  f"{state.audio_cfg.n_mel} mel bins)")
     for extra in getattr(args, "models", None) or []:
         name = extra.split("=", 1)[0] if "=" in extra else extra
         path = extra.split("=", 1)[1] if "=" in extra else extra
