@@ -46,6 +46,20 @@ def _flash_inner(pos, q, k, v, acc_ref, m_ref, l_ref, out_ref, *,
                  sink_ref=None):
     """One S-tile of online softmax. q [TQ*G, D] f32; k/v [BS, D] f32."""
     si = pl.program_id(3)
+    sink = None
+    if sink_ref is not None:
+        # sink_ref is the full [Hkv, G] table in SMEM (vector blocks smaller
+        # than the array fail the TPU 8/128 rule); read this head's row as
+        # scalars. Hoisted out of the final pl.when: program_id inside a
+        # when-body doesn't survive the interpret-mode HLO path.
+        h = pl.program_id(1)
+        # build the [TQ*G, 1] column directly (Mosaic can't reshape
+        # (tq, g) -> (tq*g, 1) for small tq*g): row r belongs to group r%g
+        gi = jax.lax.rem(
+            jax.lax.broadcasted_iota(jnp.int32, (tq * g, 1), 0), g)
+        sink = jnp.zeros((tq * g, 1), jnp.float32)
+        for j in range(g):
+            sink = jnp.where(gi == j, sink_ref[h, j], sink)
 
     @pl.when(si == 0)
     def _():
@@ -77,12 +91,10 @@ def _flash_inner(pos, q, k, v, acc_ref, m_ref, l_ref, out_ref, *,
     @pl.when(si == pl.num_programs(3) - 1)
     def _():
         l_fin = l_ref[...]
-        if sink_ref is not None:
+        if sink is not None:
             # attention sinks: a per-head virtual logit that joins the
             # softmax denominator only (soft_max_ext src[4] semantics,
             # ggml-cpu/ops.cpp:5317-5319)
-            sink = jnp.broadcast_to(sink_ref[0][None, :], (tq, g)
-                                    ).reshape(tq * g, 1)
             l_fin = l_fin + jnp.exp(sink - m_ref[...])
         out = acc_ref[...] / jnp.maximum(l_fin, 1e-30)
         out_ref[0, 0, :, :, :] = out.reshape(tq, g, d).astype(out_ref.dtype)
@@ -237,8 +249,7 @@ def flash_attention(
     kern = _kernel
     if sinks is not None:
         kern = _kernel_sink
-        in_specs.append(pl.BlockSpec((1, g), lambda b, h, i, si: (h, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(jnp.asarray(sinks, jnp.float32).reshape(hkv, g))
     out = pl.pallas_call(
         functools.partial(
@@ -294,8 +305,7 @@ def flash_attention_q8(
     kern = _kernel_q8
     if sinks is not None:
         kern = _kernel_q8_sink
-        in_specs.append(pl.BlockSpec((1, g), lambda b, h, i, si: (h, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(jnp.asarray(sinks, jnp.float32).reshape(hkv, g))
     out = pl.pallas_call(
         functools.partial(
@@ -354,8 +364,7 @@ def flash_attention_q4(
     kern = _kernel_q4
     if sinks is not None:
         kern = _kernel_q4_sink
-        in_specs.append(pl.BlockSpec((1, g), lambda b, h, i, si: (h, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(jnp.asarray(sinks, jnp.float32).reshape(hkv, g))
     out = pl.pallas_call(
         functools.partial(

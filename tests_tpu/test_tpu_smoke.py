@@ -37,8 +37,10 @@ def test_tcq4_matmul_decode_and_prefill():
     for m in (1, 128):
         a_q = rng.integers(-7, 8, (m, k)).astype(np.int8)
         a_s = (rng.random((m, k // 256)) + 0.5).astype(np.float32)
-        got = np.asarray(tcq4_matmul(jnp.asarray(a_q), jnp.asarray(a_s),
-                                     qs, eff))
+        # tcq4_matmul ingests DEQUANTIZED activations (q * scale / 7)
+        a = (a_q.astype(np.float32)
+             * np.repeat(a_s, 256, axis=1) / 7.0).astype(np.float32)
+        got = np.asarray(tcq4_matmul(jnp.asarray(a), qs, eff))
         ref = tcq4_matmul_ref(a_q, a_s, np.asarray(t.qs), eff32)
         # kernel uses bf16 eff + bf16 dot; oracle is integer-exact f32
         rel = np.abs(got - ref) / (np.abs(ref).max() + 1e-6)
@@ -106,9 +108,15 @@ def test_flash_attention_variants():
     got4 = np.asarray(fa.flash_attention_q4(
         q, kv_codec.pack4(kq4), ks4[:, :, None, :],
         kv_codec.pack4(vq4), vs4[:, :, None, :], pos, 0.125))
+    # kernel correctness: compare against the oracle on the DEQUANTIZED
+    # cache (int4 quantization noise itself is large on iid-Gaussian KV)
+    kd = kv_codec.dequantize(kv_codec.pack4(kq4), ks4[:, :, None, :])
+    vd = kv_codec.dequantize(kv_codec.pack4(vq4), vs4[:, :, None, :])
+    ref4 = np.asarray(fa.attention_ref(q, kd, vd, pos, 0.125))
+    np.testing.assert_allclose(got4, ref4, rtol=2e-2, atol=2e-2)
+    # and the quantization noise stays bounded vs the f32 cache
     ref = np.asarray(fa.attention_ref(q, k, v, pos, 0.125))
     np.testing.assert_allclose(got4, ref, rtol=2e-1, atol=2e-1)
-    assert np.corrcoef(got4.ravel(), ref.ravel())[0, 1] > 0.99
 
 
 def test_two_layer_decode_matches_cpu_oracle():
