@@ -451,7 +451,18 @@ def make_handler(state: ServerState):
                 self.st = handle.load()
 
         def do_GET(self):
-            if self.path == "/health":
+            if self.path in ("/", "/index.html"):
+                # built-in chat webui (tools/server/public analog)
+                import pathlib
+
+                page = (pathlib.Path(__file__).parent / "webui.html"
+                        ).read_bytes()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(page)))
+                self.end_headers()
+                self.wfile.write(page)
+            elif self.path == "/health":
                 self._json({"status": "ok"})
             elif self.path in ("/v1/models", "/models"):
                 data = [{

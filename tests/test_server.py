@@ -403,3 +403,11 @@ def test_engine_speculative_matches_plain():
     assert spec_engine.n_drafted > 0
     # identical models: every verified draft token accepted
     assert spec_engine.n_draft_accepted == spec_engine.n_drafted
+
+
+def test_webui_served(server):
+    port, _ = server
+    status, data = _req(port, "GET", "/")
+    assert status == 200
+    assert b"<title>rrs_tpu server</title>" in data
+    assert b"/v1/chat/completions" in data
