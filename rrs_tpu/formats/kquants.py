@@ -251,12 +251,401 @@ def dequantize_q5_k(raw: np.ndarray, n: int) -> np.ndarray:
     return out.reshape(-1)[:n]
 
 
+def dequantize_q4_1(raw: np.ndarray, n: int) -> np.ndarray:
+    # block: fp16 d, fp16 m, 16B nibbles; x = d*q + m (dequantize_row_q4_1)
+    blocks = raw.reshape(-1, 20)
+    d = _fp16(blocks[:, 0:2].copy())
+    m = _fp16(blocks[:, 2:4].copy())
+    qs = blocks[:, 4:]
+    q = np.concatenate([(qs & 0xF), (qs >> 4)], axis=1).astype(np.float32)
+    return (q * d + m).reshape(-1)[:n]
+
+
+def _q5_bits(blocks: np.ndarray, off: int) -> np.ndarray:
+    """Assemble the 32 5-bit quants of a q5_0/q5_1 block: low/high nibble
+    of qs[j] plus bit j / j+16 of the uint32 qh (dequantize_row_q5_0)."""
+    qh = blocks[:, off:off + 4].copy().view(np.uint32)      # [nb, 1]
+    qs = blocks[:, off + 4:]
+    j = np.arange(16, dtype=np.uint32)
+    lo = (qs & 0xF).astype(np.int32) | (((qh >> j) & 1) << 4).astype(np.int32)
+    hi = (qs >> 4).astype(np.int32) | (((qh >> (j + 16)) & 1) << 4).astype(np.int32)
+    return np.concatenate([lo, hi], axis=1).astype(np.float32)
+
+
+def dequantize_q5_0(raw: np.ndarray, n: int) -> np.ndarray:
+    # block: fp16 d, uint32 qh, 16B qs; x = d*(q5 - 16)
+    blocks = raw.reshape(-1, 22)
+    d = _fp16(blocks[:, 0:2].copy())
+    return ((_q5_bits(blocks, 2) - 16.0) * d).reshape(-1)[:n]
+
+
+def dequantize_q5_1(raw: np.ndarray, n: int) -> np.ndarray:
+    # block: fp16 d, fp16 m, uint32 qh, 16B qs; x = d*q5 + m
+    blocks = raw.reshape(-1, 24)
+    d = _fp16(blocks[:, 0:2].copy())
+    m = _fp16(blocks[:, 2:4].copy())
+    return (_q5_bits(blocks, 4) * d + m).reshape(-1)[:n]
+
+
+def dequantize_q2_k(raw: np.ndarray, n: int) -> np.ndarray:
+    # block: scales[16] (lo-nibble scale, hi-nibble min), qs[64] 2-bit,
+    # fp16 d, fp16 dmin (dequantize_row_q2_K); x = d*sc*q - dmin*mn per
+    # 16-elem group, two scale bytes per 32-elem shift group.
+    blocks = raw.reshape(-1, 84)
+    scales = blocks[:, :16]
+    qs = blocks[:, 16:80]
+    d = _fp16(blocks[:, 80:82].copy())[:, 0]
+    dmin = _fp16(blocks[:, 82:84].copy())[:, 0]
+    nb = blocks.shape[0]
+    out = np.empty((nb, 256), np.float32)
+    isc = 0
+    for half in range(2):                       # n in {0, 128}: 32 bytes each
+        q = qs[:, half * 32:(half + 1) * 32]
+        for j in range(4):                      # shifts 0,2,4,6
+            g = ((q >> (2 * j)) & 3).astype(np.float32)          # [nb, 32]
+            for part in range(2):               # l<16 / l>=16
+                sc = scales[:, isc]
+                isc += 1
+                dl = d * (sc & 0xF).astype(np.float32)
+                ml = dmin * (sc >> 4).astype(np.float32)
+                base = half * 128 + j * 32 + part * 16
+                out[:, base:base + 16] = (
+                    dl[:, None] * g[:, part * 16:part * 16 + 16] - ml[:, None])
+    return out.reshape(-1)[:n]
+
+
+def dequantize_q3_k(raw: np.ndarray, n: int) -> np.ndarray:
+    # block: hmask[32], qs[64] 2-bit, scales[12] (16 packed 6-bit), fp16 d
+    # (dequantize_row_q3_K); q = 2-bit - (hmask bit ? 0 : 4), x = d*(sc-32)*q
+    blocks = raw.reshape(-1, 110)
+    hmask = blocks[:, :32]
+    qs = blocks[:, 32:96]
+    scb = blocks[:, 96:108].copy().view(np.uint32)           # [nb, 3]
+    d = _fp16(blocks[:, 108:110].copy())[:, 0]
+    nb = blocks.shape[0]
+    # unpack 12 bytes -> 16 6-bit scales (the kmask shuffle, ggml-quants.c)
+    k1, k2 = np.uint32(0x03030303), np.uint32(0x0F0F0F0F)
+    tmp = scb[:, 2]
+    aux = np.empty((nb, 4), np.uint32)
+    aux[:, 0] = (scb[:, 0] & k2) | (((tmp >> 0) & k1) << 4)
+    aux[:, 1] = (scb[:, 1] & k2) | (((tmp >> 2) & k1) << 4)
+    aux[:, 2] = ((scb[:, 0] >> 4) & k2) | (((tmp >> 4) & k1) << 4)
+    aux[:, 3] = ((scb[:, 1] >> 4) & k2) | (((tmp >> 6) & k1) << 4)
+    scales = aux.view(np.uint8).reshape(nb, 16).astype(np.float32) - 32.0
+    out = np.empty((nb, 256), np.float32)
+    m = 1
+    isc = 0
+    for half in range(2):
+        q = qs[:, half * 32:(half + 1) * 32]
+        for j in range(4):
+            g = ((q >> (2 * j)) & 3).astype(np.float32)
+            g -= np.where((hmask & m) != 0, 0.0, 4.0)
+            for part in range(2):
+                dl = d * scales[:, isc]
+                isc += 1
+                base = half * 128 + j * 32 + part * 16
+                out[:, base:base + 16] = (
+                    dl[:, None] * g[:, part * 16:part * 16 + 16])
+            m <<= 1
+    return out.reshape(-1)[:n]
+
+
+def dequantize_q8_k(raw: np.ndarray, n: int) -> np.ndarray:
+    # block: f32 d, int8 qs[256], int16 bsums[16] (dequantize_row_q8_K)
+    blocks = raw.reshape(-1, 292)
+    d = blocks[:, :4].copy().view(np.float32)
+    q = blocks[:, 4:260].view(np.int8).astype(np.float32)
+    return (q * d).reshape(-1)[:n]
+
+
+# kvalues_iq4nl (ggml-common.h): the 16-entry non-linear 4-bit codebook —
+# format spec data, required for bit-exact GGUF interop.
+_IQ4NL_KVALUES = np.array(
+    [-127, -104, -83, -65, -49, -35, -22, -10,
+     1, 13, 25, 38, 53, 69, 89, 113], np.float32)
+
+
+def dequantize_iq4_nl(raw: np.ndarray, n: int) -> np.ndarray:
+    # block: fp16 d + 16B qs per 32 elems; x = d * kvalues[nibble]
+    blocks = raw.reshape(-1, 18)
+    d = _fp16(blocks[:, 0:2].copy())
+    qs = blocks[:, 2:]
+    idx = np.concatenate([(qs & 0xF), (qs >> 4)], axis=1)
+    return (_IQ4NL_KVALUES[idx] * d).reshape(-1)[:n]
+
+
+def dequantize_iq4_xs(raw: np.ndarray, n: int) -> np.ndarray:
+    # block: fp16 d, uint16 scales_h, scales_l[4], qs[128]
+    # (dequantize_row_iq4_xs); 8 sub-blocks of 32, 6-bit scale - 32
+    blocks = raw.reshape(-1, 136)
+    d = _fp16(blocks[:, 0:2].copy())[:, 0]
+    sh = blocks[:, 2:4].copy().view(np.uint16).astype(np.uint32)[:, 0]
+    sl = blocks[:, 4:8]
+    qs = blocks[:, 8:136]
+    nb = blocks.shape[0]
+    ib = np.arange(8)
+    ls = (((sl[:, ib // 2] >> (4 * (ib % 2))) & 0xF).astype(np.uint32)
+          | (((sh[:, None] >> (2 * ib)) & 3) << 4))
+    dl = d[:, None] * (ls.astype(np.float32) - 32.0)         # [nb, 8]
+    out = np.empty((nb, 256), np.float32)
+    for b in range(8):
+        q = qs[:, b * 16:(b + 1) * 16]
+        out[:, b * 32:b * 32 + 16] = dl[:, b, None] * _IQ4NL_KVALUES[q & 0xF]
+        out[:, b * 32 + 16:b * 32 + 32] = dl[:, b, None] * _IQ4NL_KVALUES[q >> 4]
+    return out.reshape(-1)[:n]
+
+
+# --- i-quants (codebook lattice formats, ggml-quants.c dequantize_row_iq*) ---
+# Codebook spec data lives in formats/iq_grids.py; the sign convention is
+# shared: ksigns[i] bit j set -> negate element j of the 8-wide group.
+
+
+def _sign_pm1(sign_bytes: np.ndarray) -> np.ndarray:
+    """[..., g] uint8 -> [..., g, 8] of +-1.0 from per-bit sign flags."""
+    bits = (sign_bytes[..., None] >> np.arange(8, dtype=np.uint8)) & 1
+    return 1.0 - 2.0 * bits.astype(np.float32)
+
+
+def dequantize_iq2_xxs(raw: np.ndarray, n: int) -> np.ndarray:
+    # block 66B: fp16 d + 16 uint32 pairs; pair = (4 grid bytes, aux32 with
+    # 4x7-bit sign selectors + 4-bit scale in the top nibble)
+    from rrs_tpu.formats.iq_grids import IQ2XXS_GRID, KSIGNS
+
+    blocks = raw.reshape(-1, 66)
+    nb = blocks.shape[0]
+    d = _fp16(blocks[:, 0:2].copy())[:, 0]
+    q32 = blocks[:, 2:].copy().view(np.uint32).reshape(nb, 8, 2)
+    gidx = q32[:, :, 0:1].view(np.uint8).reshape(nb, 8, 4)       # grid rows
+    aux = q32[:, :, 1]
+    db = d[:, None] * (0.5 + (aux >> 28).astype(np.float32)) * 0.25
+    sel = (aux[:, :, None] >> np.array([0, 7, 14, 21], np.uint32)) & 0x7F
+    signs = _sign_pm1(KSIGNS[sel])                               # [nb,8,4,8]
+    vals = IQ2XXS_GRID[gidx]                                     # [nb,8,4,8]
+    return (db[:, :, None, None] * vals * signs).reshape(-1)[:n]
+
+
+def dequantize_iq2_xs(raw: np.ndarray, n: int) -> np.ndarray:
+    # block 74B: fp16 d, 32 uint16 (9-bit grid row | 7-bit sign selector),
+    # 8 scale bytes (two nibbles each, one per 16 elems)
+    from rrs_tpu.formats.iq_grids import IQ2XS_GRID, KSIGNS
+
+    blocks = raw.reshape(-1, 74)
+    nb = blocks.shape[0]
+    d = _fp16(blocks[:, 0:2].copy())[:, 0]
+    q16 = blocks[:, 2:66].copy().view(np.uint16)                 # [nb, 32]
+    sc = blocks[:, 66:74]
+    nib = np.stack([sc & 0xF, sc >> 4], axis=2).reshape(nb, 16)
+    db = d[:, None] * (0.5 + nib.astype(np.float32)) * 0.25      # per 2 words
+    signs = _sign_pm1(KSIGNS[q16 >> 9])                          # [nb,32,8]
+    vals = IQ2XS_GRID[q16 & 511]                                 # [nb,32,8]
+    out = np.repeat(db, 2, axis=1)[:, :, None] * vals * signs
+    return out.reshape(-1)[:n]
+
+
+def dequantize_iq2_s(raw: np.ndarray, n: int) -> np.ndarray:
+    # block 82B: fp16 d, qs[32] (grid low bytes), signs[32] (raw bit flags),
+    # qh[8] (2 high bits per qs byte), scales[8] nibbles
+    from rrs_tpu.formats.iq_grids import IQ2S_GRID
+
+    blocks = raw.reshape(-1, 82)
+    nb = blocks.shape[0]
+    d = _fp16(blocks[:, 0:2].copy())[:, 0]
+    qs = blocks[:, 2:34]
+    sgn = blocks[:, 34:66]
+    qh = blocks[:, 66:74]
+    sc = blocks[:, 74:82]
+    nib = np.stack([sc & 0xF, sc >> 4], axis=2).reshape(nb, 16)
+    db = d[:, None] * (0.5 + nib.astype(np.float32)) * 0.25
+    hi = (qh[:, :, None] >> np.array([0, 2, 4, 6], np.uint8)) & 3
+    gidx = qs.astype(np.uint16) | (hi.reshape(nb, 32).astype(np.uint16) << 8)
+    signs = _sign_pm1(sgn)                                       # [nb,32,8]
+    vals = IQ2S_GRID[gidx]                                       # [nb,32,8]
+    out = np.repeat(db, 2, axis=1)[:, :, None] * vals * signs
+    return out.reshape(-1)[:n]
+
+
+def dequantize_iq3_xxs(raw: np.ndarray, n: int) -> np.ndarray:
+    # block 98B: fp16 d, qs[64] (grid rows of 4), 8 aux32 (signs + scale)
+    from rrs_tpu.formats.iq_grids import IQ3XXS_GRID, KSIGNS
+
+    blocks = raw.reshape(-1, 98)
+    nb = blocks.shape[0]
+    d = _fp16(blocks[:, 0:2].copy())[:, 0]
+    qs = blocks[:, 2:66].reshape(nb, 8, 8)                       # 8 rows/group
+    aux = blocks[:, 66:98].copy().view(np.uint32)                # [nb, 8]
+    db = d[:, None] * (0.5 + (aux >> 28).astype(np.float32)) * 0.5
+    sel = (aux[:, :, None] >> np.array([0, 7, 14, 21], np.uint32)) & 0x7F
+    signs = _sign_pm1(KSIGNS[sel])                               # [nb,8,4,8]
+    vals = IQ3XXS_GRID[qs].reshape(nb, 8, 4, 8)                  # 2 rows/sign
+    return (db[:, :, None, None] * vals * signs).reshape(-1)[:n]
+
+
+def dequantize_iq3_s(raw: np.ndarray, n: int) -> np.ndarray:
+    # block 110B: fp16 d, qs[64], qh[8] (1 high bit per qs byte),
+    # signs[32] raw flags, scales[4] nibbles (per 32 elems)
+    from rrs_tpu.formats.iq_grids import IQ3S_GRID
+
+    blocks = raw.reshape(-1, 110)
+    nb = blocks.shape[0]
+    d = _fp16(blocks[:, 0:2].copy())[:, 0]
+    qs = blocks[:, 2:66]
+    qh = blocks[:, 66:74]
+    sgn = blocks[:, 74:106]
+    sc = blocks[:, 106:110]
+    nib = np.stack([sc & 0xF, sc >> 4], axis=2).reshape(nb, 8)
+    db = d[:, None] * (1.0 + 2.0 * nib.astype(np.float32))       # per 32 elems
+    hi = ((qh[:, :, None] >> np.arange(8, dtype=np.uint8)) & 1).reshape(nb, 64)
+    gidx = qs.astype(np.uint16) | (hi.astype(np.uint16) << 8)
+    signs = _sign_pm1(sgn).reshape(nb, 8, 32)
+    vals = IQ3S_GRID[gidx].reshape(nb, 8, 32)
+    return (db[:, :, None] * vals * signs).reshape(-1)[:n]
+
+
+def dequantize_iq1_s(raw: np.ndarray, n: int) -> np.ndarray:
+    # block 50B: fp16 d, qs[32] grid low bytes, 8 uint16 qh: 3-bit highs at
+    # [0,3,6,9], 3-bit scale at 12, delta sign at 15; x = dl*(grid +- 0.125)
+    from rrs_tpu.formats.iq_grids import IQ1S_GRID
+
+    blocks = raw.reshape(-1, 50)
+    nb = blocks.shape[0]
+    d = _fp16(blocks[:, 0:2].copy())[:, 0]
+    qs = blocks[:, 2:34]
+    qh = blocks[:, 34:50].copy().view(np.uint16)                 # [nb, 8]
+    dl = d[:, None] * (2.0 * ((qh >> 12) & 7).astype(np.float32) + 1.0)
+    delta = np.where((qh & 0x8000) == 0, np.float32(0.125), np.float32(-0.125))
+    hi = (qh[:, :, None] >> np.array([0, 3, 6, 9], np.uint16)) & 7
+    gidx = qs.astype(np.uint16) | (hi.reshape(nb, 32) << 8)
+    vals = IQ1S_GRID[gidx].reshape(nb, 8, 4, 8)
+    out = dl[:, :, None, None] * (vals + delta[:, :, None, None])
+    return out.reshape(-1)[:n]
+
+
+def dequantize_iq1_m(raw: np.ndarray, n: int) -> np.ndarray:
+    # block 56B: qs[32], qh[16] (nibble: 3 high bits + delta flag), 4 uint16
+    # whose top nibbles reassemble the fp16 d; 3-bit scales at [0,3,6,9]
+    from rrs_tpu.formats.iq_grids import IQ1S_GRID
+
+    blocks = raw.reshape(-1, 56)
+    nb = blocks.shape[0]
+    qs = blocks[:, 0:32]
+    qh = blocks[:, 32:48]
+    sw = blocks[:, 48:56].copy().view(np.uint16)                 # [nb, 4]
+    dbits = ((sw & 0xF000) >> np.array([12, 8, 4, 0], np.uint16))
+    d = (dbits[:, 0] | dbits[:, 1] | dbits[:, 2] | dbits[:, 3]) \
+        .astype(np.uint16).reshape(nb, 1).view(np.uint8) \
+        .copy().view(np.float16).astype(np.float32)[:, 0]
+    sc3 = ((sw[:, :, None] >> np.array([0, 3, 6, 9], np.uint16)) & 7) \
+        .reshape(nb, 16).astype(np.float32)
+    dl = d[:, None] * (2.0 * sc3 + 1.0)                          # per 16 elems
+    nib = np.stack([qh & 0xF, qh >> 4], axis=2).reshape(nb, 32)
+    gidx = qs.astype(np.uint16) | ((nib & 7).astype(np.uint16) << 8)
+    delta = np.where((nib & 0x8) == 0, np.float32(0.125), np.float32(-0.125))
+    vals = (IQ1S_GRID[gidx] + delta[:, :, None]).reshape(nb, 16, 16)
+    return (dl[:, :, None] * vals).reshape(-1)[:n]
+
+
+_POW3 = np.array([1, 3, 9, 27, 81], np.uint8)
+
+
+def dequantize_tq1_0(raw: np.ndarray, n: int) -> np.ndarray:
+    """TQ1_0 ternary (BitNet b1.58): 48B of base-243 packed trits (5/byte),
+    4B of 4-trit bytes, fp16 d (dequantize_row_tq1_0, ggml-quants.c).
+    Trit k of packed byte b is extracted with the canonical fixed-point
+    trick: (uint8)(b * 3^k) * 3 >> 8, then shifted to {-1,0,1}."""
+    blocks = raw.reshape(-1, 54)
+    nb = blocks.shape[0]
+    d = _fp16(blocks[:, 52:54].copy())[:, 0]
+    out = np.empty((nb, 256), np.float32)
+
+    def trits(packed, k_count):
+        # packed: [nb, m] uint8 -> [nb, k_count, m] trit values in {-1,0,1}
+        p = packed[:, None, :] * _POW3[:k_count, None]        # uint8 wraps
+        return ((p.astype(np.uint16) * 3) >> 8).astype(np.int8) - 1
+
+    # elements 0..159: 32-byte chunk c covers [c*160 + k*32 + j]
+    q0 = blocks[:, :32]
+    out[:, :160] = trits(q0, 5).reshape(nb, 160)
+    # elements 160..239: 16-byte chunk, same 5-trit packing
+    q1 = blocks[:, 32:48]
+    out[:, 160:240] = trits(q1, 5).reshape(nb, 80)
+    # elements 240..255: qh, 4 trits per byte
+    qh = blocks[:, 48:52]
+    out[:, 240:256] = trits(qh, 4).reshape(nb, 16)
+    return (out * d[:, None]).reshape(-1)[:n]
+
+
+def quantize_tq1_0(x: np.ndarray) -> np.ndarray:
+    """quantize_row_tq1_0: d = absmax, trits = round(x/d) in {-1,0,1},
+    packed 5 (or 4 for qh) per byte as ceil(v * 256/243)."""
+    x = np.asarray(x, np.float32).reshape(-1, 256)
+    nb = x.shape[0]
+    d = np.abs(x).max(axis=1)
+    inv = np.where(d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    t = (_round_half_away_kq(x * inv[:, None]).astype(np.int8) + 1).astype(np.uint8)
+
+    def pack(tr, k_count):
+        # tr: [nb, k_count, m] -> [nb, m] bytes; trit k carries weight
+        # 3^(4-k) (the 4-trit qh bytes have no units digit)
+        w = _POW3[::-1][:k_count].copy()
+        v = (tr * w[None, :, None]).sum(axis=1).astype(np.uint16)
+        return ((v * 256 + 242) // 243).astype(np.uint8)
+
+    qs0 = pack(t[:, :160].reshape(nb, 5, 32), 5)
+    qs1 = pack(t[:, 160:240].reshape(nb, 5, 16), 5)
+    qh = pack(t[:, 240:256].reshape(nb, 4, 4), 4)
+    d16 = d.astype(np.float16)[:, None].view(np.uint8).reshape(nb, 2)
+    return np.concatenate([qs0, qs1, qh, d16], axis=1).reshape(-1)
+
+
+def dequantize_tq2_0(raw: np.ndarray, n: int) -> np.ndarray:
+    # 64B of 2-bit codes (chunk c of 32 bytes -> elems c*128 + k*32 + j,
+    # shift 2k), fp16 d; x = d * (code - 1)
+    blocks = raw.reshape(-1, 66)
+    nb = blocks.shape[0]
+    d = _fp16(blocks[:, 64:66].copy())[:, 0]
+    qs = blocks[:, :64].reshape(nb, 2, 32)
+    shifts = np.array([0, 2, 4, 6], np.uint8)
+    g = ((qs[:, :, None, :] >> shifts[None, None, :, None]) & 3).astype(np.int8) - 1
+    return (g.reshape(nb, 256) * d[:, None, ]).reshape(-1)[:n]
+
+
+def quantize_tq2_0(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, np.float32).reshape(-1, 256)
+    nb = x.shape[0]
+    d = np.abs(x).max(axis=1)
+    inv = np.where(d > 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    t = (_round_half_away_kq(x * inv[:, None]).astype(np.int8) + 1).astype(np.uint8)
+    tr = t.reshape(nb, 2, 4, 32)
+    shifts = np.array([0, 2, 4, 6], np.uint8)
+    qs = (tr << shifts[None, None, :, None]).astype(np.uint8)
+    qs = (qs[:, :, 0] | qs[:, :, 1] | qs[:, :, 2] | qs[:, :, 3]).reshape(nb, 64)
+    d16 = d.astype(np.float16)[:, None].view(np.uint8).reshape(nb, 2)
+    return np.concatenate([qs, d16], axis=1).reshape(-1)
+
+
 _DEQUANT = {
     GGMLType.Q8_0: dequantize_q8_0,
     GGMLType.Q4_0: dequantize_q4_0,
+    GGMLType.Q4_1: dequantize_q4_1,
+    GGMLType.Q5_0: dequantize_q5_0,
+    GGMLType.Q5_1: dequantize_q5_1,
+    GGMLType.Q2_K: dequantize_q2_k,
+    GGMLType.Q3_K: dequantize_q3_k,
     GGMLType.Q4_K: dequantize_q4_k,
     GGMLType.Q5_K: dequantize_q5_k,
     GGMLType.Q6_K: dequantize_q6_k,
+    GGMLType.Q8_K: dequantize_q8_k,
+    GGMLType.IQ4_NL: dequantize_iq4_nl,
+    GGMLType.IQ4_XS: dequantize_iq4_xs,
+    GGMLType.TQ1_0: dequantize_tq1_0,
+    GGMLType.TQ2_0: dequantize_tq2_0,
+    GGMLType.IQ2_XXS: dequantize_iq2_xxs,
+    GGMLType.IQ2_XS: dequantize_iq2_xs,
+    GGMLType.IQ2_S: dequantize_iq2_s,
+    GGMLType.IQ3_XXS: dequantize_iq3_xxs,
+    GGMLType.IQ3_S: dequantize_iq3_s,
+    GGMLType.IQ1_S: dequantize_iq1_s,
+    GGMLType.IQ1_M: dequantize_iq1_m,
     GGMLType.MXFP4: lambda raw, n: dequantize_mxfp4(raw, n),
 }
 

@@ -92,6 +92,17 @@ BLOCK_SIZES: dict[GGMLType, tuple[int, int]] = {
     GGMLType.Q5_K: (256, 176),
     GGMLType.Q6_K: (256, 210),
     GGMLType.Q8_K: (256, 292),
+    GGMLType.IQ4_NL: (32, 18),
+    GGMLType.IQ4_XS: (256, 136),
+    GGMLType.IQ2_XXS: (256, 66),
+    GGMLType.IQ2_XS: (256, 74),
+    GGMLType.IQ2_S: (256, 82),
+    GGMLType.IQ3_XXS: (256, 98),
+    GGMLType.IQ3_S: (256, 110),
+    GGMLType.IQ1_S: (256, 50),
+    GGMLType.IQ1_M: (256, 56),
+    GGMLType.TQ1_0: (256, 54),
+    GGMLType.TQ2_0: (256, 66),
     GGMLType.MXFP4: (32, 17),
     GGMLType.TCQ4_K32: (256, 148),
 }

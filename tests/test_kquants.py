@@ -145,3 +145,140 @@ def test_mxfp4_error_bounded():
     err = np.abs(back - x).max(axis=1)
     amax = np.abs(x).max(axis=1)
     assert (err <= amax * 0.35).all(), err / amax
+
+
+# ---------------------------------------------------------------------------
+# Oracle cross-check vs the reference's own gguf-py dequantizers: synthetic
+# raw blocks (random quant bytes, sane fp16 scale fields) must dequantize
+# byte-identically. Test-time-only use of /root/reference (like the tokenizer
+# fixture corpora); the implementations under test are original.
+
+import sys
+
+_GGUF_PY = "/root/reference/gguf-py"
+
+
+def _oracle_dequant(raw, rtype_name, n):
+    sys.path.insert(0, _GGUF_PY)
+    try:
+        from gguf import quants as rq
+        from gguf.constants import GGMLQuantizationType as RT
+
+        return rq.dequantize(raw, getattr(RT, rtype_name))[:n]
+    finally:
+        sys.path.remove(_GGUF_PY)
+
+
+def _synth_blocks(rng, nb, block_bytes, f16_offsets, f32_offsets=()):
+    raw = rng.integers(0, 256, (nb, block_bytes)).astype(np.uint8)
+    for off in f16_offsets:
+        d = rng.uniform(0.001, 0.1, nb).astype(np.float16)
+        raw[:, off:off + 2] = d[:, None].view(np.uint8).reshape(nb, 2)
+    for off in f32_offsets:
+        d = rng.uniform(0.001, 0.1, nb).astype(np.float32)
+        raw[:, off:off + 4] = d[:, None].view(np.uint8).reshape(nb, 4)
+    return raw.reshape(-1)
+
+
+_ORACLE_CASES = [
+    # (name, dequant fn, elems/block, bytes/block, fp16 offsets, fp32 offsets)
+    ("Q4_1", kquants.dequantize_q4_1, 32, 20, (0, 2), ()),
+    ("Q5_0", kquants.dequantize_q5_0, 32, 22, (0,), ()),
+    ("Q5_1", kquants.dequantize_q5_1, 32, 24, (0, 2), ()),
+    ("Q2_K", kquants.dequantize_q2_k, 256, 84, (80, 82), ()),
+    ("Q3_K", kquants.dequantize_q3_k, 256, 110, (108,), ()),
+    ("Q4_K", kquants.dequantize_q4_k, 256, 144, (0, 2), ()),
+    ("Q5_K", kquants.dequantize_q5_k, 256, 176, (0, 2), ()),
+    ("Q6_K", kquants.dequantize_q6_k, 256, 210, (208,), ()),
+    # Q8_K is absent from gguf-py's trait table; covered by formula test below
+    ("IQ4_NL", kquants.dequantize_iq4_nl, 32, 18, (0,), ()),
+    ("IQ4_XS", kquants.dequantize_iq4_xs, 256, 136, (0,), ()),
+]
+
+
+def test_dequant_vs_reference_gguf_py():
+    import pytest as _pytest
+    import os
+
+    if not os.path.isdir(_GGUF_PY):
+        _pytest.skip("reference gguf-py not available")
+    rng = np.random.default_rng(7)
+    for name, fn, qk, bb, f16o, f32o in _ORACLE_CASES:
+        raw = _synth_blocks(rng, 16, bb, f16o, f32o)
+        n = 16 * qk
+        ours = fn(raw, n)
+        theirs = _oracle_dequant(raw, name, n).astype(np.float32).reshape(-1)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-7,
+                                   err_msg=name)
+
+
+def test_q8_k_formula():
+    # block: f32 d, int8 qs[256], int16 bsums[16]; x = d*q
+    rng = np.random.default_rng(3)
+    raw = _synth_blocks(rng, 4, 292, (), (0,))
+    blocks = raw.reshape(4, 292)
+    d = blocks[:, :4].copy().view(np.float32)[:, 0]
+    q = blocks[:, 4:260].view(np.int8)
+    ours = kquants.dequantize_q8_k(raw, 4 * 256).reshape(4, 256)
+    np.testing.assert_allclose(ours, d[:, None] * q.astype(np.float32))
+
+
+def test_tq_ternary_vs_oracle():
+    """TQ1_0/TQ2_0: our quantize bytes == oracle quantize bytes, and both
+    dequantizers agree, on random data."""
+    import os
+    import pytest as _pytest
+
+    if not os.path.isdir(_GGUF_PY):
+        _pytest.skip("reference gguf-py not available")
+    sys.path.insert(0, _GGUF_PY)
+    try:
+        from gguf import quants as rq
+        from gguf.constants import GGMLQuantizationType as RT
+    finally:
+        sys.path.remove(_GGUF_PY)
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(8 * 256).astype(np.float32)
+    for name, qf, df in (("TQ1_0", kquants.quantize_tq1_0, kquants.dequantize_tq1_0),
+                         ("TQ2_0", kquants.quantize_tq2_0, kquants.dequantize_tq2_0)):
+        theirs_raw = rq.quantize(x, getattr(RT, name))
+        ours_raw = qf(x)
+        np.testing.assert_array_equal(ours_raw, theirs_raw.reshape(-1), err_msg=name)
+        ours = df(ours_raw, x.size)
+        theirs = rq.dequantize(theirs_raw, getattr(RT, name)).reshape(-1)
+        np.testing.assert_allclose(ours, theirs.astype(np.float32), rtol=1e-6,
+                                   err_msg=name)
+        # registered in the generic dispatcher
+        via = kquants.dequantize(ours_raw, getattr(GGMLType, name), (8, 256))
+        np.testing.assert_allclose(via.reshape(-1), ours)
+
+
+_IQ_ORACLE_CASES = [
+    # i-quants: synthetic blocks with sane fp16 d; grid indices are random
+    # bytes (every index is valid — the grids cover the full index range)
+    ("IQ2_XXS", kquants.dequantize_iq2_xxs, 66, (0,)),
+    ("IQ2_XS", kquants.dequantize_iq2_xs, 74, (0,)),
+    ("IQ2_S", kquants.dequantize_iq2_s, 82, (0,)),
+    ("IQ3_XXS", kquants.dequantize_iq3_xxs, 98, (0,)),
+    ("IQ3_S", kquants.dequantize_iq3_s, 110, (0,)),
+    ("IQ1_S", kquants.dequantize_iq1_s, 50, (0,)),
+    ("IQ1_M", kquants.dequantize_iq1_m, 56, ()),
+]
+
+
+def test_iq_dequant_vs_reference_gguf_py():
+    import os
+    import pytest as _pytest
+
+    if not os.path.isdir(_GGUF_PY):
+        _pytest.skip("reference gguf-py not available")
+    rng = np.random.default_rng(13)
+    for name, fn, bb, f16o in _IQ_ORACLE_CASES:
+        raw = _synth_blocks(rng, 16, bb, f16o)
+        n = 16 * 256
+        ours = fn(raw, n)
+        theirs = _oracle_dequant(raw, name, n).astype(np.float32).reshape(-1)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-7,
+                                   err_msg=name)
+        via = kquants.dequantize(raw, getattr(GGMLType, name), (16, 256))
+        np.testing.assert_allclose(via.reshape(-1), ours, err_msg=name)
