@@ -53,6 +53,11 @@ def main(argv=None):
     pp.add_argument("--save-logits", default=None, metavar="NPZ",
                     help="save this model's tokens+logits for later "
                          "--kl-divergence-base comparison")
+    pp.add_argument("--pp", type=int, default=1, metavar="N",
+                    help="pipeline (layer-split) parallelism over N devices "
+                         "(--split-mode layer analog; GPipe schedule)")
+    pp.add_argument("--pp-micro", type=int, default=2, metavar="M",
+                    help="microbatches (chunks) per pipeline dispatch")
 
     q = sub.add_parser("quantize", help="requantize a GGUF model to TCQ4_K32")
     q.add_argument("src")
@@ -356,8 +361,31 @@ def cmd_perplexity(args):
 
     import numpy as np
 
-    from rrs_tpu.tools.perplexity import (compute_perplexity, kl_divergence,
+    from rrs_tpu.tools.perplexity import (compute_perplexity,
+                                          compute_perplexity_pp,
+                                          kl_divergence,
                                           multiple_choice_score)
+
+    if getattr(args, "pp", 1) > 1:
+        from rrs_tpu.models.loader import load_model
+        from rrs_tpu.models.vocab import Vocab
+        from rrs_tpu.parallel.pipeline import make_pp_mesh
+
+        if not args.file:
+            raise SystemExit("--pp supports text-file perplexity only")
+        cfg, weights, md = load_model(args.model)
+        vocab = Vocab.from_gguf(md)
+        mesh = make_pp_mesh(args.pp)
+        text = open(args.file, encoding="utf-8").read()
+        tokens = vocab.encode(text, add_special=False)
+        if args.max_chunks:
+            tokens = tokens[: args.max_chunks * args.n_ctx]
+        res = compute_perplexity_pp(cfg, weights, tokens, mesh,
+                                    n_ctx=args.n_ctx,
+                                    n_micro=args.pp_micro, progress=True)
+        print(f"Final PPL = {res.ppl:.4f} over {res.n_tokens} tokens "
+              f"(pp={args.pp})")
+        return
 
     cfg, vocab, ctx = _load(args.model, max_seq=args.n_ctx)
     if args.multiple_choice:

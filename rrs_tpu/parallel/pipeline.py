@@ -57,6 +57,17 @@ def _one_layer(cfg: ModelConfig, lw, x, positions):
 def pipeline_forward(cfg: ModelConfig, weights, tokens, positions,
                      mesh: Mesh, n_micro: int = 2):
     """Pipelined prefill forward: [B, T] tokens -> [B, T, V] f32 logits.
+    One-shot convenience over :func:`make_pipeline_forward` (which callers
+    with many batches should use directly — it compiles once)."""
+    b, t = tokens.shape
+    fn = make_pipeline_forward(cfg, weights, mesh, b, t, n_micro=n_micro)
+    return fn(tokens, positions)
+
+
+def make_pipeline_forward(cfg: ModelConfig, weights, mesh: Mesh,
+                          b: int, t: int, n_micro: int = 2):
+    """Build a jitted pipelined prefill step: [B, T] tokens -> [B, T, V]
+    f32 logits, compiled once for the given shapes.
 
     B must divide into n_micro microbatches; cfg.n_layers must divide the
     pp axis. Schedule: M + pp - 1 ticks; at tick t stage s processes
@@ -70,7 +81,6 @@ def pipeline_forward(cfg: ModelConfig, weights, tokens, positions,
     for lw in weights.layers:
         assert lw.attn_post_norm is None and lw.ffn_post_norm is None, (
             "sandwich-norm models not supported by the pp schedule yet")
-    b, t = tokens.shape
     assert b % n_micro == 0, (b, n_micro)
     bm = b // n_micro
 
@@ -134,6 +144,11 @@ def pipeline_forward(cfg: ModelConfig, weights, tokens, positions,
         out_specs=P(None, None, None),
         check_vma=False,
     )
-    return jax.jit(fn)(stacked, weights.embed, weights.final_norm,
-                       weights.lm_head, weights.rope_factors,
-                       tokens, positions)
+    jitted = jax.jit(fn)
+
+    def run(tokens, positions):
+        return jitted(stacked, weights.embed, weights.final_norm,
+                      weights.lm_head, weights.rope_factors,
+                      tokens, positions)
+
+    return run

@@ -70,6 +70,53 @@ def compute_perplexity(
     )
 
 
+def compute_perplexity_pp(cfg, weights, tokens: list[int], mesh,
+                          n_ctx: int = 512, n_micro: int = 2,
+                          progress: bool = False) -> PerplexityResult:
+    """Perplexity over a pipeline-parallel (layer-split) mesh — the
+    --split-mode layer analog (llama.h:193-197) for batch evaluation.
+    Each dispatch pushes n_micro chunks through the GPipe schedule
+    (parallel/pipeline.py); same NLL protocol as compute_perplexity."""
+    from rrs_tpu.parallel.pipeline import make_pipeline_forward
+
+    first = min(n_ctx // 2, 512)
+    n_chunks = len(tokens) // n_ctx
+    fn = make_pipeline_forward(cfg, weights, mesh, b=n_micro, t=n_ctx,
+                               n_micro=n_micro)
+    positions = np.broadcast_to(
+        np.arange(n_ctx, dtype=np.int32), (n_micro, n_ctx)).copy()
+    nll = 0.0
+    count = 0
+    per_chunk = []
+    for base in range(0, n_chunks, n_micro):
+        batch = [tokens[c * n_ctx:(c + 1) * n_ctx]
+                 for c in range(base, min(base + n_micro, n_chunks))]
+        real = len(batch)
+        batch += [batch[-1]] * (n_micro - real)     # pad the last dispatch
+        logits = np.asarray(fn(np.asarray(batch, np.int32), positions))
+        for r in range(real):
+            chunk = batch[r]
+            chunk_nll = 0.0
+            chunk_count = 0
+            for i in range(first, n_ctx - 1):
+                ll = _log_softmax_row(
+                    logits[r, i].astype(np.float64), chunk[i + 1])
+                chunk_nll -= ll
+                chunk_count += 1
+            nll += chunk_nll
+            count += chunk_count
+            per_chunk.append(math.exp(chunk_nll / max(chunk_count, 1)))
+        if progress:
+            print(f"[{len(per_chunk)}/{n_chunks}] ppl so far: "
+                  f"{math.exp(nll / max(count, 1)):.4f}", flush=True)
+    return PerplexityResult(
+        ppl=math.exp(nll / max(count, 1)),
+        nll_sum=nll,
+        n_tokens=count,
+        per_chunk=per_chunk,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multiple-choice scoring + KL divergence (perplexity.cpp: hellaswag_score
 # :800+, winogrande_score, multiple_choice_score (MMLU), kl_divergence :1700+)

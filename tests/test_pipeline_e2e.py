@@ -108,3 +108,25 @@ def test_multiple_choice_and_kl(model_files):
     r = kl_divergence(ctx, base, toks)
     # same model vs itself: KL ~ 0, top tokens identical
     assert r["mean_kl"] < 1e-4 and r["same_top_rate"] == 1.0
+
+
+def test_perplexity_pp_matches_single_device(model_files):
+    """--pp product surface: pipeline-parallel perplexity equals the
+    single-device InferenceContext protocol on the same chunks."""
+    from rrs_tpu.parallel.pipeline import make_pp_mesh
+    from rrs_tpu.tools.perplexity import compute_perplexity_pp
+
+    d, src = model_files
+    cfg, weights, md = load_model(src)
+    rng = np.random.default_rng(5)
+    tokens = rng.integers(0, CFG.vocab_size, 3 * 48).tolist()
+
+    ctx = InferenceContext(cfg, weights, n_lanes=1, max_seq=64)
+    base = compute_perplexity(ctx, tokens, n_ctx=48)
+
+    cfgu, weightsu, _ = load_model(src)         # unfused not required: same file
+    mesh = make_pp_mesh(2)
+    res = compute_perplexity_pp(cfgu, weightsu, tokens, mesh,
+                                n_ctx=48, n_micro=2)
+    assert res.n_tokens == base.n_tokens
+    assert abs(res.ppl - base.ppl) / base.ppl < 0.02, (res.ppl, base.ppl)
