@@ -239,15 +239,16 @@ class InferenceContext:
     def prefill_embeds(self, seq_id: int, embeds: np.ndarray) -> np.ndarray:
         """Feed raw input embeddings [T, E] (multimodal image chunks; the
         llama_batch.embd path). Returns logits [T, V]."""
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "multimodal embedding prefill is not yet supported with --tp")
         lane = self.kv.lane_of(seq_id)
         b = self.kv.n_lanes
         if not hasattr(self, "_embd_step"):
+            mesh = self.mesh
             cfg = self.cfg
+            if mesh is not None:
+                from rrs_tpu.parallel import sharding as _sh
 
-            @functools.partial(jax.jit, static_argnames=())
+                cfg = _sh._local_cfg(cfg, mesh.shape["tp"])
+
             def step(weights, emb, start_pos, k_caches, v_caches):
                 bb, t, _ = emb.shape
                 s = max((c[0] if isinstance(c, tuple) else c).shape[2]
@@ -256,11 +257,29 @@ class InferenceContext:
                 mask_pos = jnp.where(start_pos[:, None] < 0, -1, pos)
                 safe_slots = jnp.where(start_pos[:, None] < 0, s - t,
                                        jnp.clip(pos, 0, s - 1))
-                return llama_model.forward(
+                logits, nk, nv = llama_model.forward(
                     cfg, weights, jnp.zeros((bb, t), jnp.int32), pos,
                     k_caches, v_caches, mask_pos, safe_slots, embeds=emb)
+                if mesh is not None:
+                    logits = jax.lax.all_gather(logits, "tp", axis=-1,
+                                                tiled=True)
+                    logits = logits[..., : self.cfg.vocab_size]
+                return logits, nk, nv
 
-            self._embd_step = step
+            if mesh is not None:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+                from rrs_tpu.parallel import sharding as _sh
+
+                kv_specs = self._kv_pspec()
+                step = shard_map(
+                    step, mesh=mesh,
+                    in_specs=(_sh.weight_pspecs(self.weights),
+                              P("dp", None, None), P("dp"),
+                              kv_specs, kv_specs),
+                    out_specs=(P("dp", None, None), kv_specs, kv_specs),
+                    check_vma=False)
+            self._embd_step = jax.jit(step)
         t = embeds.shape[0]
         emb = np.zeros((b, t, embeds.shape[1]), np.float32)
         start = np.full((b,), -1, np.int32)
@@ -392,46 +411,60 @@ class InferenceContext:
         fn = self._run_fns[n_steps]
 
         b = self.kv.n_lanes
-        start = np.full((b,), -1, np.int32)
-        temp = np.zeros((b,), np.float32)
-        top_k = np.ones((b,), np.int32)
-        top_p = np.ones((b,), np.float32)
-        min_p = np.zeros((b,), np.float32)
-        lanes = {}
-        for seq_id in seq_tokens:
-            lane = self.kv.lane_of(seq_id)
-            lanes[seq_id] = lane
-            start[lane] = self.kv.lengths[lane]
-            p = params[seq_id]
-            temp[lane] = p.temperature
-            top_k[lane] = min(p.top_k, 128) if p.top_k > 0 else 128
-            top_p[lane] = p.top_p
-            min_p[lane] = p.min_p
         if chain is not None:
+            # chained run: EVERYTHING derives from the previous handle's
+            # device outputs — no host->device uploads, so the relay
+            # round-trip is just the dispatch (the uploads were the
+            # dominant serving overhead)
             tokv = chain["toks"][:, -1]
             keyv = chain["keys"]
+            startv = jnp.where(chain["start"] < 0, chain["start"],
+                               chain["start"] + chain["n"])
+            tempv, top_kv = chain["temp"], chain["top_k"]
+            top_pv, min_pv = chain["top_p"], chain["min_p"]
+            lanes = dict(chain["lanes"])
         else:
+            start = np.full((b,), -1, np.int32)
+            temp = np.zeros((b,), np.float32)
+            top_k = np.ones((b,), np.int32)
+            top_p = np.ones((b,), np.float32)
+            min_p = np.zeros((b,), np.float32)
             tok = np.zeros((b,), np.int32)
             key_rows = [jax.random.PRNGKey(0)] * b
+            lanes = {}
             for seq_id, token in seq_tokens.items():
-                tok[lanes[seq_id]] = token
-                key_rows[lanes[seq_id]] = keys[seq_id]
+                lane = self.kv.lane_of(seq_id)
+                lanes[seq_id] = lane
+                start[lane] = self.kv.lengths[lane]
+                p = params[seq_id]
+                temp[lane] = p.temperature
+                top_k[lane] = min(p.top_k, 128) if p.top_k > 0 else 128
+                top_p[lane] = p.top_p
+                min_p[lane] = p.min_p
+                tok[lane] = token
+                key_rows[lane] = keys[seq_id]
             tokv = jnp.asarray(tok)
             keyv = jnp.stack(key_rows)
+            startv = jnp.asarray(start)
+            tempv = jnp.asarray(temp)
+            top_kv = jnp.asarray(top_k)
+            top_pv = jnp.asarray(top_p)
+            min_pv = jnp.asarray(min_p)
 
         import time as _time
 
         t0 = _time.perf_counter()
         toks, nk, nv, nkeys = fn(
-            self.weights, tokv, jnp.asarray(start),
-            keyv, jnp.asarray(temp), jnp.asarray(top_k),
-            jnp.asarray(top_p), jnp.asarray(min_p), self.kv.k, self.kv.v)
+            self.weights, tokv, startv, keyv, tempv, top_kv, top_pv, min_pv,
+            self.kv.k, self.kv.v)
         self.kv.k, self.kv.v = nk, nv
         for seq_id, lane in lanes.items():
             self.kv.lengths[lane] += n_steps
             self.n_decode_tokens += n_steps
         self.t_decode_s += _time.perf_counter() - t0
-        return {"toks": toks, "keys": nkeys, "lanes": lanes, "n": n_steps}
+        return {"toks": toks, "keys": nkeys, "lanes": lanes, "n": n_steps,
+                "start": startv, "temp": tempv, "top_k": top_kv,
+                "top_p": top_pv, "min_p": min_pv}
 
     def decode_run(
         self,
@@ -452,32 +485,46 @@ class InferenceContext:
         """Sequence embedding from the final hidden state (llama_encode +
         pooling analog; causal-LM contexts support mean/last pooling).
         Runs a standalone forward without the LM head or persistent cache."""
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "embedding extraction is not yet supported with --tp")
         import jax
 
-        @jax.jit
+        run_cfg = self.cfg
+        if self.mesh is not None:
+            from rrs_tpu.parallel import sharding as _sh
+
+            run_cfg = _sh._local_cfg(self.cfg, self.mesh.shape["tp"])
+
         def hidden(w, toks):
             from rrs_tpu.models import llama as llama_model
             from rrs_tpu.ops.basic import rms_norm
 
             b, t = toks.shape
             pos = jnp.arange(t, dtype=jnp.int32)[None, :]
-            shape = (b, self.cfg.n_kv_heads, t, self.cfg.head_dim)
-            kc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(self.cfg.n_layers)]
-            vc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(self.cfg.n_layers)]
+            shape = (b, run_cfg.n_kv_heads, t, run_cfg.head_dim)
+            kc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(run_cfg.n_layers)]
+            vc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(run_cfg.n_layers)]
             x = jnp.take(w.embed, toks, axis=0)
             for li, lw in enumerate(w.layers):
-                h = rms_norm(x, lw.attn_norm, self.cfg.rms_eps)
+                h = rms_norm(x, lw.attn_norm, run_cfg.rms_eps)
                 attn_out, kc[li], vc[li] = llama_model.attention(
-                    self.cfg, lw, h, pos, kc[li], vc[li], pos, pos, li=li)
+                    run_cfg, lw, h, pos, kc[li], vc[li], pos, pos, li=li)
                 x = x + attn_out
-                h = rms_norm(x, lw.ffn_norm, self.cfg.rms_eps)
-                x = x + llama_model.ffn(self.cfg, lw, h, li=li)
-            return rms_norm(x, w.final_norm, self.cfg.rms_eps)
+                h = rms_norm(x, lw.ffn_norm, run_cfg.rms_eps)
+                x = x + llama_model.ffn(run_cfg, lw, h, li=li)
+            return rms_norm(x, w.final_norm, run_cfg.rms_eps)
 
-        hs = np.asarray(hidden(
+        if self.mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            from rrs_tpu.parallel import sharding as _sh
+
+            fn = jax.jit(shard_map(
+                hidden, mesh=self.mesh,
+                in_specs=(_sh.weight_pspecs(self.weights), P(None, None)),
+                out_specs=P(None, None, None),
+                check_vma=False))
+        else:
+            fn = jax.jit(hidden)
+        hs = np.asarray(fn(
             self.weights, jnp.asarray(np.asarray(tokens, np.int32)[None, :])
         ))[0]
         if pooling == "last":

@@ -683,6 +683,9 @@ class Engine:
         past the rewound length and are overwritten on reuse)."""
         h = inf["handle"]
         toks_np = np.asarray(h["toks"])
+        # ONE key readback: per-lane device slices each cost a relay
+        # round-trip (~15ms x lanes per flush)
+        keys_np = np.asarray(h["keys"])
         for (seq_id, req_id), base in inf["items"].items():
             slot = next(
                 (s for s in self.slots
@@ -692,7 +695,7 @@ class Engine:
             if slot is None:
                 continue
             lane = h["lanes"][seq_id]
-            slot.key = h["keys"][lane]
+            slot.key = jax.numpy.asarray(keys_np[lane])
             for i, tok in enumerate(toks_np[lane].tolist()):
                 if self._emit(slot, tok):   # stop token/string or max_tokens
                     # the cache holds tokens fed through step i; rewind the

@@ -111,3 +111,34 @@ def test_engine_serves_on_tp_context():
         if done2:
             break
     assert out == out2
+
+
+def test_tp_embed_and_embd_prefill_match_single_device():
+    """embed() (llama_encode pooling analog) and prefill_embeds() (the
+    multimodal llama_batch.embd path) under a (dp, tp) mesh reproduce the
+    single-device results."""
+    cfg = _cfg()
+    w = llama_model.random_weights(cfg, seed=7, quantize=True)
+    ref = InferenceContext(cfg, w, n_lanes=1, max_seq=64)
+    mesh = make_mesh(4, dp=1)
+    tpc = InferenceContext(cfg, w, n_lanes=1, max_seq=64, mesh=mesh)
+
+    toks = [3, 1, 4, 1, 5, 9]
+    for pooling in ("mean", "last"):
+        er = ref.embed(toks, pooling=pooling)
+        et = tpc.embed(toks, pooling=pooling)
+        np.testing.assert_allclose(et, er, rtol=3e-2, atol=3e-2)
+
+    rng = np.random.default_rng(0)
+    embeds = rng.standard_normal((4, cfg.n_embd)).astype(np.float32) * 0.1
+    sr = ref.new_sequence()
+    st = tpc.new_sequence()
+    lr = ref.prefill_embeds(sr, embeds)
+    lt = tpc.prefill_embeds(st, embeds)
+    assert lt.shape == lr.shape
+    np.testing.assert_allclose(lt, lr, rtol=5e-2, atol=5e-2)
+    np.testing.assert_array_equal(lt[-1].argmax(), lr[-1].argmax())
+    # the KV written by the embd prefill is consistent: decode continues
+    dr = ref.decode({sr: 2})[sr]
+    dt = tpc.decode({st: 2})[st]
+    np.testing.assert_array_equal(dr.argmax(), dt.argmax())
