@@ -266,8 +266,12 @@ def forward(
     cap=None,
     control_vector=None,         # models.adapter.ControlVector
     embeds=None,                 # [B, T, E]: raw input embeddings override
+    last_idx=None,               # [B] int32: only this position's logits
 ):
-    """One decode/prefill step. Returns (logits [B, T, V], new k/v caches)."""
+    """One decode/prefill step. Returns (logits [B, T, V], new k/v caches).
+    With ``last_idx``, the hidden state is gathered per lane BEFORE the
+    lm_head (logits [B, 1, V]) — serving prefill needs one position per
+    lane and the full chunk x vocab head matmul is pure waste."""
     # multimodal chunks arrive as raw embeddings (llama_batch.embd analog)
     x = embeds if embeds is not None else jnp.take(w.embed, tokens, axis=0)
     if cfg.embd_scale != 1.0 and embeds is None:
@@ -298,6 +302,9 @@ def forward(
             # collection; tools/cvector-generator analog)
             cap["__hidden__"][li] = x.reshape(-1, x.shape[-1]).astype(
                 jnp.float32).mean(0)
+    if last_idx is not None:
+        x = jnp.take_along_axis(
+            x, jnp.clip(last_idx, 0)[:, None, None].astype(jnp.int32), axis=1)
     x = rms_norm(x, w.final_norm, cfg.rms_eps)
     logits = linear_apply(w.lm_head, x)
     logits = logits.astype(jnp.float32)

@@ -472,10 +472,33 @@ def tcq4_matmul(
     if m_pad != m:
         a = jnp.pad(a, ((0, m_pad - m), (0, 0)))
 
-    # large-M prefill stores bf16: halves the output HBM write traffic and
-    # keeps the result under XLA's 16MB scoped-vmem placement at M>=2048
+    # large-M prefill stores bf16: halves the output HBM write traffic
     # (activations downstream are bf16 anyway; linear_apply casts)
     out_dtype = jnp.bfloat16 if m_pad >= 1024 else jnp.float32
+
+    # XLA places a custom-call OUTPUT under ~16MB in scoped VMEM, on top of
+    # the kernel's double-buffered input blocks (observed at M=2048/N=2560:
+    # 10.5MB bf16 output + 6MB working set > the 16MB scoped limit -> compile
+    # failure). Shrink bk until (2x input blocks + scratch + resident output)
+    # fits with headroom.
+    out_bytes = m_pad * n * (2 if out_dtype == jnp.bfloat16 else 4)
+    resident = out_bytes if out_bytes <= 16 * 1024 * 1024 else 0
+    limit = int(15 * 1024 * 1024) - resident
+
+    def _ws(bk_c):
+        blocks = bm * bk_c * 4 + (bk_c // 2) * bn + (bk_c // GROUP_SIZE) * 4 * bn
+        scratch_b = bm * bn * 4 if out_dtype == jnp.bfloat16 else 0
+        return 2 * blocks + scratch_b + bm * bn * 4
+
+    while _ws(bk) > limit and bk > TILE_K:
+        nsb = k // TILE_K
+        cands = [nper * TILE_K for nper in range(1, nsb)
+                 if nsb % nper == 0 and nper * TILE_K < bk
+                 and (((nper * TILE_K) // GROUP_SIZE) % 8 == 0
+                      or nper * TILE_K == k)]
+        if not cands:
+            break
+        bk = max(cands)
 
     grid = (n // bn, m_pad // bm, k // bk)
     kwargs = {}

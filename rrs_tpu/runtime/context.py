@@ -21,10 +21,10 @@ from rrs_tpu.models import llama as llama_model
 from rrs_tpu.runtime.kv_cache import KVCache
 from rrs_tpu.runtime.sampler import SamplerParams, sample
 
-# capped at 1024: T=2048 forwards make XLA place >16MB custom-call outputs
-# in scoped VMEM and fail to compile (flash-attention out = 24MB at 2048);
-# a 2048-token prompt runs as two 1024 dispatches at ~2000 t/s each
-PREFILL_BUCKETS = (16, 64, 256, 512, 1024)
+# 2048 works since tcq4_matmul sizes its K-blocks against XLA's scoped-VMEM
+# output placement (a <16MB custom-call OUTPUT lands in scoped vmem on top
+# of the kernel's double-buffered blocks; see ops/tcq4_matmul.py)
+PREFILL_BUCKETS = (16, 64, 256, 512, 1024, 2048)
 
 
 def _bucket(n: int) -> int:
@@ -81,10 +81,14 @@ class InferenceContext:
             self._step_fn = jax.jit(functools.partial(self._step, cfg))
             self._step_last_fn = jax.jit(
                 functools.partial(self._step, cfg, last_only=True))
+            self._step_lastidx_fn = jax.jit(
+                functools.partial(self._step_lastidx, cfg))
         else:
             self._shard_kv()
             self._step_fn = self._make_tp_step(last_only=False)
             self._step_last_fn = self._make_tp_step(last_only=True)
+            self._step_lastidx_fn = self._make_tp_step(last_only=False,
+                                                       lastidx=True)
 
     # -- tensor-parallel plumbing -----------------------------------------
 
@@ -104,7 +108,7 @@ class InferenceContext:
         self.kv.k = [put(c, s) for c, s in zip(self.kv.k, specs)]
         self.kv.v = [put(c, s) for c, s in zip(self.kv.v, specs)]
 
-    def _make_tp_step(self, last_only: bool):
+    def _make_tp_step(self, last_only: bool, lastidx: bool = False):
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
         from rrs_tpu.parallel import sharding as _sh
@@ -115,18 +119,23 @@ class InferenceContext:
         wspecs = _sh.weight_pspecs(self.weights)
         kv_specs = self._kv_pspec()
 
-        def step(weights, tokens, start_pos, lengths, k_caches, v_caches):
+        def step(weights, tokens, start_pos, lengths, k_caches, v_caches,
+                 *rest):
             logits, nk, nv = InferenceContext._step(
                 lcfg, weights, tokens, start_pos, lengths, k_caches,
-                v_caches, last_only=last_only)
+                v_caches, last_only=last_only,
+                last_idx=rest[0] if lastidx else None)
             # lm_head is column-parallel: gather vocab shards, drop padding
             logits = jax.lax.all_gather(logits, "tp", axis=-1, tiled=True)
             return logits[..., : cfg.vocab_size], nk, nv
 
+        in_specs = (wspecs, P("dp", None), P("dp"), P("dp"),
+                    kv_specs, kv_specs)
+        if lastidx:
+            in_specs = in_specs + (P("dp"),)
         fn = shard_map(
             step, mesh=mesh,
-            in_specs=(wspecs, P("dp", None), P("dp"), P("dp"),
-                      kv_specs, kv_specs),
+            in_specs=in_specs,
             out_specs=(P("dp", None, None), kv_specs, kv_specs),
             check_vma=False)
         return jax.jit(fn)
@@ -148,7 +157,7 @@ class InferenceContext:
 
     @staticmethod
     def _step(cfg, weights, tokens, start_pos, lengths, k_caches, v_caches,
-              last_only: bool = False):
+              last_only: bool = False, last_idx=None):
         """tokens [B, T]; start_pos/lengths [B]. Computes causal mask, runs
         forward, returns (logits, caches). Padded token slots (token == -1)
         are masked out of the cache write by pointing their slot at position
@@ -170,14 +179,26 @@ class InferenceContext:
         safe_slots = jnp.where(
             start_pos[:, None] < 0, s - 1, jnp.clip(slots, 0, s - 1)
         )
+        if last_only and last_idx is None:
+            # serving only consumes the final position; gather before the
+            # lm_head so the chunk x vocab head matmul isn't computed at all
+            last_idx = jnp.full((b,), t - 1, jnp.int32)
         logits, nk, nv = llama_model.forward(
-            cfg, weights, safe_tokens, pos, k_caches, v_caches, mask_pos, safe_slots
+            cfg, weights, safe_tokens, pos, k_caches, v_caches, mask_pos,
+            safe_slots, last_idx=last_idx,
         )
-        if last_only:
-            # serving only consumes the final position; the full [B, T, V]
-            # tensor is GBs at big vocab x chunk x lanes
-            logits = logits[:, -1:, :]
         return logits, nk, nv
+
+    @staticmethod
+    def _step_lastidx(cfg, weights, tokens, start_pos, lengths, k_caches,
+                      v_caches, last_idx):
+        """_step variant with a traced per-lane final-position index:
+        the cross-slot batched-prompt path (server-context.cpp packing
+        several slots' prompt chunks into one ubatch) has a different
+        chunk length per lane."""
+        return InferenceContext._step(
+            cfg, weights, tokens, start_pos, lengths, k_caches, v_caches,
+            last_idx=last_idx)
 
     def _run(self, tokens_np: np.ndarray, start_pos_np: np.ndarray,
              last_only: bool = False):
@@ -235,6 +256,118 @@ class InferenceContext:
             self.n_prefill_tokens += len(chunk)
             i += len(chunk)
         return np.concatenate(out, axis=0)
+
+    def prefill_logprobs(self, seq_id: int, tokens: list[int],
+                         targets: list[int]) -> np.ndarray:
+        """Prefill the chunk AND compute log p(targets[i] | tokens[..i]) on
+        device (log-softmax + gather fused into the forward). Readback is
+        [T] floats instead of the [T, V] logits tensor — through a remote
+        device link the full-logits readback dominates perplexity runs
+        (151936-vocab f32 logits are ~0.6 MB *per position*)."""
+        lane = self.kv.lane_of(seq_id)
+        b = self.kv.n_lanes
+        if not hasattr(self, "_nll_fn"):
+            cfg = self.cfg
+
+            def step(weights, tokens, start_pos, lengths, k, v, tgt):
+                logits, nk, nv = InferenceContext._step(
+                    cfg, weights, tokens, start_pos, lengths, k, v)
+                lse = jax.scipy.special.logsumexp(logits, axis=-1)
+                picked = jnp.take_along_axis(
+                    logits, tgt[:, :, None], axis=-1)[:, :, 0]
+                return picked - lse, nk, nv
+
+            if self.mesh is not None:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+                from rrs_tpu.parallel import sharding as _sh
+
+                lcfg = _sh._local_cfg(cfg, self.mesh.shape["tp"])
+                kv_specs = self._kv_pspec()
+
+                def tp_step(weights, tokens, start_pos, lengths, k, v, tgt):
+                    logits, nk, nv = InferenceContext._step(
+                        lcfg, weights, tokens, start_pos, lengths, k, v)
+                    logits = jax.lax.all_gather(logits, "tp", axis=-1,
+                                                tiled=True)
+                    logits = logits[..., : cfg.vocab_size]
+                    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+                    picked = jnp.take_along_axis(
+                        logits, tgt[:, :, None], axis=-1)[:, :, 0]
+                    return picked - lse, nk, nv
+
+                step = shard_map(
+                    tp_step, mesh=self.mesh,
+                    in_specs=(_sh.weight_pspecs(self.weights),
+                              P("dp", None), P("dp"), P("dp"),
+                              kv_specs, kv_specs, P("dp", None)),
+                    out_specs=(P("dp", None), kv_specs, kv_specs),
+                    check_vma=False)
+            self._nll_fn = jax.jit(step)
+        assert len(targets) == len(tokens)
+        out = []
+        i = 0
+        while i < len(tokens):
+            chunk = tokens[i : i + self.max_chunk]
+            tchunk = targets[i : i + self.max_chunk]
+            t = min(_bucket(len(chunk)), self.max_chunk)
+            tok = np.full((b, t), -1, np.int32)
+            tgt = np.zeros((b, t), np.int32)
+            start = np.full((b,), -1, np.int32)
+            tok[lane, : len(chunk)] = chunk
+            tgt[lane, : len(tchunk)] = tchunk
+            start[lane] = self.kv.lengths[lane]
+            import time as _time
+
+            t0 = _time.perf_counter()
+            lp, nk, nv = self._nll_fn(
+                self.weights, jnp.asarray(tok), jnp.asarray(start),
+                self.kv.lengths_array(), self.kv.k, self.kv.v,
+                jnp.asarray(tgt))
+            self.kv.k, self.kv.v = nk, nv
+            out.append(np.asarray(lp[lane, : len(chunk)], np.float64))
+            self.t_prefill_s += _time.perf_counter() - t0
+            self.kv.lengths[lane] += len(chunk)
+            self.n_prefill_tokens += len(chunk)
+            i += len(chunk)
+        return np.concatenate(out, axis=0)
+
+    def prefill_multi(
+        self, chunks: dict[int, list[int]],
+    ) -> dict[int, np.ndarray]:
+        """Pack several sequences' prompt chunks into ONE bucketed dispatch
+        (the reference packs prompt work across slots into a single batch,
+        server-context.cpp:2058+). Each chunk must fit max_chunk. Returns
+        the final-position logits [V] per sequence."""
+        assert chunks
+        b = self.kv.n_lanes
+        t = min(_bucket(max(len(c) for c in chunks.values())), self.max_chunk)
+        tok = np.full((b, t), -1, np.int32)
+        start = np.full((b,), -1, np.int32)
+        last = np.zeros((b,), np.int32)
+        lanes = {}
+        for seq_id, c in chunks.items():
+            assert 0 < len(c) <= t, (len(c), t)
+            lane = self.kv.lane_of(seq_id)
+            lanes[seq_id] = lane
+            tok[lane, : len(c)] = c
+            start[lane] = self.kv.lengths[lane]
+            last[lane] = len(c) - 1
+        import time as _time
+
+        t0 = _time.perf_counter()
+        logits, nk, nv = self._step_lastidx_fn(
+            self.weights, jnp.asarray(tok), jnp.asarray(start),
+            self.kv.lengths_array(), self.kv.k, self.kv.v,
+            jnp.asarray(last))
+        self.kv.k, self.kv.v = nk, nv
+        out = {}
+        for seq_id, c in chunks.items():
+            self.kv.lengths[lanes[seq_id]] += len(c)
+            self.n_prefill_tokens += len(c)
+            out[seq_id] = np.asarray(logits[lanes[seq_id], 0])
+        self.t_prefill_s += _time.perf_counter() - t0
+        return out
 
     def prefill_embeds(self, seq_id: int, embeds: np.ndarray) -> np.ndarray:
         """Feed raw input embeddings [T, E] (multimodal image chunks; the

@@ -489,25 +489,36 @@ class Engine:
                             pass
                         s.draft_seq = -1
 
-        # 1) one prompt chunk for the first PROMPT slot. A failed step rolls
-        # back the sequence and releases the slot with an error (the
-        # reference's failed-ubatch rollback, llama-context.cpp:1620-1648)
-        for s in self.slots:
-            if s.state != SlotState.PROMPT:
-                continue
+        # 1) prompt chunks. Multiple mid-prompt slots pack into ONE dispatch
+        # (the reference batches prompt work across slots into a single
+        # ubatch, server-context.cpp:2058+); multimodal-segment and
+        # draft-model slots take the per-slot path. A failed step rolls
+        # back the sequence(s) and releases with an error (the reference's
+        # failed-ubatch rollback, llama-context.cpp:1620-1648)
+        prompt_slots = [s for s in self.slots if s.state == SlotState.PROMPT]
+        if prompt_slots:
+            batchable = [
+                s for s in prompt_slots
+                if s.req.segments is None and s.draft_seq < 0
+            ] if hasattr(self.ctx, "prefill_multi") else []
+            group = batchable if len(batchable) >= 2 else prompt_slots[:1]
             try:
-                self._prompt_step(s)
+                if len(group) >= 2:
+                    self._prompt_step_multi(group)
+                else:
+                    self._prompt_step(group[0])
             except Exception:                      # noqa: BLE001
                 import traceback
 
                 traceback.print_exc()
-                if s.seq_id >= 0:
-                    try:
-                        self.ctx.kv.seq_rm(s.seq_id)
-                    except (ValueError, RuntimeError):
-                        pass
-                    s.seq_id = -1
-                self._release(s, "error")
+                for s in group:
+                    if s.seq_id >= 0:
+                        try:
+                            self.ctx.kv.seq_rm(s.seq_id)
+                        except (ValueError, RuntimeError):
+                            pass
+                        s.seq_id = -1
+                    self._release(s, "error")
             return True
 
         # 2) batched decode for all GENERATING slots
@@ -529,6 +540,28 @@ class Engine:
                     s.seq_id = -1
                 self._release(s, "error")
         return True
+
+    def _prompt_step_multi(self, slots) -> None:
+        """One prompt chunk for SEVERAL slots in a single batched dispatch
+        (chunks bucket-padded per lane; per-lane final-position gather)."""
+        max_chunk = min(self.PROMPT_CHUNK, self.ctx.max_chunk)
+        chunks = {}
+        for s in slots:
+            chunk = s.req.prompt_tokens[
+                s.prompt_pos : s.prompt_pos + max_chunk]
+            chunks[s.seq_id] = list(chunk) or [0]
+        outs = self.ctx.prefill_multi(chunks)
+        for s in slots:
+            c = chunks[s.seq_id]
+            s.prompt_pos += len(c)
+            self.n_prompt_tokens += len(c)
+            if s.prompt_pos >= len(s.req.prompt_tokens):
+                s.last_logits = outs[s.seq_id]
+                s.state = SlotState.GENERATING
+                tok = self._sample_token(s)
+                self._emit_probs(s, tok)
+                if self._emit(s, tok):
+                    self._release(s, "stop")
 
     def _prompt_step(self, s: Slot) -> None:
         if s.req.segments is not None:

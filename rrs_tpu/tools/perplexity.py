@@ -38,8 +38,15 @@ def compute_perplexity(
     n_ctx: int = 512,
     stride: Optional[int] = None,
     progress: bool = False,
+    device_nll: bool = True,
 ) -> PerplexityResult:
-    """Sliding-chunk perplexity over a token stream."""
+    """Sliding-chunk perplexity over a token stream.
+
+    ``device_nll``: compute the target log-probs on device (log-softmax +
+    gather fused into the forward; readback [T] floats instead of [T, V]
+    logits — the full-logits readback dominates wall time through a
+    remote device link). Falls back to the host f64 path for contexts
+    without prefill_logprobs."""
     first = min(n_ctx // 2, 512)
     nll = 0.0
     count = 0
@@ -48,14 +55,22 @@ def compute_perplexity(
     for c in range(n_chunks):
         chunk = tokens[c * n_ctx : (c + 1) * n_ctx]
         seq = ctx.new_sequence()
-        logits = ctx.prefill(seq, chunk)       # [T, V]
-        ctx.kv.seq_rm(seq)
-        chunk_nll = 0.0
-        chunk_count = 0
-        for i in range(first, len(chunk) - 1):
-            ll = _log_softmax_row(logits[i].astype(np.float64), chunk[i + 1])
-            chunk_nll -= ll
-            chunk_count += 1
+        if device_nll and hasattr(ctx, "prefill_logprobs"):
+            lp = ctx.prefill_logprobs(seq, chunk, chunk[1:] + [0])
+            ctx.kv.seq_rm(seq)
+            sel = lp[first : len(chunk) - 1]
+            chunk_nll = -float(sel.sum())
+            chunk_count = len(sel)
+        else:
+            logits = ctx.prefill(seq, chunk)       # [T, V]
+            ctx.kv.seq_rm(seq)
+            chunk_nll = 0.0
+            chunk_count = 0
+            for i in range(first, len(chunk) - 1):
+                ll = _log_softmax_row(
+                    logits[i].astype(np.float64), chunk[i + 1])
+                chunk_nll -= ll
+                chunk_count += 1
         nll += chunk_nll
         count += chunk_count
         per_chunk.append(math.exp(chunk_nll / max(chunk_count, 1)))
@@ -128,6 +143,9 @@ def score_choice(ctx, prefix_tokens: list[int], choice_tokens: list[int]) -> flo
     toks = prefix_tokens + choice_tokens
     seq = ctx.new_sequence()
     try:
+        if hasattr(ctx, "prefill_logprobs"):
+            lp_all = ctx.prefill_logprobs(seq, toks, toks[1:] + [0])
+            return float(lp_all[len(prefix_tokens) - 1 : len(toks) - 1].sum())
         logits = ctx.prefill(seq, toks)
     finally:
         ctx.kv.seq_rm(seq)

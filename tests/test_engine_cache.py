@@ -60,3 +60,43 @@ def test_multi_turn_reuse_matches_fresh():
     eng_b = Engine(ctx_b)
     gen2_fresh = _run(eng_b, turn2, max_tokens=3)
     assert gen2 == gen2_fresh
+
+
+def test_batched_prompt_matches_sequential():
+    """Cross-slot prompt batching (prefill_multi packs several slots'
+    chunks into one dispatch) must produce the same greedy generations as
+    running each request alone."""
+    cfg = PRESETS["tiny"]
+    w = random_weights(cfg, seed=3)
+
+    # sequential baseline: one slot each
+    ref = {}
+    eng1 = Engine(InferenceContext(cfg, w, n_lanes=1, max_seq=96))
+    prompts = {0: [5, 6, 7, 8], 1: [9, 10], 2: [11, 12, 13, 14, 15, 16, 17]}
+    for rid, p in prompts.items():
+        ref[rid] = _run(eng1, p, max_tokens=4)
+
+    # concurrent: all three submitted before any iterate -> batched prefill
+    eng = Engine(InferenceContext(cfg, w, n_lanes=4, max_seq=96))
+    outs = {rid: [] for rid in prompts}
+    done = {}
+
+    def mk(rid):
+        def on_token(tok, piece, finished, reason):
+            if finished:
+                done[rid] = reason
+            elif tok is not None:
+                outs[rid].append(tok)
+        return on_token
+
+    for rid, p in prompts.items():
+        eng.submit(GenRequest(prompt_tokens=list(p), max_tokens=4,
+                              params=SamplerParams(temperature=0.0),
+                              on_token=mk(rid)))
+    for _ in range(400):
+        eng._iterate()
+        if len(done) == len(prompts):
+            break
+    assert len(done) == len(prompts), done
+    for rid in prompts:
+        assert outs[rid] == ref[rid], (rid, outs[rid], ref[rid])
