@@ -37,6 +37,23 @@ class ModelConfig:
     n_ff_exp: int = 0
     expert_gating_softmax: bool = True
     norm_topk_prob: bool = False
+    # DeepSeek-family MoE routing (build_moe_ffn, llama-graph.cpp:999-1160):
+    # leading dense layers, routed-weight scale, post-top-k weight norm,
+    # V3 expert-group restriction (top n_group_used groups by sum of each
+    # group's top-2 selection probs)
+    n_dense_lead: int = 0
+    expert_weights_scale: float = 1.0
+    expert_weights_norm: bool = False
+    n_expert_groups: int = 0
+    n_group_used: int = 0
+    # MLA (deepseek2): low-rank q/kv projections. kv_lora_rank > 0 => MLA.
+    # head_dim is the DECOMPRESSED qk head size (n_embd_head_k_mla, e.g.
+    # 192 = 128 nope + 64 rope); v_head_dim the decompressed v size.
+    q_lora_rank: int = 0
+    kv_lora_rank: int = 0
+    qk_rope_dim: int = 0
+    v_head_dim: int = 0
+    rope_yarn_log_mul: float = 0.0   # mscale_all_dim (kq_scale pre-mult)
     # sliding-window attention (llama_hparams.n_swa / swa_layers analog,
     # src/llama-hparams.cpp:8-18). swa_pattern semantics: 0 => no SWA;
     # 1 => every layer SWA; n>1 => layer il is SWA iff il % n < n-1
@@ -75,6 +92,32 @@ class ModelConfig:
     @property
     def n_kv_dim(self) -> int:
         return self.n_kv_heads * self.head_dim
+
+    @property
+    def is_mla(self) -> bool:
+        """Multi-head latent attention (deepseek2.cpp): the cache holds the
+        compressed kv_lora_rank + rope-dim vector per position (MQA form)."""
+        return self.kv_lora_rank > 0
+
+    @property
+    def qk_nope_dim(self) -> int:
+        return self.head_dim - self.qk_rope_dim
+
+    # cache geometry: MLA caches ONE kv head of [rope | c_kv] for K and the
+    # c_kv alone for V (absorbed-MQA form, deepseek2.cpp:147); everything
+    # else caches per-kv-head [head_dim] K and V
+    @property
+    def kv_cache_heads(self) -> int:
+        return 1 if self.is_mla else self.n_kv_heads
+
+    @property
+    def kv_k_dim(self) -> int:
+        return (self.qk_rope_dim + self.kv_lora_rank) if self.is_mla \
+            else self.head_dim
+
+    @property
+    def kv_v_dim(self) -> int:
+        return self.kv_lora_rank if self.is_mla else self.head_dim
 
     @property
     def is_hybrid(self) -> bool:
@@ -158,6 +201,36 @@ class ModelConfig:
                 extra.update(swa_window=win, swa_pattern=1)
         if arch == "phi3":
             extra.update(rope_rot_dim=int(key("rope.dimension_count", 0) or 0))
+        if arch == "deepseek2":
+            # llama-model.cpp:1702-1743. head_dim = the decompressed MLA head
+            # size when the *_mla keys are present (modern split-k_b/v_b
+            # GGUFs write key_length=576/value_length=512 for the cache and
+            # key_length_mla=192/value_length_mla=128 for the math); legacy
+            # unsplit-wkv_b GGUFs have key_length=192 directly.
+            k_mla = int(key("attention.key_length_mla", 0) or 0)
+            v_mla = int(key("attention.value_length_mla", 0) or 0)
+            if k_mla:
+                head_dim = k_mla
+            v_dim = v_mla or int(key("attention.value_length",
+                                     head_dim) or head_dim)
+            log_mul = float(key("rope.scaling.yarn_log_multiplier", 0.0) or 0.0)
+            extra.update(
+                q_lora_rank=int(key("attention.q_lora_rank", 0) or 0),
+                kv_lora_rank=int(key("attention.kv_lora_rank", 0) or 0),
+                qk_rope_dim=int(key("rope.dimension_count", 64) or 64),
+                v_head_dim=v_dim,
+                n_dense_lead=int(key("leading_dense_block_count", 0) or 0),
+                expert_weights_scale=float(
+                    key("expert_weights_scale", 1.0) or 1.0),
+                expert_weights_norm=bool(key("expert_weights_norm", False)),
+                # GGUF stores 0.1*mscale_all_dim; llama.cpp cancels the 0.1
+                # ([TAG_DEEPSEEK2_YARN_LOG_MUL_FIX], llama-model.cpp:1725-1729)
+                rope_yarn_log_mul=log_mul / 0.1 if log_mul else 0.0,
+                n_expert_groups=int(key("expert_group_count", 0) or 0),
+                n_group_used=int(key("expert_group_used_count", 0) or 0),
+                # V2/V2.5 GGUFs predate the expert_gating_func key: softmax
+                expert_gating_softmax=int(key("expert_gating_func", 1) or 1) == 1,
+            )
         if arch == "jamba":
             extra.update(no_rope=True)
         if arch in ("rwkv6", "rwkv6qwen2"):
@@ -255,6 +328,25 @@ PRESETS: dict[str, ModelConfig] = {
         head_dim=128, n_ff=14336, vocab_size=32000, context_length=32768,
         rope_theta=10000.0, rope_neox=False,
         swa_window=4096, swa_pattern=1,
+    ),
+    "deepseek-v2-lite": ModelConfig(
+        arch="deepseek2", n_layers=27, n_embd=2048, n_heads=16,
+        n_kv_heads=1, head_dim=192, n_ff=10944, vocab_size=102400,
+        context_length=163840, rope_theta=10000.0,
+        rope_scaling_type="yarn", rope_scale_factor=40.0,
+        rope_orig_context=4096, rope_yarn_log_mul=0.707,
+        kv_lora_rank=512, qk_rope_dim=64, v_head_dim=128,
+        n_dense_lead=1, n_experts=64, n_experts_used=6, n_ff_exp=1408,
+    ),
+    # tiny MLA debug model (absorbed-MQA attention + V3-style sigmoid
+    # gating with selection bias and expert groups)
+    "tiny-mla": ModelConfig(
+        arch="deepseek2", n_layers=3, n_embd=128, n_heads=4, n_kv_heads=1,
+        head_dim=48, n_ff=256, vocab_size=512, context_length=1024,
+        kv_lora_rank=64, q_lora_rank=48, qk_rope_dim=16, v_head_dim=32,
+        n_dense_lead=1, n_experts=8, n_experts_used=2, n_ff_exp=64,
+        expert_gating_softmax=False, expert_weights_norm=True,
+        expert_weights_scale=2.5, n_expert_groups=4, n_group_used=2,
     ),
     # tiny debug model
     "tiny": ModelConfig(

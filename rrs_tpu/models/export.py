@@ -51,6 +51,27 @@ def export_random_gguf(
         w.add_uint32(f"{a}.expert_count", cfg.n_experts)
         w.add_uint32(f"{a}.expert_used_count", cfg.n_experts_used)
         w.add_uint32(f"{a}.expert_feed_forward_length", cfg.n_ff_exp)
+    if cfg.is_mla:
+        # deepseek2: decompressed head sizes ride the *_mla keys; the plain
+        # key/value_length keys carry the latent cache row sizes (matching
+        # the modern split-k_b/v_b convert layout, llama-model.cpp:1712-1713)
+        w.add_uint32(f"{a}.attention.key_length_mla", cfg.head_dim)
+        w.add_uint32(f"{a}.attention.value_length_mla", cfg.v_head_dim)
+        if cfg.q_lora_rank:
+            w.add_uint32(f"{a}.attention.q_lora_rank", cfg.q_lora_rank)
+        w.add_uint32(f"{a}.attention.kv_lora_rank", cfg.kv_lora_rank)
+        w.add_uint32(f"{a}.rope.dimension_count", cfg.qk_rope_dim)
+        w.add_uint32(f"{a}.leading_dense_block_count", cfg.n_dense_lead)
+        if cfg.n_experts:
+            w.add_uint32(f"{a}.expert_shared_count", 1)
+            w.add_float32(f"{a}.expert_weights_scale",
+                          cfg.expert_weights_scale)
+            w.add_bool(f"{a}.expert_weights_norm", cfg.expert_weights_norm)
+            w.add_uint32(f"{a}.expert_gating_func",
+                         1 if cfg.expert_gating_softmax else 2)
+            if cfg.n_expert_groups:
+                w.add_uint32(f"{a}.expert_group_count", cfg.n_expert_groups)
+                w.add_uint32(f"{a}.expert_group_used_count", cfg.n_group_used)
     if vocab_tokens is not None:
         w.add_string("tokenizer.ggml.model", "gpt2")
         w.add_array("tokenizer.ggml.tokens", vocab_tokens)
@@ -90,15 +111,35 @@ def export_random_gguf(
     for i in range(cfg.n_layers):
         p = f"blk.{i}"
         norm(f"{p}.attn_norm.weight", e)
-        t(f"{p}.attn_q.weight", (hq, e))
-        t(f"{p}.attn_k.weight", (hkv, e))
-        t(f"{p}.attn_v.weight", (hkv, e))
-        t(f"{p}.attn_output.weight", (e, hq))
+        if cfg.is_mla:
+            # deepseek2 MLA tensors (llama-model.cpp:4941-4999); split
+            # k_b/v_b factors in the modern GGUF shapes
+            nope, rope_d, r = cfg.qk_nope_dim, cfg.qk_rope_dim, cfg.kv_lora_rank
+            if cfg.q_lora_rank:
+                t(f"{p}.attn_q_a.weight", (cfg.q_lora_rank, e))
+                norm(f"{p}.attn_q_a_norm.weight", cfg.q_lora_rank)
+                t(f"{p}.attn_q_b.weight", (cfg.n_heads * d, cfg.q_lora_rank))
+            else:
+                t(f"{p}.attn_q.weight", (cfg.n_heads * d, e))
+            t(f"{p}.attn_kv_a_mqa.weight", (r + rope_d, e))
+            norm(f"{p}.attn_kv_a_norm.weight", r)
+            t(f"{p}.attn_k_b.weight", (cfg.n_heads, r, nope))
+            t(f"{p}.attn_v_b.weight", (cfg.n_heads, cfg.v_head_dim, r))
+            t(f"{p}.attn_output.weight", (e, cfg.n_heads * cfg.v_head_dim))
+        else:
+            t(f"{p}.attn_q.weight", (hq, e))
+            t(f"{p}.attn_k.weight", (hkv, e))
+            t(f"{p}.attn_v.weight", (hkv, e))
+            t(f"{p}.attn_output.weight", (e, hq))
         if cfg.qk_norm:
             norm(f"{p}.attn_q_norm.weight", d)
             norm(f"{p}.attn_k_norm.weight", d)
         norm(f"{p}.ffn_norm.weight", e)
-        if cfg.n_experts:
+        if cfg.is_mla and i < cfg.n_dense_lead:
+            t(f"{p}.ffn_gate.weight", (f, e))
+            t(f"{p}.ffn_up.weight", (f, e))
+            t(f"{p}.ffn_down.weight", (e, f))
+        elif cfg.n_experts:
             # MoE: router + stacked expert tensors (llama.cpp *_exps layout:
             # gate/up [E, F, K_in], down [E, K_out, F])
             fe = cfg.n_ff_exp
@@ -106,6 +147,14 @@ def export_random_gguf(
             t(f"{p}.ffn_gate_exps.weight", (cfg.n_experts, fe, e))
             t(f"{p}.ffn_up_exps.weight", (cfg.n_experts, fe, e))
             t(f"{p}.ffn_down_exps.weight", (cfg.n_experts, e, fe))
+            if cfg.is_mla:
+                # deepseek2 MoE layers carry a shared expert; V3-style
+                # sigmoid gating also gets the selection bias
+                t(f"{p}.ffn_gate_shexp.weight", (fe, e))
+                t(f"{p}.ffn_up_shexp.weight", (fe, e))
+                t(f"{p}.ffn_down_shexp.weight", (e, fe))
+                if not cfg.expert_gating_softmax:
+                    t(f"{p}.exp_probs_b.bias", (cfg.n_experts,))
         else:
             t(f"{p}.ffn_gate.weight", (f, e))
             t(f"{p}.ffn_up.weight", (f, e))

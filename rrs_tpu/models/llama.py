@@ -28,18 +28,18 @@ from rrs_tpu.ops.basic import RopeParams, apply_rope, rms_norm
     data_fields=["attn_norm", "wq", "wk", "wv", "wo", "q_norm", "k_norm",
                  "ffn_norm", "w_gate", "w_up", "w_down", "moe", "wqkv",
                  "w_gateup", "attn_post_norm", "ffn_post_norm",
-                 "attn_sinks"],
+                 "attn_sinks", "wq_a", "wkv_a", "wk_b", "wv_b"],
     meta_fields=[],
 )
 @dataclasses.dataclass
 class LayerWeights:
     attn_norm: jnp.ndarray
-    wq: Any
+    wq: Any                           # MLA non-lite: this is wq_b
     wk: Any
     wv: Any
     wo: Any
-    q_norm: Optional[jnp.ndarray]
-    k_norm: Optional[jnp.ndarray]
+    q_norm: Optional[jnp.ndarray]     # MLA: attn_q_a_norm [q_lora_rank]
+    k_norm: Optional[jnp.ndarray]     # MLA: attn_kv_a_norm [kv_lora_rank]
     ffn_norm: jnp.ndarray
     w_gate: Any
     w_up: Any
@@ -50,6 +50,13 @@ class LayerWeights:
     attn_post_norm: Any = None        # gemma2/3 sandwich norm after attn out
     ffn_post_norm: Any = None         # gemma2/3 sandwich norm after FFN
     attn_sinks: Any = None            # [H] per-head sink logits (gpt-oss)
+    # MLA (deepseek2.cpp): low-rank q projection (wq_a), joint compressed
+    # kv + rope-k projection (wkv_a_mqa), and the per-head absorption /
+    # decompression factors (wk_b [H, nope, r] bf16, wv_b [H, r, v] bf16)
+    wq_a: Any = None
+    wkv_a: Any = None
+    wk_b: Any = None
+    wv_b: Any = None
 
 
 @partial(
@@ -97,6 +104,193 @@ def _capture(cap, li: int, name: str, x: jnp.ndarray):
         cap.setdefault("__counts__", {})[f"blk.{li}.{name}"] = x32.shape[0]
 
 
+def _store_cache(cache, new, cache_slots, mask_positions, window: int = 0):
+    """Write ``new`` [B, Hkv, T, D] into ``cache`` [B, Hkv, S, D] at
+    ``cache_slots`` [B, T] (ggml_set_rows analog, llama-graph.cpp:1736-1737).
+
+    Per-lane slots are always a CONTIGUOUS run (pos..pos+T), so the write is
+    a per-lane dynamic_update_slice — XLA updates in place. A general
+    scatter here costs ~0.25 ms per store on TPU (serialized) and was the
+    dominant decode cost. Ring (SWA) caches can wrap mid-chunk during
+    prefill; those use a one-hot rewrite instead (the ring is small,
+    window + chunk). Caches may be quantized: an (int8/uint8 values, f32
+    scales [B,Hkv,1,S]) tuple (cparams.type_k/v analog).
+
+    Padded lanes (mask -1) park their write at the top of the cache: a
+    sequence only attends slots it has itself written, and growth into the
+    parked region rewrites each slot before the first attend (any
+    read-modify-write here would force whole-cache copies instead of XLA's
+    in-place dynamic-update-slice)."""
+    b, _, t, _ = new.shape
+    s_l = (cache[0] if isinstance(cache, tuple) else cache).shape[2]
+    slot_mod = cache_slots % s_l                                    # [B, T]
+    ring_wrap = window > 0 and t > 1
+    active = mask_positions[:, 0] >= 0                              # [B]
+    park = jnp.int32(s_l - t)
+    start_slot = jnp.where(active, slot_mod[:, 0], park)            # [B]
+
+    def store_arr(c, n):
+        if ring_wrap:
+            oh = jax.nn.one_hot(slot_mod, s_l, dtype=jnp.float32)   # [B,T,S]
+            oh = oh * active[:, None, None].astype(jnp.float32)
+            upd = jnp.einsum("bts,bhtx->bhsx", oh,
+                             n.astype(jnp.float32)).astype(c.dtype)
+            keep = (1.0 - oh.sum(1))[:, None, :, None].astype(c.dtype)
+            return c * keep + upd
+        n = n.astype(c.dtype)
+        for lane in range(b):
+            c = jax.lax.dynamic_update_slice(
+                c, n[lane : lane + 1], (lane, 0, start_slot[lane], 0))
+        return c
+
+    if isinstance(cache, tuple):
+        from rrs_tpu.runtime import kv_codec
+
+        arr, sc = cache
+        q, s_new = kv_codec.quantize_rows(new, kv_codec.kv_qmax(arr))
+        if arr.dtype == jnp.uint8:                      # q4: packed nibbles
+            q = kv_codec.pack4(q)
+        arr = store_arr(arr, q)
+        sc = store_arr(sc.swapaxes(2, 3), s_new[..., None]).swapaxes(2, 3)
+        return (arr, sc)
+    return store_arr(cache, new)
+
+
+def mla_rope_params(cfg: ModelConfig) -> RopeParams:
+    """RoPE params for the MLA rope sub-dimension (q_pe/k_pe, deepseek2.cpp
+    :101-107). DeepSeek YaRN does NOT scale cos/sin by the standard YaRN
+    mscale — the magnitude correction moves into kq_scale instead
+    (deepseek2.cpp:19-29) — so attn_factor cancels apply_rope's
+    yarn mscale = attn_factor * (1 + 0.1 ln s)."""
+    attn_factor = 1.0
+    if cfg.rope_scaling_type == "yarn" and cfg.rope_scale_factor != 1.0:
+        attn_factor = 1.0 / (1.0 + 0.1 * np.log(cfg.rope_scale_factor))
+    return RopeParams(
+        head_dim=cfg.qk_rope_dim,
+        theta=cfg.rope_theta,
+        scaling_type=cfg.rope_scaling_type,
+        scale_factor=cfg.rope_scale_factor,
+        orig_context=cfg.rope_orig_context,
+        # DEEPSEEK2 is a LLAMA_ROPE_TYPE_NORM arch (llama-model.cpp:8330):
+        # interleaved pairs, matching HF's view_as_complex application
+        neox=False,
+        attn_factor=attn_factor,
+    )
+
+
+def mla_kq_scale(cfg: ModelConfig) -> float:
+    """Pre-scaled attention scale: mscale^2 / sqrt(n_embd_head_k) with
+    mscale = 1 + 0.1 * rope_yarn_log_mul * ln(s) (deepseek2.cpp:19-29;
+    head_dim here is the DECOMPRESSED qk head size, e.g. 192)."""
+    mscale = 1.0
+    if cfg.rope_scaling_type == "yarn" and cfg.rope_scale_factor != 1.0 \
+            and cfg.rope_yarn_log_mul:
+        mscale = 1.0 + 0.1 * cfg.rope_yarn_log_mul * np.log(
+            cfg.rope_scale_factor)
+    return float(mscale * mscale / np.sqrt(cfg.head_dim))
+
+
+def mla_attention(
+    cfg: ModelConfig,
+    lw: LayerWeights,
+    x: jnp.ndarray,              # [B, T, E]
+    positions: jnp.ndarray,      # [B, T] int32
+    k_cache,                     # [B, 1, S, rope+r]: [k_pe | c_kv] rows
+    v_cache,                     # [B, 1, S, r]: c_kv
+    mask_positions: jnp.ndarray,
+    cache_slots: jnp.ndarray,
+    cap=None,
+    li: int = 0,
+    rope_factors=None,
+):
+    """Multi-head latent attention, absorbed-MQA form (deepseek2.cpp:112-150).
+
+    TPU design: instead of decompressing K/V to per-head tensors (MHA form —
+    n_head x 192-dim keys in the cache), the per-head nope query is absorbed
+    through wk_b into the kv_lora_rank latent space and attention runs as
+    MQA over ONE cached [qk_rope | kv_lora_rank] row per position (the rope
+    part is stored FIRST so context-shift re-rotation touches a static
+    leading slice, mirroring the reference's "rope must go first" cache
+    convention). The value readout decompresses AFTER the softmax-weighted
+    sum via wv_b — per token that is H x r x v FLOPs on the MXU instead of
+    an S-times-larger decompressed V cache in HBM. Attention itself is
+    plain jnp (einsum + masked softmax): with a single KV head the score
+    tensor is tiny and XLA fuses the chain; the Pallas flash kernel's
+    128-lane head-dim tiling would pad 576 -> 640 for no bandwidth win."""
+    b, t, _ = x.shape
+    H = cfg.n_heads
+    rope_d, nope, r = cfg.qk_rope_dim, cfg.qk_nope_dim, cfg.kv_lora_rank
+    rp = mla_rope_params(cfg)
+
+    if lw.wq_a is not None:
+        _capture(cap, li, "attn_q_a.weight", x)
+        ql = rms_norm(linear_apply(lw.wq_a, x), lw.q_norm, cfg.rms_eps)
+        _capture(cap, li, "attn_q_b.weight", ql)
+        q = linear_apply(lw.wq, ql)
+    else:
+        _capture(cap, li, "attn_q.weight", x)
+        q = linear_apply(lw.wq, x)
+    q = q.reshape(b, t, H, nope + rope_d)
+    q_nope, q_pe = q[..., :nope], q[..., nope:]
+
+    _capture(cap, li, "attn_kv_a_mqa.weight", x)
+    kv = linear_apply(lw.wkv_a, x)                       # [B, T, r+rope]
+    c_kv, k_pe = kv[..., :r], kv[..., r:]
+    c_kv = rms_norm(c_kv, lw.k_norm, cfg.rms_eps)
+
+    q_pe = apply_rope(q_pe, positions, rp)
+    k_pe = apply_rope(k_pe[:, :, None, :], positions, rp)[:, :, 0, :]
+
+    # absorb the nope query into latent space: [B,T,H,nope] x [H,nope,r].
+    # bf16 operands ride the MXU with f32 accumulation; the CPU oracle
+    # backend lacks the BF16xBF16=F32 dot thunk, so upcast there
+    fdt = jnp.float32 if jax.default_backend() == "cpu" else x.dtype
+    q_abs = jnp.einsum(
+        "bthn,hnr->bthr", q_nope.astype(fdt), lw.wk_b.astype(fdt),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    q_full = jnp.concatenate([q_pe, q_abs], axis=-1)     # [B,T,H,rope+r]
+    k_new = jnp.concatenate([k_pe, c_kv], axis=-1)       # [B,T,rope+r]
+
+    store = partial(_store_cache, cache_slots=cache_slots,
+                    mask_positions=mask_positions)
+    k_cache = store(k_cache, k_new[:, None])             # [B,1,T,rope+r]
+    v_cache = store(v_cache, c_kv[:, None])
+
+    if isinstance(k_cache, tuple):
+        from rrs_tpu.runtime import kv_codec
+
+        kf = kv_codec.dequantize(*k_cache).astype(jnp.float32)
+        vf = kv_codec.dequantize(*v_cache).astype(jnp.float32)
+    else:
+        kf = k_cache.astype(jnp.float32)
+        vf = v_cache.astype(jnp.float32)
+    s = kf.shape[2]
+
+    from rrs_tpu.ops.flash_attention import NEG_INF
+
+    scale = mla_kq_scale(cfg)
+    scores = jnp.einsum("bthd,bzsd->bhts", q_full.astype(jnp.float32),
+                        kf) * scale
+    kv_pos = jnp.arange(s, dtype=jnp.int32)
+    mask = kv_pos[None, None, :] <= mask_positions[:, :, None]  # [B, T, S]
+    scores = jnp.where(mask[:, None, :, :], scores, NEG_INF)
+    m = scores.max(axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.maximum(e.sum(-1, keepdims=True), 1e-30)
+    probs = jnp.where(jnp.any(mask[:, None, :, :], -1, keepdims=True),
+                      probs, 0.0)
+    ctx = jnp.einsum("bhts,bzsr->bthr", probs, vf)       # [B,T,H,r]
+
+    # value decompression post-matmul: [B,T,H,r] x [H,r,v]
+    out_v = jnp.einsum(
+        "bthr,hrv->bthv", ctx.astype(fdt), lw.wv_b.astype(fdt),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    out_v = out_v.reshape(b, t, H * cfg.v_head_dim)
+    _capture(cap, li, "attn_output.weight", out_v)
+    out = linear_apply(lw.wo, out_v, reduce_axis=cfg.tp_axis)
+    return out, k_cache, v_cache
+
+
 def attention(
     cfg: ModelConfig,
     lw: LayerWeights,
@@ -139,55 +333,11 @@ def attention(
         k = apply_rope(k, positions, rp, freq_factors=rope_factors)
 
     # store new K/V into the kv-head-major cache (ggml_set_rows analog,
-    # llama-graph.cpp:1736-1737). Per-lane slots are always a CONTIGUOUS run
-    # (pos..pos+T), so the write is a per-lane dynamic_update_slice — XLA
-    # updates in place. A general scatter here costs ~0.25 ms per store on
-    # TPU (serialized) and was the dominant decode cost. Ring (SWA) caches
-    # can wrap mid-chunk during prefill; those use a one-hot rewrite instead
-    # (the ring is small, window + chunk). Caches may be quantized: a
-    # (int8 values, f32 scales [B,Hkv,1,S]) tuple (cparams.type_k/v analog).
-    s_l = (k_cache[0] if isinstance(k_cache, tuple) else k_cache).shape[2]
-    slot_mod = cache_slots % s_l                                    # [B, T]
+    # llama-graph.cpp:1736-1737); see _store_cache for the layout rules
     k_bh = k.transpose(0, 2, 1, 3)                                  # [B,Hkv,T,D]
     v_bh = v.transpose(0, 2, 1, 3)
-    ring_wrap = window > 0 and t > 1
-    # padded lanes (mask -1) park their write at the top of the cache: a
-    # sequence only attends slots it has itself written, and growth into the
-    # parked region rewrites each slot before the first attend (any
-    # read-modify-write here would force whole-cache copies instead of
-    # XLA's in-place dynamic-update-slice)
-    active = mask_positions[:, 0] >= 0                              # [B]
-    park = jnp.int32(s_l - t)
-    start_slot = jnp.where(active, slot_mod[:, 0], park)            # [B]
-
-    def store_arr(cache, new):
-        """new [B, Hkv, T, *]; cache [B, Hkv, S, *]."""
-        if ring_wrap:
-            oh = jax.nn.one_hot(slot_mod, s_l, dtype=jnp.float32)   # [B,T,S]
-            oh = oh * active[:, None, None].astype(jnp.float32)
-            upd = jnp.einsum("bts,bhtx->bhsx", oh,
-                             new.astype(jnp.float32)).astype(cache.dtype)
-            keep = (1.0 - oh.sum(1))[:, None, :, None].astype(cache.dtype)
-            return cache * keep + upd
-        new = new.astype(cache.dtype)
-        for lane in range(b):
-            cache = jax.lax.dynamic_update_slice(
-                cache, new[lane : lane + 1], (lane, 0, start_slot[lane], 0))
-        return cache
-
-    def store(cache, new):
-        if isinstance(cache, tuple):
-            from rrs_tpu.runtime import kv_codec
-
-            arr, sc = cache
-            q, s_new = kv_codec.quantize_rows(new, kv_codec.kv_qmax(arr))
-            if arr.dtype == jnp.uint8:                  # q4: packed nibbles
-                q = kv_codec.pack4(q)
-            arr = store_arr(arr, q)
-            sc = store_arr(sc.swapaxes(2, 3), s_new[..., None]).swapaxes(2, 3)
-            return (arr, sc)
-        return store_arr(cache, new)
-
+    store = partial(_store_cache, cache_slots=cache_slots,
+                    mask_positions=mask_positions, window=window)
     k_cache = store(k_cache, k_bh)
     v_cache = store(v_cache, v_bh)
 
@@ -279,9 +429,10 @@ def forward(
         # embedding inputs (gemma3.cpp: ubatch.token ? sqrtf(n_embd) : 1.0)
         x = (x.astype(jnp.float32) * cfg.embd_scale).astype(x.dtype)
     new_k, new_v = [], []
+    attn_fn = mla_attention if cfg.is_mla else attention
     for li, lw in enumerate(w.layers):
         h = rms_norm(x, lw.attn_norm, cfg.rms_eps)
-        attn_out, kc, vc = attention(
+        attn_out, kc, vc = attn_fn(
             cfg, lw, h, positions, k_caches[li], v_caches[li], mask_positions,
             cache_slots, cap=cap, li=li, rope_factors=w.rope_factors,
         )
@@ -312,6 +463,18 @@ def forward(
         # final logit soft-capping (gemma2; llama-model.cpp GEMMA2 graph)
         logits = jnp.tanh(logits / cfg.final_softcap) * cfg.final_softcap
     return logits, new_k, new_v
+
+
+def scratch_caches(cfg: ModelConfig, b: int, t: int, dtype=jnp.bfloat16):
+    """Throwaway zero K/V caches sized for one forward of T tokens (tools
+    that run a single stateless forward: imatrix, finetune, cvector,
+    benches). Uses the cfg cache geometry, so MLA models (1 latent head,
+    k-dim != v-dim) get correct shapes."""
+    ks = [jnp.zeros((b, cfg.kv_cache_heads, t, cfg.kv_k_dim), dtype)
+          for _ in range(cfg.n_layers)]
+    vs = [jnp.zeros((b, cfg.kv_cache_heads, t, cfg.kv_v_dim), dtype)
+          for _ in range(cfg.n_layers)]
+    return ks, vs
 
 
 # ---------------------------------------------------------------------------

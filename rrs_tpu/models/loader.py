@@ -84,6 +84,10 @@ def _load_moe(g: GGUFFile, p: str, dtype=jnp.bfloat16):
         g.tensor(f"{p}.ffn_gate_inp.weight").astype(np.float32).T, dtype)
     shared = dict(shared_gate=_shexp("gate"), shared_up=_shexp("up"),
                   shared_down=_shexp("down"))
+    if f"{p}.exp_probs_b.bias" in g.tensors:
+        # DeepSeek-V3 expert-selection bias (LLM_TENSOR_FFN_EXP_PROBS_B)
+        shared["probs_bias"] = jnp.asarray(
+            g.tensor(f"{p}.exp_probs_b.bias").astype(np.float32))
     if g.tensors[f"{p}.ffn_gate_exps.weight"].ggml_type == GGMLType.TCQ4_K32:
         from rrs_tpu.formats.tcq4 import effective_scales
 
@@ -149,6 +153,49 @@ def load_model(path: str | Path, dtype=jnp.bfloat16, fuse: bool = True):
         is_moe = f"{p}.ffn_gate_inp.weight" in g.tensors
         # GGUF expert tensors: gate/up [E, F, K], down [E, K, F]
         moe = _load_moe(g, p, dtype) if is_moe else None
+        if f"{p}.attn_kv_a_mqa.weight" in g.tensors:
+            # MLA (deepseek2; llama-model.cpp:4941-4999). q_norm/k_norm carry
+            # attn_q_a_norm/attn_kv_a_norm; wq is wq_b (or the full wq for
+            # lite models without the q LoRA)
+            nope = cfg.qk_nope_dim
+            if f"{p}.attn_k_b.weight" in g.tensors:
+                # split factors: GGUF ne {nope,r,H} -> numpy [H,r,nope];
+                # {r,v,H} -> [H,v,r]; einsum wants [H,nope,r] / [H,r,v]
+                wk_b = g.tensor(f"{p}.attn_k_b.weight").astype(
+                    np.float32).transpose(0, 2, 1)
+                wv_b = g.tensor(f"{p}.attn_v_b.weight").astype(
+                    np.float32).transpose(0, 2, 1)
+            else:
+                # legacy unsplit wkv_b {r, H*(nope+v)} -> [H*(nope+v), r]
+                kvb = g.tensor(f"{p}.attn_kv_b.weight").astype(np.float32)
+                kvb = kvb.reshape(cfg.n_heads, nope + cfg.v_head_dim, -1)
+                wk_b = kvb[:, :nope, :]                       # [H, nope, r]
+                wv_b = kvb[:, nope:, :].transpose(0, 2, 1)    # [H, r, v]
+            is_lite = f"{p}.attn_q_a.weight" not in g.tensors
+            layers.append(LayerWeights(
+                attn_norm=_norm(g, f"{p}.attn_norm.weight", dtype),
+                wq=_linear(g, f"{p}.attn_q.weight" if is_lite
+                           else f"{p}.attn_q_b.weight", dtype),
+                wq_a=None if is_lite
+                     else _linear(g, f"{p}.attn_q_a.weight", dtype),
+                q_norm=None if is_lite
+                       else _norm(g, f"{p}.attn_q_a_norm.weight", dtype),
+                wkv_a=_linear(g, f"{p}.attn_kv_a_mqa.weight", dtype),
+                k_norm=_norm(g, f"{p}.attn_kv_a_norm.weight", dtype),
+                wk_b=jnp.asarray(wk_b, dtype),
+                wv_b=jnp.asarray(wv_b, dtype),
+                wk=None, wv=None,
+                wo=_linear(g, f"{p}.attn_output.weight", dtype),
+                ffn_norm=_norm(g, f"{p}.ffn_norm.weight", dtype),
+                w_gate=None if is_moe else _linear(
+                    g, f"{p}.ffn_gate.weight", dtype),
+                w_up=None if is_moe else _linear(
+                    g, f"{p}.ffn_up.weight", dtype),
+                w_down=None if is_moe else _linear(
+                    g, f"{p}.ffn_down.weight", dtype),
+                moe=moe,
+            ))
+            continue
         wq = _linear(g, f"{p}.attn_q.weight", dtype, f"{p}.attn_q.bias")
         wk = _linear(g, f"{p}.attn_k.weight", dtype, f"{p}.attn_k.bias")
         wv = _linear(g, f"{p}.attn_v.weight", dtype, f"{p}.attn_v.bias")

@@ -29,7 +29,7 @@ from rrs_tpu.models.config import ModelConfig
     jax.tree_util.register_dataclass,
     data_fields=["router", "gate", "up", "down", "shared_gate", "shared_up",
                  "shared_down", "gate_qs", "gate_eff", "up_qs", "up_eff",
-                 "down_qs", "down_eff"],
+                 "down_qs", "down_eff", "probs_bias"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -50,6 +50,9 @@ class MoEWeights:
     up_eff: Optional[jnp.ndarray] = None
     down_qs: Optional[jnp.ndarray] = None     # uint8 [E, F//2, K]
     down_eff: Optional[jnp.ndarray] = None
+    # DeepSeek-V3 expert-selection bias [n_experts] (exp_probs_b): added to
+    # the probs for TOP-K SELECTION only; weights use the unbiased probs
+    probs_bias: Optional[jnp.ndarray] = None
 
     @property
     def quantized(self) -> bool:
@@ -88,15 +91,43 @@ def quantize_experts(mw: MoEWeights) -> MoEWeights:
 
 
 def route(cfg: ModelConfig, mw: MoEWeights, x2: jnp.ndarray):
-    """Router: returns (expert_idx [T, k] int32, weights [T, k] f32)."""
+    """Router: returns (expert_idx [T, k] int32, weights [T, k] f32).
+
+    Full build_moe_ffn semantics (llama-graph.cpp:999-1160): softmax or
+    sigmoid gating; DeepSeek-V3 selection bias (exp_probs_b added to probs
+    for top-k selection only — weights stay unbiased); V3 expert-group
+    restriction (keep the top n_group_used groups scored by the sum of each
+    group's top-2 selection probs, mask the rest to -inf); post-top-k
+    weight normalization (norm_w, clamped denominator) and routed-weight
+    scale (expert_weights_scale)."""
     logits = jnp.dot(x2.astype(jnp.float32), mw.router.astype(jnp.float32))
     if cfg.expert_gating_softmax:
         probs = jax.nn.softmax(logits, axis=-1)
     else:
         probs = jax.nn.sigmoid(logits)
-    topv, topi = jax.lax.top_k(probs, cfg.n_experts_used)
-    if cfg.norm_topk_prob:
-        topv = topv / jnp.maximum(topv.sum(-1, keepdims=True), 1e-9)
+
+    sel = probs
+    if mw.probs_bias is not None:
+        sel = probs + mw.probs_bias.astype(jnp.float32)
+    if cfg.n_expert_groups > 1:
+        t, e = sel.shape
+        ng = cfg.n_expert_groups
+        grouped = sel.reshape(t, ng, e // ng)
+        top2, _ = jax.lax.top_k(grouped, 2)              # [T, G, 2]
+        gscore = top2.sum(-1)                            # [T, G]
+        _, gidx = jax.lax.top_k(gscore, max(cfg.n_group_used, 1))
+        gmask = jnp.zeros((t, ng), bool).at[
+            jnp.arange(t)[:, None], gidx].set(True)
+        sel = jnp.where(gmask[:, :, None], grouped,
+                        -jnp.inf).reshape(t, e)
+
+    _, topi = jax.lax.top_k(sel, cfg.n_experts_used)
+    topv = jnp.take_along_axis(probs, topi, axis=-1)     # unbiased weights
+    if cfg.norm_topk_prob or cfg.expert_weights_norm:
+        # clamp matches the reference's f16-min floor (llama-graph.cpp:1134)
+        topv = topv / jnp.maximum(topv.sum(-1, keepdims=True), 6.1035156e-5)
+    if cfg.expert_weights_scale != 1.0:
+        topv = topv * cfg.expert_weights_scale
     return topi.astype(jnp.int32), topv
 
 
@@ -133,6 +164,14 @@ def moe_ffn(cfg: ModelConfig, mw: MoEWeights, x: jnp.ndarray) -> jnp.ndarray:
     x2 = x.reshape(b * t, e)
     topi, topv = route(cfg, mw, x2)
     n_tok = b * t
+    # the CPU oracle backend lacks the BF16xBF16=F32 dot thunk; upcast there
+    if jax.default_backend() == "cpu" and x2.dtype == jnp.bfloat16:
+        x2 = x2.astype(jnp.float32)
+        mw = dataclasses.replace(
+            mw, **{f: (getattr(mw, f).astype(jnp.float32)
+                       if getattr(mw, f) is not None else None)
+                   for f in ("gate", "up", "down", "shared_gate",
+                             "shared_up", "shared_down")})
 
     if mw.quantized:
         # W4A4 experts, same RRS activation pipeline as TCQ4Linear

@@ -36,9 +36,7 @@ def collect_imatrix(
     def run(w, tokens):
         b, t = tokens.shape
         pos = jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, 0)
-        shape = (b, cfg.n_kv_heads, t, cfg.head_dim)
-        kc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(cfg.n_layers)]
-        vc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(cfg.n_layers)]
+        kc, vc = llama_model.scratch_caches(cfg, b, t)
         cap: dict = {}
         llama_model.forward(cfg, w, tokens, pos, kc, vc, pos, pos, cap=cap)
         counts = cap.pop("__counts__")

@@ -632,13 +632,13 @@ class InferenceContext:
 
             b, t = toks.shape
             pos = jnp.arange(t, dtype=jnp.int32)[None, :]
-            shape = (b, run_cfg.n_kv_heads, t, run_cfg.head_dim)
-            kc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(run_cfg.n_layers)]
-            vc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(run_cfg.n_layers)]
+            kc, vc = llama_model.scratch_caches(run_cfg, b, t)
+            attn_fn = llama_model.mla_attention if run_cfg.is_mla \
+                else llama_model.attention
             x = jnp.take(w.embed, toks, axis=0)
             for li, lw in enumerate(w.layers):
                 h = rms_norm(x, lw.attn_norm, run_cfg.rms_eps)
-                attn_out, kc[li], vc[li] = llama_model.attention(
+                attn_out, kc[li], vc[li] = attn_fn(
                     run_cfg, lw, h, pos, kc[li], vc[li], pos, pos, li=li)
                 x = x + attn_out
                 h = rms_norm(x, lw.ffn_norm, run_cfg.rms_eps)

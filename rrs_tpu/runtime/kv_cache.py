@@ -67,21 +67,24 @@ class KVCache:
             else:
                 sizes.append(max_seq)
 
-        def make(li):
-            shape = (n_lanes, cfg.n_kv_heads, sizes[li], cfg.head_dim)
-            sshape = (n_lanes, cfg.n_kv_heads, 1, sizes[li])
+        def make(li, dim):
+            # MLA (deepseek2): ONE kv head of [rope | c_kv] (dim = rope+r)
+            # for K and the bare c_kv (dim = r) for V; else per-kv-head
+            # [head_dim] K and V (cfg.kv_cache_heads/kv_k_dim/kv_v_dim)
+            shape = (n_lanes, cfg.kv_cache_heads, sizes[li], dim)
+            sshape = (n_lanes, cfg.kv_cache_heads, 1, sizes[li])
             if quant == "q8":
                 return (jnp.zeros(shape, jnp.int8),
                         jnp.ones(sshape, jnp.float32))
             if quant == "q4":
                 # packed nibbles, halves layout (runtime/kv_codec.py)
-                return (jnp.zeros(shape[:-1] + (cfg.head_dim // 2,),
+                return (jnp.zeros(shape[:-1] + (dim // 2,),
                                   jnp.uint8),
                         jnp.ones(sshape, jnp.float32))
             return jnp.zeros(shape, dtype)
 
-        k = [make(li) for li in range(cfg.n_layers)]
-        v = [make(li) for li in range(cfg.n_layers)]
+        k = [make(li, cfg.kv_k_dim) for li in range(cfg.n_layers)]
+        v = [make(li, cfg.kv_v_dim) for li in range(cfg.n_layers)]
         return cls(k=k, v=v, max_seq=max_seq,
                    lengths=[0] * n_lanes, seq_ids=[None] * n_lanes,
                    sizes=sizes)
@@ -180,7 +183,18 @@ class KVCache:
         n_discard = min(n_discard, n - n_keep)
         if n_discard <= 0:
             return
-        rp = rope_params(cfg)
+        if cfg.is_mla:
+            # MLA rows are [rope | c_kv]: only the leading qk_rope_dim dims
+            # are position-dependent (the reference's "rope must go first"
+            # cache convention, deepseek2.cpp:126)
+            import dataclasses as _dc
+
+            from rrs_tpu.models.llama import mla_rope_params
+
+            rp = _dc.replace(mla_rope_params(cfg), head_dim=cfg.kv_k_dim,
+                             rot_dim=cfg.qk_rope_dim)
+        else:
+            rp = rope_params(cfg)
         delta = jnp.full((1, 1), -n_discard, jnp.int32)
 
         import functools

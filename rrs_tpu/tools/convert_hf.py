@@ -74,6 +74,8 @@ _ARCH_MAP = {
     "Gemma3ForCausalLM": "gemma3",
     "Gemma3ForConditionalGeneration": "gemma3",
     "MambaForCausalLM": "mamba",
+    "DeepseekV2ForCausalLM": "deepseek2",
+    "DeepseekV3ForCausalLM": "deepseek2",
 }
 
 
@@ -173,6 +175,62 @@ def convert_hf_to_gguf(model_dir: str | Path, out_path: str | Path,
         w.add_uint32(f"{a}.ssm.time_step_rank", int(dt_rank))
         w.add_float32(f"{a}.attention.layer_norm_rms_epsilon",
                       cfg.get("layer_norm_epsilon", 1e-5))
+    elif a == "deepseek2":
+        # MLA converts into MQA over the latent row (reference
+        # convert_hf_to_gguf.py DeepseekV2Model.set_gguf_parameters):
+        # key/value_length carry the latent cache row sizes, the *_mla
+        # keys the decompressed head sizes
+        n_heads = cfg["num_attention_heads"]
+        nope, rope_d = cfg["qk_nope_head_dim"], cfg["qk_rope_head_dim"]
+        r = cfg["kv_lora_rank"]
+        w.add_uint32(f"{a}.feed_forward_length", cfg["intermediate_size"])
+        w.add_uint32(f"{a}.attention.head_count", n_heads)
+        w.add_uint32(f"{a}.attention.head_count_kv", 1)
+        w.add_uint32(f"{a}.attention.key_length", r + rope_d)
+        w.add_uint32(f"{a}.attention.value_length", r)
+        w.add_uint32(f"{a}.attention.key_length_mla", nope + rope_d)
+        w.add_uint32(f"{a}.attention.value_length_mla", cfg["v_head_dim"])
+        if cfg.get("q_lora_rank"):
+            w.add_uint32(f"{a}.attention.q_lora_rank", cfg["q_lora_rank"])
+        w.add_uint32(f"{a}.attention.kv_lora_rank", r)
+        w.add_uint32(f"{a}.rope.dimension_count", rope_d)
+        w.add_float32(f"{a}.attention.layer_norm_rms_epsilon",
+                      cfg.get("rms_norm_eps", 1e-6))
+        w.add_float32(f"{a}.rope.freq_base", cfg.get("rope_theta", 10000.0))
+        n_dense = cfg.get("first_k_dense_replace")
+        if n_dense is None:
+            n_dense = 0 if cfg.get("n_routed_experts") else n_layers
+        w.add_uint32(f"{a}.leading_dense_block_count", n_dense)
+        if cfg.get("n_routed_experts"):
+            w.add_uint32(f"{a}.expert_count", cfg["n_routed_experts"])
+            w.add_uint32(f"{a}.expert_used_count",
+                         cfg["num_experts_per_tok"] or 1)
+            w.add_uint32(f"{a}.expert_feed_forward_length",
+                         cfg["moe_intermediate_size"])
+            w.add_uint32(f"{a}.expert_shared_count",
+                         cfg.get("n_shared_experts") or 0)
+            w.add_float32(f"{a}.expert_weights_scale",
+                          cfg.get("routed_scaling_factor", 1.0))
+            w.add_bool(f"{a}.expert_weights_norm",
+                       bool(cfg.get("norm_topk_prob", False)))
+            w.add_uint32(f"{a}.expert_gating_func",
+                         2 if cfg.get("scoring_func") == "sigmoid" else 1)
+            if cfg.get("topk_method") in ("group_limited_greedy", "noaux_tc") \
+                    and cfg.get("n_group"):
+                w.add_uint32(f"{a}.expert_group_count", cfg["n_group"])
+                w.add_uint32(f"{a}.expert_group_used_count",
+                             cfg.get("topk_group", 1))
+        rs = cfg.get("rope_scaling") or {}
+        if rs.get("type") == "yarn" or rs.get("rope_type") == "yarn":
+            w.add_string(f"{a}.rope.scaling.type", "yarn")
+            w.add_float32(f"{a}.rope.scaling.factor", rs.get("factor", 1.0))
+            w.add_uint32(f"{a}.rope.scaling.original_context_length",
+                         rs.get("original_max_position_embeddings", 4096))
+            if rs.get("mscale_all_dim") is not None:
+                # the 0.1 factor is the convert-script legacy convention
+                # ([TAG_DEEPSEEK2_YARN_LOG_MUL_FIX])
+                w.add_float32(f"{a}.rope.scaling.yarn_log_multiplier",
+                              0.1 * rs["mscale_all_dim"])
     else:
         n_heads = cfg["num_attention_heads"]
         n_kv = cfg.get("num_key_value_heads", n_heads)
@@ -237,6 +295,63 @@ def convert_hf_to_gguf(model_dir: str | Path, out_path: str | Path,
             put(f"blk.{i}.ssm_d", sd[hp + "mixer.D"])
             put(gp + "ssm_out.weight", sd[hp + "mixer.out_proj.weight"])
         put_norm("output_norm.weight", sd[f"{pfx}norm_f.weight"])
+        if not tie and "lm_head.weight" in sd:
+            put("output.weight", sd["lm_head.weight"])
+        w.write()
+        return Path(out_path)
+
+    if a == "deepseek2":
+        nope, v_dim = cfg["qk_nope_head_dim"], cfg["v_head_dim"]
+        put("token_embd.weight", sd[f"{pfx}embed_tokens.weight"])
+        for i in range(n_layers):
+            hp = f"{pfx}layers.{i}."
+            gp = f"blk.{i}."
+            put_norm(gp + "attn_norm.weight",
+                     sd[hp + "input_layernorm.weight"])
+            if hp + "self_attn.q_a_proj.weight" in sd:
+                put(gp + "attn_q_a.weight", sd[hp + "self_attn.q_a_proj.weight"])
+                put_norm(gp + "attn_q_a_norm.weight",
+                         sd[hp + "self_attn.q_a_layernorm.weight"])
+                put(gp + "attn_q_b.weight", sd[hp + "self_attn.q_b_proj.weight"])
+            else:
+                put(gp + "attn_q.weight", sd[hp + "self_attn.q_proj.weight"])
+            put(gp + "attn_kv_a_mqa.weight",
+                sd[hp + "self_attn.kv_a_proj_with_mqa.weight"])
+            put_norm(gp + "attn_kv_a_norm.weight",
+                     sd[hp + "self_attn.kv_a_layernorm.weight"])
+            # split kv_b into the absorption factors, k_b transposed
+            # (reference convert DeepseekV2Model.modify_tensors)
+            kv_b = sd[hp + "self_attn.kv_b_proj.weight"]
+            kv_b = kv_b.reshape(-1, nope + v_dim, kv_b.shape[-1])  # [H,n+v,r]
+            put(gp + "attn_k_b.weight",
+                kv_b[:, :nope, :].transpose(0, 2, 1))              # [H,r,nope]
+            put(gp + "attn_v_b.weight", kv_b[:, nope:, :])         # [H,v,r]
+            put(gp + "attn_output.weight", sd[hp + "self_attn.o_proj.weight"])
+            put_norm(gp + "ffn_norm.weight",
+                     sd[hp + "post_attention_layernorm.weight"])
+            if hp + "mlp.gate_proj.weight" in sd:                  # dense lead
+                put(gp + "ffn_gate.weight", sd[hp + "mlp.gate_proj.weight"])
+                put(gp + "ffn_up.weight", sd[hp + "mlp.up_proj.weight"])
+                put(gp + "ffn_down.weight", sd[hp + "mlp.down_proj.weight"])
+            else:
+                put(gp + "ffn_gate_inp.weight", sd[hp + "mlp.gate.weight"])
+                if hp + "mlp.gate.e_score_correction_bias" in sd:
+                    put(gp + "exp_probs_b.bias",
+                        sd[hp + "mlp.gate.e_score_correction_bias"])
+                ne = cfg["n_routed_experts"]
+                for w_name, g_name in (("gate_proj", "ffn_gate_exps"),
+                                       ("up_proj", "ffn_up_exps"),
+                                       ("down_proj", "ffn_down_exps")):
+                    stack = np.stack([
+                        sd[hp + f"mlp.experts.{xi}.{w_name}.weight"]
+                        for xi in range(ne)])
+                    put(gp + f"{g_name}.weight", stack)
+                for w_name, g_name in (("gate_proj", "ffn_gate_shexp"),
+                                       ("up_proj", "ffn_up_shexp"),
+                                       ("down_proj", "ffn_down_shexp")):
+                    put(gp + f"{g_name}.weight",
+                        sd[hp + f"mlp.shared_experts.{w_name}.weight"])
+        put_norm("output_norm.weight", sd[f"{pfx}norm.weight"])
         if not tie and "lm_head.weight" in sd:
             put("output.weight", sd["lm_head.weight"])
         w.write()

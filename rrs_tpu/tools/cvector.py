@@ -22,9 +22,7 @@ def collect_hidden_means(cfg, weights, token_lists) -> np.ndarray:
     def run(w, toks):
         b, t = toks.shape
         pos = jnp.arange(t, dtype=jnp.int32)[None, :]
-        shape = (b, cfg.n_kv_heads, t, cfg.head_dim)
-        kc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(cfg.n_layers)]
-        vc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(cfg.n_layers)]
+        kc, vc = llama_model.scratch_caches(cfg, b, t)
         cap = {"__hidden__": {}}
         llama_model.forward(cfg, w, toks, pos, kc, vc, pos, pos, cap=cap)
         return [cap["__hidden__"][li] for li in range(cfg.n_layers)]

@@ -61,9 +61,7 @@ def _loss_fn(cfg: ModelConfig, weights, batch: jnp.ndarray,
     labels = batch[:, 1:]
     b, t = toks.shape
     pos = jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, 0)
-    shape = (b, cfg.n_kv_heads, t, cfg.head_dim)
-    kc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(cfg.n_layers)]
-    vc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(cfg.n_layers)]
+    kc, vc = llama_model.scratch_caches(cfg, b, t)
     logits, _, _ = llama_model.forward(cfg, weights, toks, pos, kc, vc, pos, pos)
     if logits_sharding is not None:
         logits = jax.lax.with_sharding_constraint(logits, logits_sharding)

@@ -33,9 +33,7 @@ def _compare_logits(model, cfg, weights, toks, atol=2e-2):
         hf = model(torch.tensor([toks])).logits[0].float().numpy()
 
     t = len(toks)
-    shape = (1, cfg.n_kv_heads, 32, cfg.head_dim)
-    ks = [jnp.zeros(shape, jnp.float32) for _ in range(cfg.n_layers)]
-    vs = [jnp.zeros(shape, jnp.float32) for _ in range(cfg.n_layers)]
+    ks, vs = lm.scratch_caches(cfg, 1, 32, dtype=jnp.float32)
     pos = jnp.arange(t, dtype=jnp.int32)[None]
     logits, _, _ = lm.forward(
         cfg, weights, jnp.asarray([toks], jnp.int32), pos, ks, vs, pos, pos)
@@ -161,3 +159,50 @@ def test_convert_gemma2(tmp_path):
     assert abs(cfg.embd_scale - 8.0) < 1e-6          # sqrt(64)
     # 12-token prompt exceeds the window: SWA masking is exercised
     _compare_logits(model, cfg, weights, list(range(3, 15)), atol=5e-2)
+
+
+def test_convert_deepseek_v2_dense(tmp_path):
+    """DeepSeek-V2 MLA (lite, all-dense FFN): converted + loaded logits
+    must match the HF eager forward — validates the absorbed-MQA
+    attention against HF's decompressed-MHA computation."""
+    config = transformers.DeepseekV2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=None, kv_lora_rank=32, qk_rope_head_dim=16,
+        qk_nope_head_dim=32, v_head_dim=24, head_dim=16,
+        first_k_dense_replace=2, n_routed_experts=4, n_shared_experts=1,
+        num_experts_per_tok=2, moe_intermediate_size=48,
+        topk_method="greedy", n_group=None, topk_group=None,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    d, model = _save_tiny(tmp_path, config, transformers.DeepseekV2ForCausalLM)
+    out = convert_hf_to_gguf(d, tmp_path / "m.gguf")
+    cfg, weights, md = load_model(out, dtype=np.float32, fuse=False)
+    assert cfg.arch == "deepseek2" and cfg.is_mla
+    assert cfg.kv_lora_rank == 32 and cfg.qk_rope_dim == 16
+    assert cfg.head_dim == 48 and cfg.v_head_dim == 24
+    _compare_logits(model, cfg, weights, [3, 17, 42, 5, 99])
+
+
+def test_convert_deepseek_v2_moe(tmp_path):
+    """DeepSeek-V2 with q LoRA + routed/shared experts + group-limited
+    routing: logits must match HF eager."""
+    config = transformers.DeepseekV2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=24, kv_lora_rank=32, qk_rope_head_dim=16,
+        qk_nope_head_dim=32, v_head_dim=24, head_dim=16,
+        first_k_dense_replace=1, n_routed_experts=8, n_shared_experts=2,
+        num_experts_per_tok=2, moe_intermediate_size=48,
+        topk_method="greedy", n_group=None, topk_group=None,
+        norm_topk_prob=False, routed_scaling_factor=1.0,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    d, model = _save_tiny(tmp_path, config, transformers.DeepseekV2ForCausalLM)
+    out = convert_hf_to_gguf(d, tmp_path / "m.gguf")
+    cfg, weights, md = load_model(out, dtype=np.float32, fuse=False)
+    assert cfg.arch == "deepseek2" and cfg.q_lora_rank == 24
+    assert cfg.n_dense_lead == 1 and cfg.n_experts == 8
+    _compare_logits(model, cfg, weights, [7, 9, 100, 2], atol=4e-2)
