@@ -159,7 +159,17 @@ def _rotate_quant(x2: jnp.ndarray) -> jnp.ndarray:
 
 
 def moe_ffn(cfg: ModelConfig, mw: MoEWeights, x: jnp.ndarray) -> jnp.ndarray:
-    """x [B, T, E] -> [B, T, E]."""
+    """x [B, T, E] -> [B, T, E].
+
+    Under shard_map TP (cfg.tp_axis set), the DENSE expert stacks follow
+    the megatron pairing (gate/up column-parallel on F, down row-parallel
+    on F), so the routed output is a partial sum that must be psum'd over
+    tp — mirroring linear_apply(reduce_axis=...) on the dense FFN path.
+    PACKED (quantized) expert stacks are replicated over tp (their tile
+    layout is kernel-owned), so every shard already holds the full routed
+    output and only the shared-expert megatron pair needs the reduction.
+    GSPMD callers (train_step) leave tp_axis unset and let XLA insert the
+    collectives instead."""
     b, t, e = x.shape
     x2 = x.reshape(b * t, e)
     topi, topv = route(cfg, mw, x2)
@@ -242,11 +252,17 @@ def moe_ffn(cfg: ModelConfig, mw: MoEWeights, x: jnp.ndarray) -> jnp.ndarray:
         combine = jnp.put_along_axis(combine, topi, topv, axis=-1, inplace=False)
         out = jnp.einsum("tek,te->tk", y, combine)
 
+    if cfg.tp_axis is not None and not mw.quantized:
+        out = jax.lax.psum(out, cfg.tp_axis)
+
     if mw.shared_gate is not None:
         g = jnp.dot(x2, mw.shared_gate, preferred_element_type=jnp.float32)
         u = jnp.dot(x2, mw.shared_up, preferred_element_type=jnp.float32)
-        out = out + jnp.dot(
+        shared = jnp.dot(
             (jax.nn.silu(g) * u).astype(x.dtype), mw.shared_down,
             preferred_element_type=jnp.float32,
         )
+        if cfg.tp_axis is not None:
+            shared = jax.lax.psum(shared, cfg.tp_axis)
+        out = out + shared
     return out.reshape(b, t, e).astype(x.dtype)

@@ -78,6 +78,25 @@ def _linear_spec(col: bool) -> object:
     return dense, quant, q8
 
 
+def _replicated_linear(lin):
+    """Fully-replicated PartitionSpec pytree for a Linear (every device
+    holds the whole projection)."""
+    if lin is None:
+        return None
+    rep = P(None, None)
+    if isinstance(lin, DenseLinear):
+        return DenseLinear(w=rep, bias=None if lin.bias is None else P(None))
+    if isinstance(lin, Q8Linear):
+        return Q8Linear(q=rep, scale=rep,
+                        bias=None if lin.bias is None else P(None),
+                        n_logical=lin.n_logical)
+    return TCQ4Linear(
+        qs=rep, eff=rep,
+        gather=None if lin.gather is None else P(None),
+        bias=None if lin.bias is None else P(None),
+    )
+
+
 def _moe_pspecs(moe, ep_axis: Optional[str]):
     """PartitionSpec pytree for MoEWeights: expert stacks shard E over the
     ``ep_axis`` (None -> replicated experts), dense expert matmul dims follow
@@ -106,6 +125,7 @@ def _moe_pspecs(moe, ep_axis: Optional[str]):
         gate_qs=qstack(moe.gate_qs), gate_eff=qstack(moe.gate_eff),
         up_qs=qstack(moe.up_qs), up_eff=qstack(moe.up_eff),
         down_qs=qstack(moe.down_qs), down_eff=qstack(moe.down_eff),
+        probs_bias=None if moe.probs_bias is None else P(None),
     )
 
 
@@ -127,6 +147,14 @@ def weight_pspecs(weights: llama_model.ModelWeights,
     for lw in weights.layers:
         assert lw.wqkv is None and lw.w_gateup is None, (
             "fused projections cannot be TP-sharded; load with fuse=False")
+        # MLA (deepseek2): the shared latent projections (wq_a, wkv_a) and
+        # their norms are replicated — their outputs feed full-vector RMS
+        # norms and the ONE latent cache row every head attends. The
+        # per-head pieces shard over tp: wq (=wq_b) column-parallel on
+        # heads, wk_b/wv_b [H, ...] on their leading head axis, wo
+        # row-parallel (K = H*v). The latent KV cache itself is replicated
+        # (1 kv head — nothing to split; see _kv_pspec/make_sharded_step).
+        mla = lw.wk_b is not None
         layers.append(llama_model.LayerWeights(
             attn_norm=P(None),
             wq=spec_linear(lw.wq, col=True),
@@ -143,6 +171,10 @@ def weight_pspecs(weights: llama_model.ModelWeights,
             attn_post_norm=None if lw.attn_post_norm is None else P(None),
             ffn_post_norm=None if lw.ffn_post_norm is None else P(None),
             attn_sinks=None if lw.attn_sinks is None else P("tp"),
+            wq_a=_replicated_linear(lw.wq_a),
+            wkv_a=_replicated_linear(lw.wkv_a),
+            wk_b=P("tp", None, None) if mla else None,
+            wv_b=P("tp", None, None) if mla else None,
         ))
     return llama_model.ModelWeights(
         embed=P(None, None),
@@ -171,9 +203,19 @@ def shard_weights(weights, mesh: Mesh):
 
 
 def _local_cfg(cfg: ModelConfig, tp: int) -> ModelConfig:
-    assert cfg.n_heads % tp == 0 and cfg.n_kv_heads % tp == 0, (
-        f"heads {cfg.n_heads}/{cfg.n_kv_heads} not divisible by tp={tp}")
+    assert cfg.n_heads % tp == 0, (
+        f"heads {cfg.n_heads} not divisible by tp={tp}")
     assert cfg.n_ff % tp == 0
+    if cfg.is_mla:
+        # MLA: query heads shard over tp; the ONE latent kv row (and the
+        # shared wq_a/wkv_a projections producing it) stays replicated —
+        # every shard's heads attend the same [rope | c_kv] cache.
+        return dataclasses.replace(
+            cfg, n_heads=cfg.n_heads // tp, n_ff=cfg.n_ff // tp,
+            tp_axis="tp",
+        )
+    assert cfg.n_kv_heads % tp == 0, (
+        f"kv heads {cfg.n_kv_heads} not divisible by tp={tp}")
     return dataclasses.replace(
         cfg,
         n_heads=cfg.n_heads // tp,
@@ -217,7 +259,10 @@ def make_sharded_step(cfg: ModelConfig, mesh: Mesh):
     def make(weights):
         nonlocal wspecs
         wspecs = weight_pspecs(weights)
-        kv_spec = P("dp", "tp", None, None)
+        # MLA: the single latent kv head is replicated over tp (every
+        # shard's heads attend the same latent rows); GQA shards kv heads
+        kv_spec = P("dp", None, None, None) if cfg.is_mla \
+            else P("dp", "tp", None, None)
         fn = shard_map(
             step,
             mesh=mesh,

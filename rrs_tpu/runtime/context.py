@@ -95,7 +95,11 @@ class InferenceContext:
     def _kv_pspec(self):
         from jax.sharding import PartitionSpec as P
 
-        kvp = P("dp", "tp", None, None)
+        # MLA caches hold ONE latent kv head — replicated over tp (every
+        # shard's query heads attend the same [rope | c_kv] rows); GQA
+        # caches shard their kv heads over tp
+        kvp = P("dp", None, None, None) if self.cfg.is_mla \
+            else P("dp", "tp", None, None)
         return [(kvp, kvp) if isinstance(c, tuple) else kvp for c in self.kv.k]
 
     def _shard_kv(self):

@@ -41,7 +41,8 @@ def run(args):
         weights = sh.shard_weights(weights, mesh)
         lcfg = sh._local_cfg(cfg, mesh.shape["tp"])
         wspecs = sh.weight_pspecs(weights)
-        kvp = P("dp", "tp", None, None)
+        kvp = P("dp", None, None, None) if cfg.is_mla \
+            else P("dp", "tp", None, None)
         name += f" tp={mesh.shape['tp']}"
 
     def gather_logits(l):
@@ -52,11 +53,12 @@ def run(args):
     max_pp = max(args.pp) if args.pp else 512
     max_tg = max(args.tg) if args.tg else 128
     s = max_pp + max_tg + 8
-    shape = (1, cfg.n_kv_heads, s, cfg.head_dim)
+    kshape = (1, cfg.kv_cache_heads, s, cfg.kv_k_dim)
+    vshape = (1, cfg.kv_cache_heads, s, cfg.kv_v_dim)
 
     def kv_fresh():
-        kc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(cfg.n_layers)]
-        vc = [jnp.zeros(shape, jnp.bfloat16) for _ in range(cfg.n_layers)]
+        kc = [jnp.zeros(kshape, jnp.bfloat16) for _ in range(cfg.n_layers)]
+        vc = [jnp.zeros(vshape, jnp.bfloat16) for _ in range(cfg.n_layers)]
         if mesh is not None:
             from jax.sharding import NamedSharding
 

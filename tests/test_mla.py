@@ -231,3 +231,32 @@ def test_mla_context_shift(tmp_path):
 
     np.testing.assert_allclose(la, lb, rtol=5e-2, atol=5e-2)
     assert la.argmax() == lb.argmax()
+
+
+def test_mla_tp_context_matches_single_device(mla_model):
+    """--tp on a deepseek2 model: query heads + wk_b/wv_b/wo shard over tp,
+    the shared latent projections and the single-kv-head cache replicate
+    (nothing to split in a 1-head latent cache); results must match the
+    single-device context, including through MoE layers with V3 grouped
+    routing."""
+    from rrs_tpu.parallel.sharding import make_mesh
+
+    cfg, w = mla_model
+    ref = InferenceContext(cfg, w, n_lanes=2, max_seq=64)
+    mesh = make_mesh(4, dp=2)              # dp=2 x tp=2
+    tpc = InferenceContext(cfg, w, n_lanes=2, max_seq=64, mesh=mesh)
+
+    prompt = [1, 5, 9, 200, 3]
+    sr, st = ref.new_sequence(), tpc.new_sequence()
+    lr = ref.prefill(sr, prompt)
+    lt = tpc.prefill(st, prompt)
+    np.testing.assert_allclose(lt, lr, rtol=3e-2, atol=3e-2)
+    np.testing.assert_array_equal(lt.argmax(-1), lr.argmax(-1))
+
+    tok_r, tok_t = int(lr[-1].argmax()), int(lt[-1].argmax())
+    for _ in range(3):
+        dr = ref.decode({sr: tok_r})[sr]
+        dt = tpc.decode({st: tok_t})[st]
+        np.testing.assert_allclose(dt, dr, rtol=1e-1, atol=1e-1)
+        tok_r, tok_t = int(dr.argmax()), int(dt.argmax())
+        assert tok_r == tok_t

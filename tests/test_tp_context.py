@@ -142,3 +142,41 @@ def test_tp_embed_and_embd_prefill_match_single_device():
     dr = ref.decode({sr: 2})[sr]
     dt = tpc.decode({st: 2})[st]
     np.testing.assert_array_equal(dr.argmax(), dt.argmax())
+
+
+def test_tp_context_moe_matches_single_device(tmp_path):
+    """MoE under shard_map TP: the dense expert stacks follow the megatron
+    pairing (F sharded), so the routed output and the shared-expert pair
+    must psum over tp — covers both the gather path (decode, n_tok<=16)
+    and the dense all-experts path (prefill, n_tok>16)."""
+    from rrs_tpu.models.config import ModelConfig
+    from rrs_tpu.models.export import export_random_gguf
+    from rrs_tpu.models.loader import load_model
+
+    cfg0 = ModelConfig(
+        arch="qwen3moe", n_layers=2, n_embd=128, n_heads=4, n_kv_heads=2,
+        head_dim=64, n_ff=256, vocab_size=512, context_length=128,
+        qk_norm=True, n_experts=4, n_experts_used=2, n_ff_exp=64,
+        norm_topk_prob=True)
+    path = tmp_path / "moe.gguf"
+    export_random_gguf(cfg0, path, seed=13)
+    cfg, w, _ = load_model(path, fuse=False)
+
+    ref = InferenceContext(cfg, w, n_lanes=1, max_seq=64)
+    tpc = InferenceContext(cfg, w, n_lanes=1, max_seq=64,
+                           mesh=make_mesh(2, dp=1))
+
+    prompt = list(range(1, 20))           # 19 tokens: dense all-experts path
+    sr, st = ref.new_sequence(), tpc.new_sequence()
+    lr = ref.prefill(sr, prompt)
+    lt = tpc.prefill(st, prompt)
+    np.testing.assert_allclose(lt, lr, rtol=3e-2, atol=3e-2)
+    np.testing.assert_array_equal(lt.argmax(-1), lr.argmax(-1))
+
+    tok = int(lr[-1].argmax())
+    for _ in range(3):                    # decode: gather path
+        dr = ref.decode({sr: tok})[sr]
+        dt = tpc.decode({st: tok})[st]
+        np.testing.assert_allclose(dt, dr, rtol=1e-1, atol=1e-1)
+        assert int(dr.argmax()) == int(dt.argmax())
+        tok = int(dr.argmax())
