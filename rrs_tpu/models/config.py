@@ -46,6 +46,12 @@ class ModelConfig:
     expert_weights_norm: bool = False
     n_expert_groups: int = 0
     n_group_used: int = 0
+    # gpt-oss MoE: top-k on RAW router logits, then softmax over the
+    # selected k (LLAMA_EXPERT_GATING_FUNC_TYPE_SOFTMAX_WEIGHT,
+    # llama-graph.cpp:1047-1049,1118-1123) + clamped swiglu activation
+    # (ggml_swiglu_oai: alpha=1.702 limit=7.0, ggml-cpu/ops.cpp:3212-3268)
+    expert_softmax_weight: bool = False
+    moe_act: str = "silu"            # "silu" | "swiglu_oai"
     # MLA (deepseek2): low-rank q/kv projections. kv_lora_rank > 0 => MLA.
     # head_dim is the DECOMPRESSED qk head size (n_embd_head_k_mla, e.g.
     # 192 = 128 nope + 64 rope); v_head_dim the decompressed v size.
@@ -231,6 +237,19 @@ class ModelConfig:
                 # V2/V2.5 GGUFs predate the expert_gating_func key: softmax
                 expert_gating_softmax=int(key("expert_gating_func", 1) or 1) == 1,
             )
+        if arch == "gpt-oss":
+            # llama-model.cpp:2256-2275 (LLM_ARCH_OPENAI_MOE): alternating
+            # SWA (pattern 2, even layers sliding), per-head attention
+            # sinks, qkv+output biases, MoE every layer with swiglu_oai and
+            # post-top-k softmax weighting; SWA layers may carry their own
+            # rope base (rope_freq_base_swa, defaults to the full-attn base)
+            extra.update(
+                swa_window=int(key("attention.sliding_window", 128) or 128),
+                swa_pattern=2,
+                rope_theta_swa=float(key("rope.freq_base_swa", 0.0) or 0.0),
+                expert_softmax_weight=True,
+                moe_act="swiglu_oai",
+            )
         if arch == "jamba":
             extra.update(no_rope=True)
         if arch in ("rwkv6", "rwkv6qwen2"):
@@ -270,7 +289,7 @@ class ModelConfig:
             # interleaved (NORM) rope; qwen/neox-style archs use split-half.
             rope_neox=arch not in ("llama",),
             qk_norm=arch in ("qwen3", "qwen3moe", "gemma3"),
-            attn_bias=arch in ("qwen2", "qwen2moe"),
+            attn_bias=arch in ("qwen2", "qwen2moe", "gpt-oss"),
             tie_embeddings=bool(md.get(f"{arch}.tie_word_embeddings", False)),
             n_experts=int(key("expert_count", 0) or 0),
             n_experts_used=int(key("expert_used_count", 0) or 0),
@@ -347,6 +366,25 @@ PRESETS: dict[str, ModelConfig] = {
         n_dense_lead=1, n_experts=8, n_experts_used=2, n_ff_exp=64,
         expert_gating_softmax=False, expert_weights_norm=True,
         expert_weights_scale=2.5, n_expert_groups=4, n_group_used=2,
+    ),
+    # gpt-oss-20b (LLM_TYPE_20B, llama-model.cpp:2269): all-MoE with
+    # alternating SWA + sinks, swiglu_oai experts, post-top-k softmax
+    "gpt-oss-20b": ModelConfig(
+        arch="gpt-oss", n_layers=24, n_embd=2880, n_heads=64, n_kv_heads=8,
+        head_dim=64, n_ff=2880, vocab_size=201088, context_length=131072,
+        rope_theta=150000.0, rope_scaling_type="yarn",
+        rope_scale_factor=32.0, rope_orig_context=4096,
+        n_experts=32, n_experts_used=4, n_ff_exp=2880,
+        swa_window=128, swa_pattern=2, attn_bias=True,
+        expert_softmax_weight=True, moe_act="swiglu_oai",
+    ),
+    # tiny gpt-oss debug model
+    "tiny-oss": ModelConfig(
+        arch="gpt-oss", n_layers=3, n_embd=128, n_heads=4, n_kv_heads=2,
+        head_dim=32, n_ff=256, vocab_size=512, context_length=1024,
+        n_experts=4, n_experts_used=2, n_ff_exp=64,
+        swa_window=8, swa_pattern=2, attn_bias=True,
+        expert_softmax_weight=True, moe_act="swiglu_oai",
     ),
     # tiny debug model
     "tiny": ModelConfig(

@@ -131,10 +131,22 @@ def export_random_gguf(
             t(f"{p}.attn_k.weight", (hkv, e))
             t(f"{p}.attn_v.weight", (hkv, e))
             t(f"{p}.attn_output.weight", (e, hq))
+            if cfg.attn_bias:
+                t(f"{p}.attn_q.bias", (hq,))
+                t(f"{p}.attn_k.bias", (hkv,))
+                t(f"{p}.attn_v.bias", (hkv,))
+        if cfg.arch == "gpt-oss":
+            # gpt-oss: output bias, per-head sinks, and the pre-FFN norm
+            # under the post_attention_norm name (llama-model.cpp:6520-6540)
+            t(f"{p}.attn_output.bias", (e,))
+            t(f"{p}.attn_sinks.weight", (cfg.n_heads,))
         if cfg.qk_norm:
             norm(f"{p}.attn_q_norm.weight", d)
             norm(f"{p}.attn_k_norm.weight", d)
-        norm(f"{p}.ffn_norm.weight", e)
+        if cfg.arch == "gpt-oss":
+            norm(f"{p}.post_attention_norm.weight", e)
+        else:
+            norm(f"{p}.ffn_norm.weight", e)
         if cfg.is_mla and i < cfg.n_dense_lead:
             t(f"{p}.ffn_gate.weight", (f, e))
             t(f"{p}.ffn_up.weight", (f, e))
@@ -155,6 +167,12 @@ def export_random_gguf(
                 t(f"{p}.ffn_down_shexp.weight", (e, fe))
                 if not cfg.expert_gating_softmax:
                     t(f"{p}.exp_probs_b.bias", (cfg.n_experts,))
+            if cfg.arch == "gpt-oss":
+                # router + per-expert biases (llama-model.cpp:6541-6545)
+                t(f"{p}.ffn_gate_inp.bias", (cfg.n_experts,))
+                t(f"{p}.ffn_gate_exps.bias", (cfg.n_experts, fe))
+                t(f"{p}.ffn_up_exps.bias", (cfg.n_experts, fe))
+                t(f"{p}.ffn_down_exps.bias", (cfg.n_experts, e))
         else:
             t(f"{p}.ffn_gate.weight", (f, e))
             t(f"{p}.ffn_up.weight", (f, e))

@@ -88,6 +88,16 @@ def _load_moe(g: GGUFFile, p: str, dtype=jnp.bfloat16):
         # DeepSeek-V3 expert-selection bias (LLM_TENSOR_FFN_EXP_PROBS_B)
         shared["probs_bias"] = jnp.asarray(
             g.tensor(f"{p}.exp_probs_b.bias").astype(np.float32))
+    # gpt-oss per-expert + router biases (llama-model.cpp:6536-6545);
+    # GGUF ne {N, E} arrives as numpy [E, N], matching MoEWeights [E, ·]
+    if f"{p}.ffn_gate_inp.bias" in g.tensors:
+        shared["router_bias"] = jnp.asarray(
+            g.tensor(f"{p}.ffn_gate_inp.bias").astype(np.float32))
+    for bname, field in (("gate", "gate_b"), ("up", "up_b"),
+                         ("down", "down_b")):
+        key = f"{p}.ffn_{bname}_exps.bias"
+        if key in g.tensors:
+            shared[field] = jnp.asarray(g.tensor(key).astype(np.float32))
     if g.tensors[f"{p}.ffn_gate_exps.weight"].ggml_type == GGMLType.TCQ4_K32:
         from rrs_tpu.formats.tcq4 import effective_scales
 
@@ -213,13 +223,22 @@ def load_model(path: str | Path, dtype=jnp.bfloat16, fuse: bool = True):
                 w_gateup = fuse_linears([w_gate, w_up])
             if w_gateup is not None:
                 w_gate = w_up = None
+        # gpt-oss has no ffn_norm tensor: its pre-FFN norm ships under the
+        # post_attention_norm name (openai-moe-iswa.cpp applies
+        # attn_post_norm at the standard pre-FFN position, not as a
+        # gemma-style sandwich norm)
+        ffn_norm_name = f"{p}.ffn_norm.weight"
+        sandwich = cfg.arch != "gpt-oss"
+        if not sandwich and ffn_norm_name not in g.tensors:
+            ffn_norm_name = f"{p}.post_attention_norm.weight"
         layers.append(LayerWeights(
             attn_norm=_norm(g, f"{p}.attn_norm.weight", dtype),
             wq=wq, wk=wk, wv=wv,
-            wo=_linear(g, f"{p}.attn_output.weight", dtype),
+            wo=_linear(g, f"{p}.attn_output.weight", dtype,
+                       f"{p}.attn_output.bias"),
             q_norm=_norm(g, f"{p}.attn_q_norm.weight", dtype) if has_qn else None,
             k_norm=_norm(g, f"{p}.attn_k_norm.weight", dtype) if has_qn else None,
-            ffn_norm=_norm(g, f"{p}.ffn_norm.weight", dtype),
+            ffn_norm=_norm(g, ffn_norm_name, dtype),
             w_gate=w_gate, w_up=w_up,
             w_down=None if is_moe else _linear(g, f"{p}.ffn_down.weight", dtype),
             moe=moe,
@@ -227,7 +246,8 @@ def load_model(path: str | Path, dtype=jnp.bfloat16, fuse: bool = True):
             w_gateup=w_gateup,
             # gemma2/3 sandwich norms (post_attention_norm / post_ffw_norm)
             attn_post_norm=(_norm(g, f"{p}.post_attention_norm.weight", dtype)
-                            if f"{p}.post_attention_norm.weight" in g.tensors
+                            if sandwich and
+                            f"{p}.post_attention_norm.weight" in g.tensors
                             else None),
             ffn_post_norm=(_norm(g, f"{p}.post_ffw_norm.weight", dtype)
                            if f"{p}.post_ffw_norm.weight" in g.tensors

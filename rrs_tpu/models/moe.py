@@ -29,7 +29,8 @@ from rrs_tpu.models.config import ModelConfig
     jax.tree_util.register_dataclass,
     data_fields=["router", "gate", "up", "down", "shared_gate", "shared_up",
                  "shared_down", "gate_qs", "gate_eff", "up_qs", "up_eff",
-                 "down_qs", "down_eff", "probs_bias"],
+                 "down_qs", "down_eff", "probs_bias", "router_bias",
+                 "gate_b", "up_b", "down_b"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -53,6 +54,12 @@ class MoEWeights:
     # DeepSeek-V3 expert-selection bias [n_experts] (exp_probs_b): added to
     # the probs for TOP-K SELECTION only; weights use the unbiased probs
     probs_bias: Optional[jnp.ndarray] = None
+    # gpt-oss per-expert biases (ffn_{gate,up,down}_exps_b + router bias,
+    # llama-model.cpp:6536-6545; applied via ggml_add_id in build_moe_ffn)
+    router_bias: Optional[jnp.ndarray] = None   # [E]
+    gate_b: Optional[jnp.ndarray] = None        # [E, F]
+    up_b: Optional[jnp.ndarray] = None          # [E, F]
+    down_b: Optional[jnp.ndarray] = None        # [E, K]
 
     @property
     def quantized(self) -> bool:
@@ -99,9 +106,14 @@ def route(cfg: ModelConfig, mw: MoEWeights, x2: jnp.ndarray):
     restriction (keep the top n_group_used groups scored by the sum of each
     group's top-2 selection probs, mask the rest to -inf); post-top-k
     weight normalization (norm_w, clamped denominator) and routed-weight
-    scale (expert_weights_scale)."""
+    scale (expert_weights_scale); gpt-oss SOFTMAX_WEIGHT mode (top-k on
+    raw logits, softmax over the selected k only) + router bias."""
     logits = jnp.dot(x2.astype(jnp.float32), mw.router.astype(jnp.float32))
-    if cfg.expert_gating_softmax:
+    if mw.router_bias is not None:
+        logits = logits + mw.router_bias.astype(jnp.float32)
+    if cfg.expert_softmax_weight:
+        probs = logits
+    elif cfg.expert_gating_softmax:
         probs = jax.nn.softmax(logits, axis=-1)
     else:
         probs = jax.nn.sigmoid(logits)
@@ -123,7 +135,9 @@ def route(cfg: ModelConfig, mw: MoEWeights, x2: jnp.ndarray):
 
     _, topi = jax.lax.top_k(sel, cfg.n_experts_used)
     topv = jnp.take_along_axis(probs, topi, axis=-1)     # unbiased weights
-    if cfg.norm_topk_prob or cfg.expert_weights_norm:
+    if cfg.expert_softmax_weight:
+        topv = jax.nn.softmax(topv, axis=-1)
+    elif cfg.norm_topk_prob or cfg.expert_weights_norm:
         # clamp matches the reference's f16-min floor (llama-graph.cpp:1134)
         topv = topv / jnp.maximum(topv.sum(-1, keepdims=True), 6.1035156e-5)
     if cfg.expert_weights_scale != 1.0:
@@ -145,6 +159,17 @@ def _dequant_expert(qs, eff):
         tt, kk, nsb * 256, f).astype(jnp.float32)
     e32 = jnp.repeat(eff.astype(jnp.float32), 32, axis=-2)
     return (w_q * e32).astype(jnp.bfloat16)
+
+
+def _moe_act(cfg: ModelConfig, g: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """Expert activation. swiglu_oai (gpt-oss): clamp gate above at +limit,
+    up to [-limit, limit], then x*sigmoid(alpha*x) * (y+1) with alpha=1.702,
+    limit=7.0 (ggml_swiglu_oai, ggml-cpu/ops.cpp:3260-3266)."""
+    if cfg.moe_act == "swiglu_oai":
+        x = jnp.minimum(g, 7.0)
+        y = jnp.clip(u, -7.0, 7.0)
+        return x * jax.nn.sigmoid(1.702 * x) * (y + 1.0)
+    return jax.nn.silu(g) * u
 
 
 def _rotate_quant(x2: jnp.ndarray) -> jnp.ndarray:
@@ -201,7 +226,10 @@ def moe_ffn(cfg: ModelConfig, mw: MoEWeights, x: jnp.ndarray) -> jnp.ndarray:
                                          interpret=interp)
             u = tcq4_matmul_experts_rows(ar, mw.up_qs, mw.up_eff, ids,
                                          interpret=interp)
-            act = jax.nn.silu(g) * u                        # [T*kk, F] f32
+            if mw.gate_b is not None:
+                g = g + jnp.take(mw.gate_b, ids, axis=0)
+                u = u + jnp.take(mw.up_b, ids, axis=0)
+            act = _moe_act(cfg, g, u)                       # [T*kk, F] f32
             a2 = _rotate_quant(act)
             d = tcq4_matmul_experts_rows(a2, mw.down_qs, mw.down_eff, ids,
                                          interpret=interp)
@@ -214,13 +242,19 @@ def moe_ffn(cfg: ModelConfig, mw: MoEWeights, x: jnp.ndarray) -> jnp.ndarray:
             combine = jnp.put_along_axis(combine, topi, topv, axis=-1,
                                          inplace=False)
 
+            nE, fE = mw.gate_qs.shape[0], cfg.n_ff_exp
+            gb = (mw.gate_b if mw.gate_b is not None
+                  else jnp.zeros((nE, fE), jnp.float32))
+            ub = (mw.up_b if mw.up_b is not None
+                  else jnp.zeros((nE, fE), jnp.float32))
+
             def body(acc, ew):
-                gq, ge, uq, ue, dq, de_, cw = ew
+                gq, ge, uq, ue, dq, de_, cw, gb_e, ub_e = ew
                 wg = _dequant_expert(gq[None, None], ge[None, None])[0, 0]
                 wu = _dequant_expert(uq[None, None], ue[None, None])[0, 0]
-                g = jnp.dot(a, wg, preferred_element_type=jnp.float32)
-                u = jnp.dot(a, wu, preferred_element_type=jnp.float32)
-                a2 = _rotate_quant(jax.nn.silu(g) * u)
+                g = jnp.dot(a, wg, preferred_element_type=jnp.float32) + gb_e
+                u = jnp.dot(a, wu, preferred_element_type=jnp.float32) + ub_e
+                a2 = _rotate_quant(_moe_act(cfg, g, u))
                 wd = _dequant_expert(dq[None, None], de_[None, None])[0, 0]
                 y = jnp.dot(a2, wd, preferred_element_type=jnp.float32)
                 return acc + y * cw[:, None], None
@@ -228,7 +262,7 @@ def moe_ffn(cfg: ModelConfig, mw: MoEWeights, x: jnp.ndarray) -> jnp.ndarray:
             out, _ = jax.lax.scan(
                 body, jnp.zeros((n_tok, e), jnp.float32),
                 (mw.gate_qs, mw.gate_eff, mw.up_qs, mw.up_eff,
-                 mw.down_qs, mw.down_eff, combine.T))
+                 mw.down_qs, mw.down_eff, combine.T, gb, ub))
     elif n_tok <= 16:
         # gather path: per-token expert weights from HBM
         wg = jnp.take(mw.gate, topi, axis=0)   # [T, k, K, F]
@@ -237,7 +271,10 @@ def moe_ffn(cfg: ModelConfig, mw: MoEWeights, x: jnp.ndarray) -> jnp.ndarray:
         xe = x2[:, None, :]                     # [T, 1, K]
         g = jnp.einsum("tok,tekf->tef", xe, wg, preferred_element_type=jnp.float32)
         u = jnp.einsum("tok,tekf->tef", xe, wu, preferred_element_type=jnp.float32)
-        act = jax.nn.silu(g) * u                # [T, k, F]
+        if mw.gate_b is not None:
+            g = g + jnp.take(mw.gate_b, topi, axis=0)
+            u = u + jnp.take(mw.up_b, topi, axis=0)
+        act = _moe_act(cfg, g, u)               # [T, k, F]
         out = jnp.einsum("tef,tefk->tek", act.astype(x.dtype), wd,
                          preferred_element_type=jnp.float32)
         out = (out * topv[..., None]).sum(1)
@@ -245,7 +282,10 @@ def moe_ffn(cfg: ModelConfig, mw: MoEWeights, x: jnp.ndarray) -> jnp.ndarray:
         # dense path: run all experts, combine with routing weights
         g = jnp.einsum("tk,ekf->tef", x2, mw.gate, preferred_element_type=jnp.float32)
         u = jnp.einsum("tk,ekf->tef", x2, mw.up, preferred_element_type=jnp.float32)
-        act = jax.nn.silu(g) * u                # [T, E, F]
+        if mw.gate_b is not None:
+            g = g + mw.gate_b[None]
+            u = u + mw.up_b[None]
+        act = _moe_act(cfg, g, u)               # [T, E, F]
         y = jnp.einsum("tef,efk->tek", act.astype(x.dtype), mw.down,
                        preferred_element_type=jnp.float32)   # [T, E, K]
         combine = jnp.zeros((n_tok, cfg.n_experts), jnp.float32)
@@ -254,6 +294,13 @@ def moe_ffn(cfg: ModelConfig, mw: MoEWeights, x: jnp.ndarray) -> jnp.ndarray:
 
     if cfg.tp_axis is not None and not mw.quantized:
         out = jax.lax.psum(out, cfg.tp_axis)
+
+    if mw.down_b is not None:
+        # per-expert down-projection bias (ggml_add_id after the down mm):
+        # applied ONCE after the tp reduction — down_b is replicated while
+        # the down stacks are row-parallel partial sums
+        db = jnp.take(mw.down_b, topi, axis=0)          # [T, k, K]
+        out = out + (db * topv[..., None]).sum(1)
 
     if mw.shared_gate is not None:
         g = jnp.dot(x2, mw.shared_gate, preferred_element_type=jnp.float32)

@@ -126,6 +126,15 @@ def _moe_pspecs(moe, ep_axis: Optional[str]):
         up_qs=qstack(moe.up_qs), up_eff=qstack(moe.up_eff),
         down_qs=qstack(moe.down_qs), down_eff=qstack(moe.down_eff),
         probs_bias=None if moe.probs_bias is None else P(None),
+        router_bias=None if moe.router_bias is None else P(None),
+        # gate/up biases ride the F axis: sharded with the dense stacks'
+        # column split, replicated alongside packed (kernel-owned) stacks;
+        # down_b stays replicated — moe_ffn adds it AFTER the tp psum
+        gate_b=None if moe.gate_b is None else (
+            P(ep, "tp") if moe.gate is not None else P(ep, None)),
+        up_b=None if moe.up_b is None else (
+            P(ep, "tp") if moe.up is not None else P(ep, None)),
+        down_b=None if moe.down_b is None else P(ep, None),
     )
 
 

@@ -76,6 +76,7 @@ _ARCH_MAP = {
     "MambaForCausalLM": "mamba",
     "DeepseekV2ForCausalLM": "deepseek2",
     "DeepseekV3ForCausalLM": "deepseek2",
+    "GptOssForCausalLM": "gpt-oss",
 }
 
 
@@ -244,8 +245,20 @@ def convert_hf_to_gguf(model_dir: str | Path, out_path: str | Path,
                       cfg.get("rms_norm_eps", 1e-6))
         w.add_float32(f"{a}.rope.freq_base", cfg.get("rope_theta", 10000.0))
         if cfg.get("sliding_window") and a in ("gemma2", "gemma3", "llama",
-                                               "qwen2", "qwen3"):
+                                               "qwen2", "qwen3", "gpt-oss"):
             w.add_uint32(f"{a}.attention.sliding_window", cfg["sliding_window"])
+        if a == "gpt-oss":
+            w.add_uint32(f"{a}.expert_count", cfg["num_local_experts"])
+            w.add_uint32(f"{a}.expert_used_count", cfg["num_experts_per_tok"])
+            w.add_uint32(f"{a}.expert_feed_forward_length",
+                         cfg["intermediate_size"])
+            rs = cfg.get("rope_scaling") or {}
+            if rs.get("rope_type") == "yarn" or rs.get("type") == "yarn":
+                w.add_string(f"{a}.rope.scaling.type", "yarn")
+                w.add_float32(f"{a}.rope.scaling.factor",
+                              rs.get("factor", 1.0))
+                w.add_uint32(f"{a}.rope.scaling.original_context_length",
+                             rs.get("original_max_position_embeddings", 4096))
         if a == "gemma2":
             w.add_float32(f"{a}.attn_logit_softcapping",
                           cfg.get("attn_logit_softcapping", 50.0))
@@ -351,6 +364,46 @@ def convert_hf_to_gguf(model_dir: str | Path, out_path: str | Path,
                                        ("down_proj", "ffn_down_shexp")):
                     put(gp + f"{g_name}.weight",
                         sd[hp + f"mlp.shared_experts.{w_name}.weight"])
+        put_norm("output_norm.weight", sd[f"{pfx}norm.weight"])
+        if not tie and "lm_head.weight" in sd:
+            put("output.weight", sd["lm_head.weight"])
+        w.write()
+        return Path(out_path)
+
+    if a == "gpt-oss":
+        # HF GptOss (modeling_gpt_oss.py): experts as fused INTERLEAVED
+        # gate_up_proj [E, hidden, 2*fe] (gate = [..., ::2], up = [..., 1::2])
+        # in einsum orientation (input dim second), down_proj [E, fe, hidden];
+        # per-head sink logits under self_attn.sinks; the pre-FFN norm ships
+        # as post_attention_layernorm (GGUF post_attention_norm)
+        put("token_embd.weight", sd[f"{pfx}embed_tokens.weight"])
+        for i in range(n_layers):
+            hp = f"{pfx}layers.{i}."
+            gp = f"blk.{i}."
+            put_norm(gp + "attn_norm.weight",
+                     sd[hp + "input_layernorm.weight"])
+            for nm in ("q", "k", "v"):
+                put(gp + f"attn_{nm}.weight",
+                    sd[hp + f"self_attn.{nm}_proj.weight"])
+                put(gp + f"attn_{nm}.bias",
+                    sd[hp + f"self_attn.{nm}_proj.bias"])
+            put(gp + "attn_output.weight", sd[hp + "self_attn.o_proj.weight"])
+            put(gp + "attn_output.bias", sd[hp + "self_attn.o_proj.bias"])
+            put(gp + "attn_sinks.weight", sd[hp + "self_attn.sinks"])
+            put_norm(gp + "post_attention_norm.weight",
+                     sd[hp + "post_attention_layernorm.weight"])
+            put(gp + "ffn_gate_inp.weight", sd[hp + "mlp.router.weight"])
+            put(gp + "ffn_gate_inp.bias", sd[hp + "mlp.router.bias"])
+            gu = sd[hp + "mlp.experts.gate_up_proj"]        # [E, K, 2F]
+            gub = sd[hp + "mlp.experts.gate_up_proj_bias"]  # [E, 2F]
+            put(gp + "ffn_gate_exps.weight", gu[..., ::2].transpose(0, 2, 1))
+            put(gp + "ffn_up_exps.weight", gu[..., 1::2].transpose(0, 2, 1))
+            put(gp + "ffn_gate_exps.bias", gub[..., ::2])
+            put(gp + "ffn_up_exps.bias", gub[..., 1::2])
+            dn = sd[hp + "mlp.experts.down_proj"]           # [E, F, K]
+            put(gp + "ffn_down_exps.weight", dn.transpose(0, 2, 1))
+            put(gp + "ffn_down_exps.bias",
+                sd[hp + "mlp.experts.down_proj_bias"])
         put_norm("output_norm.weight", sd[f"{pfx}norm.weight"])
         if not tie and "lm_head.weight" in sd:
             put("output.weight", sd["lm_head.weight"])

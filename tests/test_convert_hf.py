@@ -206,3 +206,23 @@ def test_convert_deepseek_v2_moe(tmp_path):
     assert cfg.arch == "deepseek2" and cfg.q_lora_rank == 24
     assert cfg.n_dense_lead == 1 and cfg.n_experts == 8
     _compare_logits(model, cfg, weights, [7, 9, 100, 2], atol=4e-2)
+
+
+def test_convert_gptoss(tmp_path):
+    """gpt-oss: fused-interleaved expert de-interleave, sinks, alternating
+    SWA, post-top-k softmax routing — vs the HF eager forward."""
+    config = transformers.GptOssConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, num_local_experts=4, num_experts_per_tok=2,
+        sliding_window=4, max_position_embeddings=128,
+        rope_scaling=None, tie_word_embeddings=False,
+    )
+    d, model = _save_tiny(tmp_path, config, transformers.GptOssForCausalLM)
+    out = convert_hf_to_gguf(d, tmp_path / "m.gguf")
+    cfg, weights, md = load_model(out, dtype=np.float32, fuse=False)
+    assert cfg.arch == "gpt-oss" and cfg.swa_pattern == 2
+    assert cfg.expert_softmax_weight and cfg.moe_act == "swiglu_oai"
+    assert weights.layers[0].attn_sinks is not None
+    # 6 tokens: with window 4 the sliding layer actually masks history
+    _compare_logits(model, cfg, weights, [3, 17, 42, 5, 99, 8])
