@@ -36,6 +36,9 @@ def main(argv=None):
     g.add_argument("--draft", type=int, default=4, help="draft length")
     g.add_argument("--lookup", action="store_true",
                    help="prompt-lookup (ngram) speculative decoding")
+    g.add_argument("--override-kv", action="append", metavar="KEY=TYPE:VALUE",
+                   help="override a GGUF metadata KV (repeatable; "
+                        "TYPE in int/float/bool/str)")
     from rrs_tpu.parallel.distributed import add_parallel_args
     add_parallel_args(g)
 
@@ -56,6 +59,9 @@ def main(argv=None):
     pp.add_argument("--pp", type=int, default=1, metavar="N",
                     help="pipeline (layer-split) parallelism over N devices "
                          "(--split-mode layer analog; GPipe schedule)")
+    pp.add_argument("--override-kv", action="append",
+                    metavar="KEY=TYPE:VALUE",
+                    help="override a GGUF metadata KV (repeatable)")
     pp.add_argument("--pp-micro", type=int, default=2, metavar="M",
                     help="microbatches (chunks) per pipeline dispatch")
 
@@ -172,6 +178,9 @@ def main(argv=None):
                    help="draft model GGUF for server-side speculative decoding")
     s.add_argument("--draft", type=int, default=4,
                    help="speculative draft length")
+    s.add_argument("--override-kv", action="append",
+                   metavar="KEY=TYPE:VALUE",
+                   help="override a GGUF metadata KV (repeatable)")
     s.add_argument("--slot-save-path", default=None,
                    help="base dir for /slots save/restore (endpoint "
                         "disabled when unset)")
@@ -294,14 +303,16 @@ def main(argv=None):
         serve(args)
 
 
-def _load(model_path, n_lanes=1, max_seq=2048, kv_quant="none", mesh=None):
+def _load(model_path, n_lanes=1, max_seq=2048, kv_quant="none", mesh=None,
+          overrides=None):
     from rrs_tpu.models.loader import load_model
     from rrs_tpu.models.vocab import Vocab
     from rrs_tpu.runtime.recurrent import make_context
 
     # fused q|k|v / gate|up projections can't be TP-sharded (the megatron
     # column split needs the per-head boundaries); load unfused under a mesh
-    cfg, weights, md = load_model(model_path, fuse=mesh is None)
+    cfg, weights, md = load_model(model_path, fuse=mesh is None,
+                                  overrides=overrides)
     vocab = Vocab.from_gguf(md)
     kw = {} if mesh is None else {"mesh": mesh}
     if mesh is not None:
@@ -319,9 +330,13 @@ def cmd_generate(args):
 
     maybe_initialize(args)
     mesh = mesh_from_args(args)
+    from rrs_tpu.models.loader import parse_kv_overrides
+
     cfg, vocab, ctx = _load(args.model, max_seq=args.ctx,
                             kv_quant=getattr(args, "cache_type", "none"),
-                            mesh=mesh)
+                            mesh=mesh,
+                            overrides=parse_kv_overrides(
+                                getattr(args, "override_kv", None)))
     tokens = vocab.encode(args.prompt, add_special=not args.no_bos)
     params = SamplerParams(
         temperature=args.temp, top_k=args.top_k, top_p=args.top_p, seed=args.seed
@@ -387,7 +402,11 @@ def cmd_perplexity(args):
               f"(pp={args.pp})")
         return
 
-    cfg, vocab, ctx = _load(args.model, max_seq=args.n_ctx)
+    from rrs_tpu.models.loader import parse_kv_overrides
+
+    cfg, vocab, ctx = _load(args.model, max_seq=args.n_ctx,
+                            overrides=parse_kv_overrides(
+                                getattr(args, "override_kv", None)))
     if args.multiple_choice:
         tasks = json.load(open(args.multiple_choice))
         acc, picks = multiple_choice_score(ctx, vocab, tasks)

@@ -132,19 +132,48 @@ def _load_moe(g: GGUFFile, p: str, dtype=jnp.bfloat16):
         **shared)
 
 
-def load_model(path: str | Path, dtype=jnp.bfloat16, fuse: bool = True):
+def parse_kv_overrides(specs) -> dict:
+    """Parse ``--override-kv KEY=TYPE:VALUE`` specs (llama_model_kv_override,
+    llama.h:266-277; flag registered in common/arg.cpp). TYPE is one of
+    int/float/bool/str; repeatable."""
+    out: dict = {}
+    for spec in specs or []:
+        key, eq, tv = spec.partition("=")
+        typ, _, val = tv.partition(":")
+        if not key or not eq or typ not in ("int", "float", "bool", "str"):
+            raise ValueError(
+                f"bad --override-kv {spec!r}; want KEY=TYPE:VALUE with "
+                f"TYPE in int/float/bool/str")
+        if typ == "int":
+            out[key] = int(val)
+        elif typ == "float":
+            out[key] = float(val)
+        elif typ == "bool":
+            out[key] = val.strip().lower() in ("1", "true", "yes", "on")
+        else:
+            out[key] = val
+    return out
+
+
+def load_model(path: str | Path, dtype=jnp.bfloat16, fuse: bool = True,
+               overrides: dict | None = None):
     """Load a GGUF model (single file or -NNNNN-of-NNNNN shard set).
     Returns (config, weights, metadata).
 
     ``fuse=True`` concatenates q|k|v and gate|up projections into single
     kernels (fewer launches, wider tiles); use fuse=False when the weights
-    will be tensor-parallel-sharded."""
+    will be tensor-parallel-sharded.
+
+    ``overrides``: metadata KV overrides applied before hparam/vocab
+    interpretation (the --override-kv mechanism, llama.h:266-277)."""
     from rrs_tpu.tools.gguf_split import SPLIT_RE, MultiGGUF
 
     if SPLIT_RE.match(Path(path).name):
         g = MultiGGUF(path)
     else:
         g = read_gguf(path)
+    if overrides:
+        g.metadata.update(overrides)
     cfg = ModelConfig.from_gguf(g.metadata)
     if cfg.vocab_size == 0:
         cfg = ModelConfig(**{**cfg.__dict__, "vocab_size": g.tensors["token_embd.weight"].shape[0]})

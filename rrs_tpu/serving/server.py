@@ -779,7 +779,11 @@ def serve(args):
 
     maybe_initialize(args)
     mesh = mesh_from_args(args)
-    cfg, weights, md = load_model(args.model, fuse=mesh is None)
+    from rrs_tpu.models.loader import parse_kv_overrides
+
+    cfg, weights, md = load_model(
+        args.model, fuse=mesh is None,
+        overrides=parse_kv_overrides(getattr(args, "override_kv", None)))
     vocab = Vocab.from_gguf(md)
     n_lanes = args.parallel
     if mesh is not None:

@@ -121,3 +121,26 @@ def test_logging_sink():
         ulog.set_level("info")
     assert len(seen) == 2
     assert "shown 2" in seen[0][1] and seen[1][0] == 40
+
+
+def test_override_kv(tmp_path):
+    """--override-kv (llama_model_kv_override, llama.h:266-277): metadata
+    overrides apply before hparam interpretation."""
+    import pytest
+
+    from rrs_tpu.models.config import PRESETS
+    from rrs_tpu.models.export import export_random_gguf
+    from rrs_tpu.models.loader import load_model, parse_kv_overrides
+
+    ov = parse_kv_overrides(["qwen3.rope.freq_base=float:777.0",
+                             "qwen3.context_length=int:99",
+                             "x.flag=bool:true", "x.name=str:hi"])
+    assert ov == {"qwen3.rope.freq_base": 777.0, "qwen3.context_length": 99,
+                  "x.flag": True, "x.name": "hi"}
+    with pytest.raises(ValueError):
+        parse_kv_overrides(["no-type-sep"])
+
+    path = tmp_path / "m.gguf"
+    export_random_gguf(PRESETS["tiny"], path, seed=0)
+    cfg, _, _ = load_model(path, overrides=ov)
+    assert cfg.rope_theta == 777.0 and cfg.context_length == 99
