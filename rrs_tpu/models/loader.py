@@ -235,20 +235,35 @@ def load_model(path: str | Path, dtype=jnp.bfloat16, fuse: bool = True,
                 moe=moe,
             ))
             continue
-        wq = _linear(g, f"{p}.attn_q.weight", dtype, f"{p}.attn_q.bias")
-        wk = _linear(g, f"{p}.attn_k.weight", dtype, f"{p}.attn_k.bias")
-        wv = _linear(g, f"{p}.attn_v.weight", dtype, f"{p}.attn_v.bias")
-        w_gate = None if is_moe else _linear(g, f"{p}.ffn_gate.weight", dtype)
-        w_up = None if is_moe else _linear(g, f"{p}.ffn_up.weight", dtype)
-        wqkv = w_gateup = None
+        wq = wk = wv = w_gate = w_up = wqkv = w_gateup = None
+        if f"{p}.attn_qkv.weight" in g.tensors:
+            # phi3-style PRE-fused q|k|v (llama-model.cpp PHI3 wqkv,
+            # {n_embd, n_embd + 2*n_embd_gqa}) — loads straight into the
+            # fused slot the forward already splits
+            wqkv = _linear(g, f"{p}.attn_qkv.weight", dtype,
+                           f"{p}.attn_qkv.bias")
+        else:
+            wq = _linear(g, f"{p}.attn_q.weight", dtype, f"{p}.attn_q.bias")
+            wk = _linear(g, f"{p}.attn_k.weight", dtype, f"{p}.attn_k.bias")
+            wv = _linear(g, f"{p}.attn_v.weight", dtype, f"{p}.attn_v.bias")
+        if not is_moe:
+            if f"{p}.ffn_gate.weight" not in g.tensors \
+                    and f"{p}.ffn_up.weight" in g.tensors:
+                # phi3-style pre-fused gate|up in ffn_up ({n_embd, 2*n_ff},
+                # consumed as LLM_FFN_SWIGLU: first half gate, second up)
+                w_gateup = _linear(g, f"{p}.ffn_up.weight", dtype)
+            else:
+                w_gate = _linear(g, f"{p}.ffn_gate.weight", dtype)
+                w_up = _linear(g, f"{p}.ffn_up.weight", dtype)
         if fuse:
             from rrs_tpu.models.linear import fuse_linears
 
-            if type(wq) is type(wk) is type(wv):
+            if wqkv is None and type(wq) is type(wk) is type(wv):
                 wqkv = fuse_linears([wq, wk, wv])
             if wqkv is not None:
                 wq = wk = wv = None
-            if not is_moe and type(w_gate) is type(w_up):
+            if w_gateup is None and w_gate is not None \
+                    and type(w_gate) is type(w_up):
                 w_gateup = fuse_linears([w_gate, w_up])
             if w_gateup is not None:
                 w_gate = w_up = None

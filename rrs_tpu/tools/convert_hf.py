@@ -77,6 +77,7 @@ _ARCH_MAP = {
     "DeepseekV2ForCausalLM": "deepseek2",
     "DeepseekV3ForCausalLM": "deepseek2",
     "GptOssForCausalLM": "gpt-oss",
+    "Phi3ForCausalLM": "phi3",
 }
 
 
@@ -245,8 +246,20 @@ def convert_hf_to_gguf(model_dir: str | Path, out_path: str | Path,
                       cfg.get("rms_norm_eps", 1e-6))
         w.add_float32(f"{a}.rope.freq_base", cfg.get("rope_theta", 10000.0))
         if cfg.get("sliding_window") and a in ("gemma2", "gemma3", "llama",
-                                               "qwen2", "qwen3", "gpt-oss"):
+                                               "qwen2", "qwen3", "gpt-oss",
+                                               "phi3"):
             w.add_uint32(f"{a}.attention.sliding_window", cfg["sliding_window"])
+        if a == "phi3":
+            # partial rotary + LongRoPE factors (Phi3Model in the reference
+            # convert script; rope_factors_{long,short}.weight tensors)
+            rot = int(head_dim * cfg.get("partial_rotary_factor", 1.0))
+            w.add_uint32(f"{a}.rope.dimension_count", rot)
+            rs = cfg.get("rope_scaling") or {}
+            if rs.get("type") == "longrope" or rs.get("rope_type") == "longrope":
+                w.add_string(f"{a}.rope.scaling.type", "longrope")
+                w.add_uint32(f"{a}.rope.scaling.original_context_length",
+                             cfg.get("original_max_position_embeddings",
+                                     4096))
         if a == "gpt-oss":
             w.add_uint32(f"{a}.expert_count", cfg["num_local_experts"])
             w.add_uint32(f"{a}.expert_used_count", cfg["num_experts_per_tok"])
@@ -364,6 +377,34 @@ def convert_hf_to_gguf(model_dir: str | Path, out_path: str | Path,
                                        ("down_proj", "ffn_down_shexp")):
                     put(gp + f"{g_name}.weight",
                         sd[hp + f"mlp.shared_experts.{w_name}.weight"])
+        put_norm("output_norm.weight", sd[f"{pfx}norm.weight"])
+        if not tie and "lm_head.weight" in sd:
+            put("output.weight", sd["lm_head.weight"])
+        w.write()
+        return Path(out_path)
+
+    if a == "phi3":
+        # HF Phi3 ships qkv_proj / gate_up_proj PRE-fused in exactly the
+        # GGUF attn_qkv / ffn_up layouts (q|k|v rows; gate|up rows consumed
+        # as LLM_FFN_SWIGLU) — written through unchanged
+        put("token_embd.weight", sd[f"{pfx}embed_tokens.weight"])
+        for i in range(n_layers):
+            hp = f"{pfx}layers.{i}."
+            gp = f"blk.{i}."
+            put_norm(gp + "attn_norm.weight",
+                     sd[hp + "input_layernorm.weight"])
+            put(gp + "attn_qkv.weight", sd[hp + "self_attn.qkv_proj.weight"])
+            put(gp + "attn_output.weight", sd[hp + "self_attn.o_proj.weight"])
+            put_norm(gp + "ffn_norm.weight",
+                     sd[hp + "post_attention_layernorm.weight"])
+            put(gp + "ffn_up.weight", sd[hp + "mlp.gate_up_proj.weight"])
+            put(gp + "ffn_down.weight", sd[hp + "mlp.down_proj.weight"])
+        rs = cfg.get("rope_scaling") or {}
+        if rs.get("long_factor"):
+            put("rope_factors_long.weight",
+                np.asarray(rs["long_factor"], np.float32))
+            put("rope_factors_short.weight",
+                np.asarray(rs["short_factor"], np.float32))
         put_norm("output_norm.weight", sd[f"{pfx}norm.weight"])
         if not tie and "lm_head.weight" in sd:
             put("output.weight", sd["lm_head.weight"])

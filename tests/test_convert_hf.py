@@ -226,3 +226,21 @@ def test_convert_gptoss(tmp_path):
     assert weights.layers[0].attn_sinks is not None
     # 6 tokens: with window 4 the sliding layer actually masks history
     _compare_logits(model, cfg, weights, [3, 17, 42, 5, 99, 8])
+
+
+def test_convert_phi3(tmp_path):
+    """phi3: PRE-fused qkv_proj/gate_up_proj pass straight through into the
+    GGUF attn_qkv/ffn_up layouts the forward splits natively."""
+    config = transformers.Phi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2, tie_word_embeddings=False, sliding_window=None,
+    )
+    d, model = _save_tiny(tmp_path, config, transformers.Phi3ForCausalLM)
+    out = convert_hf_to_gguf(d, tmp_path / "m.gguf")
+    cfg, weights, md = load_model(out, dtype=np.float32)
+    assert cfg.arch == "phi3"
+    assert weights.layers[0].wqkv is not None
+    assert weights.layers[0].w_gateup is not None
+    _compare_logits(model, cfg, weights, [3, 17, 42, 5])
