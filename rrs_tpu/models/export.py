@@ -22,8 +22,13 @@ def export_random_gguf(
     scale: float = 0.05,
     dtype=np.float32,
     vocab_tokens: list[str] | None = None,
+    expert_ggml_type=None,
 ):
-    """Write a random-weight GGUF model matching ``cfg``."""
+    """Write a random-weight GGUF model matching ``cfg``.
+
+    ``expert_ggml_type``: optional GGMLType for the stacked ``*_exps``
+    expert tensors (e.g. MXFP4 — the gpt-oss native expert format); other
+    tensors stay ``dtype``."""
     rng = np.random.default_rng(seed)
     w = GGUFWriter(path)
     a = cfg.arch
@@ -78,6 +83,14 @@ def export_random_gguf(
 
     def t(name, shape):
         arr = (rng.standard_normal(shape) * scale).astype(dtype)
+        if expert_ggml_type is not None and name.endswith("_exps.weight"):
+            from rrs_tpu.gguf.constants import GGMLType
+            from rrs_tpu.formats.kquants import quantize_mxfp4
+
+            assert expert_ggml_type == GGMLType.MXFP4, expert_ggml_type
+            w.add_tensor(name, quantize_mxfp4(arr.astype(np.float32)),
+                         shape=shape, ggml_type=expert_ggml_type)
+            return
         w.add_tensor(name, arr)
 
     def norm(name, n):

@@ -140,6 +140,42 @@ class Q8Linear:
         return cls.from_q8_gguf(raw, w.shape, bias=bias)
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["qs", "scale", "bias"],
+    meta_fields=["n_logical"],
+)
+@dataclasses.dataclass
+class MXFP4Linear:
+    """MXFP4 linear (gpt-oss native format): packed e2m1 nibbles + E8M0
+    block scales stay in HBM; dequant happens in VMEM inside the matmul
+    kernel (ops/mxfp4_matmul.py). qs uint8 [K//2, Npad] in the 64-superblock
+    pair layout, scale bf16 [K//32, Npad] (powers of two — bf16-exact).
+    Activations stay bf16: MXFP4 is a weights-only format (no RRS
+    rotation/activation quant, unlike TCQ4)."""
+
+    qs: jnp.ndarray
+    scale: jnp.ndarray
+    bias: Optional[jnp.ndarray] = None
+    n_logical: int = 0
+
+    @property
+    def shape(self):
+        return (self.qs.shape[0] * 2, self.n_logical or self.qs.shape[1])
+
+    @classmethod
+    def from_gguf(cls, raw: np.ndarray, shape, bias=None) -> "MXFP4Linear":
+        from rrs_tpu.ops.mxfp4_matmul import pack_mxfp4_device
+
+        qs, scale = pack_mxfp4_device(raw, shape)
+        return cls(
+            qs=jnp.asarray(qs),
+            scale=jnp.asarray(scale, jnp.bfloat16),
+            bias=None if bias is None else jnp.asarray(bias),
+            n_logical=shape[0],
+        )
+
+
 def fuse_linears(layers: list) -> object:
     """Concatenate same-K linears along N (QKV / gate-up fusion): one kernel
     launch instead of three, wider N tiles. All inputs must share type and K.
@@ -177,6 +213,23 @@ def fuse_linears(layers: list) -> object:
             qs=jnp.concatenate([l.qs for l in layers], axis=1),
             eff=jnp.concatenate([l.eff for l in layers], axis=1),
             gather=g0,
+            bias=bias,
+        )
+    if isinstance(first, MXFP4Linear):
+        # only fusable when no segment carries N padding (the pad columns
+        # would land mid-concat and shift later segments' outputs)
+        if any(l.n_logical and l.n_logical != l.qs.shape[1] for l in layers):
+            return None
+        bias = None
+        if any(l.bias is not None for l in layers):
+            bias = jnp.concatenate([
+                l.bias if l.bias is not None
+                else jnp.zeros((l.qs.shape[1],), jnp.float32)
+                for l in layers
+            ])
+        return MXFP4Linear(
+            qs=jnp.concatenate([l.qs for l in layers], axis=1),
+            scale=jnp.concatenate([l.scale for l in layers], axis=1),
             bias=bias,
         )
     if isinstance(first, Q8Linear):
@@ -312,6 +365,15 @@ def linear_apply(layer, x: jnp.ndarray, reduce_axis=None) -> jnp.ndarray:
             y = q8_mm.q8_matmul_ref(x2, layer.q, layer.scale)
         else:
             y = q8_mm.q8_matmul(x2, layer.q, layer.scale)
+        if layer.n_logical and layer.n_logical != y.shape[-1]:
+            y = y[:, : layer.n_logical]
+    elif isinstance(layer, MXFP4Linear):
+        from rrs_tpu.ops import mxfp4_matmul as mx_mm
+
+        if _auto_interpret():
+            y = mx_mm.mxfp4_matmul_ref(x2, layer.qs, layer.scale)
+        else:
+            y = mx_mm.mxfp4_matmul(x2, layer.qs, layer.scale)
         if layer.n_logical and layer.n_logical != y.shape[-1]:
             y = y[:, : layer.n_logical]
     elif isinstance(layer, TCQ4Linear):

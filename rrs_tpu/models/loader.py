@@ -63,6 +63,15 @@ def _linear(
     if info.ggml_type == GGMLType.Q8_0 and len(info.shape) == 2 \
             and info.shape[1] % 256 == 0:
         return Q8Linear.from_q8_gguf(g.tensor_bytes(name), info.shape, bias=bias)
+    if info.ggml_type == GGMLType.MXFP4 and len(info.shape) == 2 \
+            and info.shape[1] % 64 == 0:
+        # keep the packed 4.25-bpw payload on device; dequant happens in
+        # VMEM inside the matmul kernel (gpt-oss-class models don't fit in
+        # HBM dequantized)
+        from rrs_tpu.models.linear import MXFP4Linear
+
+        return MXFP4Linear.from_gguf(g.tensor_bytes(name), info.shape,
+                                     bias=bias)
     w = g.tensor(name).astype(np.float32)        # [N, K]
     return DenseLinear(w=jnp.asarray(w.T, dtype), bias=bias)
 
@@ -98,6 +107,33 @@ def _load_moe(g: GGUFFile, p: str, dtype=jnp.bfloat16):
         key = f"{p}.ffn_{bname}_exps.bias"
         if key in g.tensors:
             shared[field] = jnp.asarray(g.tensor(key).astype(np.float32))
+    if g.tensors[f"{p}.ffn_gate_exps.weight"].ggml_type == GGMLType.MXFP4:
+        # gpt-oss native expert format: keep the 4.25-bpw payload packed
+        # (dequantized bf16 experts would need ~2x the chip HBM at 20B);
+        # the MoE kernels dequantize in VMEM (ops/mxfp4_matmul.py)
+        from rrs_tpu.ops.mxfp4_matmul import pack_mxfp4_device
+
+        def mxstack(name):
+            info = g.tensors[name]
+            raw = g.tensor_bytes(name)
+            per = raw.size // info.shape[0]
+            qs_l, sc_l = [], []
+            for ei in range(info.shape[0]):
+                qs, sc = pack_mxfp4_device(raw[ei * per:(ei + 1) * per],
+                                           info.shape[1:])
+                qs_l.append(qs)
+                sc_l.append(sc)
+            return (jnp.asarray(np.stack(qs_l)),
+                    jnp.asarray(np.stack(sc_l), jnp.bfloat16))
+
+        gate_qs, gate_eff = mxstack(f"{p}.ffn_gate_exps.weight")
+        up_qs, up_eff = mxstack(f"{p}.ffn_up_exps.weight")
+        down_qs, down_eff = mxstack(f"{p}.ffn_down_exps.weight")
+        return MoEWeights(router=router, gate=None, up=None, down=None,
+                          gate_qs=gate_qs, gate_eff=gate_eff,
+                          up_qs=up_qs, up_eff=up_eff,
+                          down_qs=down_qs, down_eff=down_eff,
+                          quant_kind="mxfp4", **shared)
     if g.tensors[f"{p}.ffn_gate_exps.weight"].ggml_type == GGMLType.TCQ4_K32:
         from rrs_tpu.formats.tcq4 import effective_scales
 

@@ -31,7 +31,7 @@ from rrs_tpu.models.config import ModelConfig
                  "shared_down", "gate_qs", "gate_eff", "up_qs", "up_eff",
                  "down_qs", "down_eff", "probs_bias", "router_bias",
                  "gate_b", "up_b", "down_b"],
-    meta_fields=[],
+    meta_fields=["quant_kind"],
 )
 @dataclasses.dataclass
 class MoEWeights:
@@ -60,6 +60,11 @@ class MoEWeights:
     gate_b: Optional[jnp.ndarray] = None        # [E, F]
     up_b: Optional[jnp.ndarray] = None          # [E, F]
     down_b: Optional[jnp.ndarray] = None        # [E, K]
+    # packed-expert codec: "tcq4" (W4A4 + RRS rotation) or "mxfp4"
+    # (gpt-oss native e2m1 + E8M0, weights-only — activations stay bf16).
+    # For mxfp4 the *_qs/*_eff fields hold the mxfp4 (qs, scale) layout of
+    # ops/mxfp4_matmul.py, possibly N-padded to a lane multiple.
+    quant_kind: str = "tcq4"
 
     @property
     def quantized(self) -> bool:
@@ -209,31 +214,74 @@ def moe_ffn(cfg: ModelConfig, mw: MoEWeights, x: jnp.ndarray) -> jnp.ndarray:
                              "shared_up", "shared_down")})
 
     if mw.quantized:
-        # W4A4 experts, same RRS activation pipeline as TCQ4Linear
-        a = _rotate_quant(x2)                      # [T, K] rotated-quantized
+        mx = mw.quant_kind == "mxfp4"
+        if mx:
+            # MXFP4 is weights-only: bf16 activations, no RRS pipeline
+            from rrs_tpu.ops.mxfp4_matmul import (
+                dequant_mxfp4_jnp, mxfp4_matmul_experts_rows)
+
+            rows_mm = mxfp4_matmul_experts_rows
+
+            def prep(v):
+                return v.astype(jnp.bfloat16)
+        else:
+            # W4A4 experts, same RRS activation pipeline as TCQ4Linear
+            from rrs_tpu.ops.tcq4_matmul import tcq4_matmul_experts_rows
+
+            rows_mm = tcq4_matmul_experts_rows
+            prep = _rotate_quant
+        fE = cfg.n_ff_exp
+        a = prep(x2)                               # [T, K]
         kk = cfg.n_experts_used
         if n_tok <= 16:
             # decode: scalar-prefetch Pallas kernel streams ONLY the selected
             # experts' packed tiles from HBM (the CUDA mmvq-id analog) —
             # traffic ~ topk/E of the expert set, no dequantized weights in HBM
             from rrs_tpu.models.linear import _auto_interpret
-            from rrs_tpu.ops.tcq4_matmul import tcq4_matmul_experts_rows
 
             interp = _auto_interpret()
             ids = topi.reshape(-1)                          # [T*kk]
             ar = jnp.repeat(a, kk, axis=0)                  # [T*kk, K]
-            g = tcq4_matmul_experts_rows(ar, mw.gate_qs, mw.gate_eff, ids,
-                                         interpret=interp)
-            u = tcq4_matmul_experts_rows(ar, mw.up_qs, mw.up_eff, ids,
-                                         interpret=interp)
+            g = rows_mm(ar, mw.gate_qs, mw.gate_eff, ids,
+                        interpret=interp)[:, :fE]           # mxfp4: drop pad
+            u = rows_mm(ar, mw.up_qs, mw.up_eff, ids,
+                        interpret=interp)[:, :fE]
             if mw.gate_b is not None:
                 g = g + jnp.take(mw.gate_b, ids, axis=0)
                 u = u + jnp.take(mw.up_b, ids, axis=0)
             act = _moe_act(cfg, g, u)                       # [T*kk, F] f32
-            a2 = _rotate_quant(act)
-            d = tcq4_matmul_experts_rows(a2, mw.down_qs, mw.down_eff, ids,
-                                         interpret=interp)
+            a2 = prep(act)
+            d = rows_mm(a2, mw.down_qs, mw.down_eff, ids,
+                        interpret=interp)[:, :e]
             out = (d.reshape(n_tok, kk, e) * topv[..., None]).sum(1)
+        elif mx:
+            # prefill: one dequantized expert live at a time (jnp dequant,
+            # dense MXU dots), one-hot combine — same shape as the TCQ4
+            # scan below but without the RRS activation pipeline
+            combine = jnp.zeros((n_tok, cfg.n_experts), jnp.float32)
+            combine = jnp.put_along_axis(combine, topi, topv, axis=-1,
+                                         inplace=False)
+            nE = mw.gate_qs.shape[0]
+            gb = (mw.gate_b if mw.gate_b is not None
+                  else jnp.zeros((nE, fE), jnp.float32))
+            ub = (mw.up_b if mw.up_b is not None
+                  else jnp.zeros((nE, fE), jnp.float32))
+
+            def body_mx(acc, ew):
+                gq, ge, uq, ue, dq, de_, cw, gb_e, ub_e = ew
+                wg = dequant_mxfp4_jnp(gq, ge)[:, :fE].astype(jnp.bfloat16)
+                wu = dequant_mxfp4_jnp(uq, ue)[:, :fE].astype(jnp.bfloat16)
+                g = jnp.dot(a, wg, preferred_element_type=jnp.float32) + gb_e
+                u = jnp.dot(a, wu, preferred_element_type=jnp.float32) + ub_e
+                a2 = prep(_moe_act(cfg, g, u))
+                wd = dequant_mxfp4_jnp(dq, de_)[:, :e].astype(jnp.bfloat16)
+                y = jnp.dot(a2, wd, preferred_element_type=jnp.float32)
+                return acc + y * cw[:, None], None
+
+            out, _ = jax.lax.scan(
+                body_mx, jnp.zeros((n_tok, e), jnp.float32),
+                (mw.gate_qs, mw.gate_eff, mw.up_qs, mw.up_eff,
+                 mw.down_qs, mw.down_eff, combine.T, gb, ub))
         else:
             # prefill: stream experts one at a time (scan keeps peak memory at
             # a single dequantized expert), dense MXU matmuls over all tokens,

@@ -1,0 +1,237 @@
+"""MXFP4 weight matmul — the MMQ-for-MXFP4 analog (ggml-cuda/mmq.cu +
+dequantize_row_mxfp4, ggml-quants.c:421-439).
+
+gpt-oss checkpoints ship their expert stacks in MXFP4 (e2m1 nibbles + one
+E8M0 power-of-two scale per 32-block, 4.25 bpw). Dequantizing them to bf16
+at load would need ~2x the chip's HBM for gpt-oss-20B, so — like TCQ4 —
+the packed bytes live in HBM and dequantization happens in VMEM inside the
+matmul kernel.
+
+Device layout (chosen for the TPU, not the GGUF byte order):
+  qs    uint8 [K//2, N]  — byte row j of 64-superblock b holds the e2m1
+                           nibble codes of elements k = 64b + (j%32) (lo)
+                           and k = 64b + 32 + (j%32) (hi), so a
+                           concat(lo, hi) unpack restores true k order per
+                           superblock. 64 (not TCQ4's 256) keeps the layout
+                           valid for gpt-oss' K = 2880 (not 256-aligned).
+  scale f32/bf16 [K//32, N] — e8m0_to_fp32_half block scales (powers of
+                           two: exactly representable in bf16).
+
+The e2m1 "kvalue" decode (0,±1,±2,±3,±4,±6,±8,±12 — the doubled table of
+ggml-common.h kvalues_mxfp4, matched by the half scale) is pure VPU
+arithmetic: two nested selects, no gather.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP = 32          # elements per MXFP4 scale block
+SUPER = 64          # elements per packed-byte superblock (2 scale groups)
+
+
+def _fp4_vals(u):
+    """int32 nibble codes 0..15 -> f32 kvalues {0,±1,±2,±3,±4,±6,±8,±12}.
+
+    e2m1 with the doubled-value convention: em = code&7 maps to
+    [0,1,2,3,4,6,8,12]; bit 3 is the sign. Selected arithmetically
+    (variable-amount shifts and gathers both legalize poorly on Mosaic).
+    """
+    em = u & 7
+    mag = jnp.where(em < 4, em, jnp.where(em < 6, 2 * em - 4, 4 * em - 16))
+    return jnp.where(u < 8, mag, -mag).astype(jnp.float32)
+
+
+def _unpack_fp4(qsb, bk: int, bn: int):
+    """[bk//2, bn] uint8 -> [bk, bn] f32 kvalues in true k order."""
+    q = qsb.astype(jnp.int32)
+    lo = _fp4_vals(q & 15).reshape(bk // SUPER, GROUP, bn)
+    hi = _fp4_vals(q >> 4).reshape(bk // SUPER, GROUP, bn)
+    return jnp.concatenate([lo, hi], axis=1).reshape(bk, bn)
+
+
+def _kernel(a_ref, qs_ref, s_ref, out_ref, *, bm, bn, bk):
+    w = _unpack_fp4(qs_ref[...], bk, bn)
+    s = s_ref[...].astype(jnp.float32)           # upcast BEFORE the 3D
+    w = (w.reshape(bk // GROUP, GROUP, bn)       # broadcast (bf16 there is
+         * s[:, None, :]).reshape(bk, bn)        # pathological on Mosaic)
+    acc = jax.lax.dot_general(
+        a_ref[...].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        out_ref[...] = jnp.zeros((bm, bn), jnp.float32)
+
+    out_ref[...] += acc
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "bm", "bk", "interpret"))
+def mxfp4_matmul(
+    a: jnp.ndarray,       # [M, K] f32/bf16
+    qs: jnp.ndarray,      # uint8 [K//2, N] (N padded to a lane multiple)
+    scale: jnp.ndarray,   # f32/bf16 [K//32, N]
+    *,
+    bn: int = 0,
+    bm: int = 256,
+    bk: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    from rrs_tpu.ops.tcq4_matmul import _pick_bn
+
+    m, k = a.shape
+    n = qs.shape[1]
+    assert k % SUPER == 0 and qs.shape[0] == k // 2, (a.shape, qs.shape)
+    if bn == 0:
+        bn = _pick_bn(n, limit=max(128, (3 * 1024 * 1024) // (k // 2) // 128 * 128))
+    bn = min(bn, n)
+    assert n % bn == 0, (n, bn)
+    bm = min(bm, _round_up(m, 8))
+    if bk == 0:
+        bk = k        # K is small for FFN/attn mats; stream over N only
+    assert k % bk == 0 and bk % SUPER == 0
+
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        a = jnp.pad(a, ((0, m_pad - m), (0, 0)))
+
+    grid = (n // bn, m_pad // bm, k // bk)
+    out = pl.pallas_call(
+        functools.partial(_kernel, bm=bm, bn=bn, bk=bk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, s: (j, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda i, j, s: (s, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // GROUP, bn), lambda i, j, s: (s, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, s: (j, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        interpret=interpret,
+    )(a, qs, scale)
+    return out[:m]
+
+
+# ---------------------------------------------------------------------------
+# Expert-gathered matvec rows (the ggml_mul_mat_id analog for MXFP4): the
+# same scalar-prefetch structure as tcq4_matmul_experts_rows — expert ids
+# drive the weight BlockSpec index maps, so only the selected experts'
+# packed tiles stream from HBM.
+# ---------------------------------------------------------------------------
+
+def _kernel_rows(ids_ref, a_ref, qs_ref, s_ref, out_ref, *, bn, k):
+    w = _unpack_fp4(qs_ref[0], k, bn)
+    s = s_ref[0].astype(jnp.float32)
+    w = (w.reshape(k // GROUP, GROUP, bn) * s[:, None, :]).reshape(k, bn)
+    out_ref[0] = jax.lax.dot_general(
+        a_ref[0].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "interpret"))
+def mxfp4_matmul_experts_rows(
+    a: jnp.ndarray,           # [n_sel, K]: row i belongs to expert_ids[i]
+    qs_all: jnp.ndarray,      # uint8 [E, K//2, N]
+    s_all: jnp.ndarray,       # [E, K//32, N]
+    expert_ids: jnp.ndarray,  # int32 [n_sel]
+    *,
+    bn: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out[i] = a[i] @ dequant(w[expert_ids[i]]); f32 [n_sel, N]."""
+    from rrs_tpu.ops.tcq4_matmul import _pick_bn
+
+    n_sel, k = a.shape
+    n_exp, k2, n = qs_all.shape
+    assert k2 * 2 == k, (a.shape, qs_all.shape)
+    if bn == 0:
+        bn = _pick_bn(n, limit=max(128, (3 * 1024 * 1024) // k2 // 128 * 128))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_sel, n // bn),
+        in_specs=[
+            pl.BlockSpec((1, 1, k), lambda e, i, ids: (e, 0, 0)),
+            pl.BlockSpec((1, k2, bn), lambda e, i, ids: (ids[e], 0, i)),
+            pl.BlockSpec((1, k // GROUP, bn), lambda e, i, ids: (ids[e], 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bn), lambda e, i, ids: (e, 0, i)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_rows, bn=bn, k=k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_sel, 1, n), jnp.float32),
+        interpret=interpret,
+    )(expert_ids.astype(jnp.int32), a[:, None, :], qs_all, s_all)
+    return out[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# jnp dequant (oracle + the MoE prefill scan path, which dequantizes one
+# expert at a time and uses dense MXU dots)
+# ---------------------------------------------------------------------------
+
+def dequant_mxfp4_jnp(qs: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """[K//2, N] uint8 + [K//32, N] -> [K, N] f32."""
+    k2, n = qs.shape
+    k = k2 * 2
+    q = qs.astype(jnp.int32)
+    lo = _fp4_vals(q & 15).reshape(k // SUPER, GROUP, n)
+    hi = _fp4_vals(q >> 4).reshape(k // SUPER, GROUP, n)
+    w = jnp.concatenate([lo, hi], axis=1).reshape(k, n)
+    return w * jnp.repeat(scale.astype(jnp.float32), GROUP, axis=0)
+
+
+def mxfp4_matmul_ref(a, qs, scale):
+    """jnp oracle."""
+    return jnp.dot(
+        a.astype(jnp.float32), dequant_mxfp4_jnp(qs, scale),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side repack: GGUF MXFP4 payload -> device (qs, scale) layout
+# ---------------------------------------------------------------------------
+
+def pack_mxfp4_device(raw: np.ndarray, shape, pad_n: int = 128):
+    """GGUF MXFP4 payload for a logical [N, K] weight -> (qs [K//2, Npad]
+    uint8, scale [K//32, Npad] f32). Npad rounds N up to ``pad_n`` (Mosaic
+    lane tiles); padded columns are zero and produce zero outputs that the
+    caller slices off."""
+    n, k = shape
+    assert k % SUPER == 0, f"MXFP4 device layout needs K%{SUPER}==0, got {k}"
+    blocks = np.frombuffer(np.ascontiguousarray(raw).tobytes(),
+                           np.uint8).reshape(n, k // GROUP, 17)
+    e = blocks[:, :, 0].astype(np.int64)
+    bits = np.where(e < 2, np.uint32(0x00200000) << e,
+                    (e - 1).astype(np.uint32) << 23).astype(np.uint32)
+    d = bits.view(np.float32)                        # [N, K//32] e8m0_half
+    b = blocks[:, :, 1:]                             # [N, K//32, 16]
+    codes = np.concatenate([b & 15, b >> 4], axis=2) # block elems 0-15 | 16-31
+    codes = codes.reshape(n, k)                      # [N, K] nibble codes
+    # pack (64b + r, 64b + 32 + r) pairs -> byte rows
+    ck = codes.T.reshape(k // SUPER, 2, GROUP, n)    # [B, lo/hi, 32, N]
+    qs = (ck[:, 0] | (ck[:, 1] << 4)).reshape(k // 2, n).astype(np.uint8)
+    scale = np.ascontiguousarray(d.T)                # [K//32, N]
+    n_pad = _round_up(n, pad_n)
+    if n_pad != n:
+        qs = np.pad(qs, ((0, 0), (0, n_pad - n)))
+        scale = np.pad(scale, ((0, 0), (0, n_pad - n)))
+    return np.ascontiguousarray(qs), scale

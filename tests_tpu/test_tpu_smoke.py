@@ -69,6 +69,35 @@ def test_q8_matmul():
     assert rel.max() < 2e-2, rel.max()
 
 
+def test_mxfp4_matmul_and_expert_rows():
+    from rrs_tpu.ops.mxfp4_matmul import (
+        mxfp4_matmul, mxfp4_matmul_experts_rows, mxfp4_matmul_ref)
+
+    rng = np.random.default_rng(3)
+    k, n = 512, 256
+    qs = jnp.asarray(rng.integers(0, 256, (k // 2, n), dtype=np.uint8))
+    sc = jnp.asarray(2.0 ** rng.integers(-8, -4, (k // 32, n)), jnp.bfloat16)
+    for m in (1, 64):
+        a = jnp.asarray(rng.standard_normal((m, k)) * 0.5, jnp.float32)
+        got = np.asarray(mxfp4_matmul(a, qs, sc))
+        ref = np.asarray(mxfp4_matmul_ref(a, qs, sc))
+        rel = np.abs(got - ref) / (np.abs(ref).max() + 1e-6)
+        assert rel.max() < 2e-2, (m, rel.max())
+
+    n_exp = 4
+    qs_all = jnp.asarray(
+        rng.integers(0, 256, (n_exp, k // 2, n), dtype=np.uint8))
+    s_all = jnp.asarray(
+        2.0 ** rng.integers(-8, -4, (n_exp, k // 32, n)), jnp.bfloat16)
+    ids = jnp.asarray([2, 0, 3, 1, 2, 2], jnp.int32)
+    a = jnp.asarray(rng.standard_normal((6, k)) * 0.5, jnp.float32)
+    got = np.asarray(mxfp4_matmul_experts_rows(a, qs_all, s_all, ids))
+    for i, e in enumerate(np.asarray(ids)):
+        ref = np.asarray(mxfp4_matmul_ref(a[i:i + 1], qs_all[e], s_all[e]))
+        rel = np.abs(got[i:i + 1] - ref) / (np.abs(ref).max() + 1e-6)
+        assert rel.max() < 2e-2, (i, rel.max())
+
+
 def test_flash_attention_variants():
     from rrs_tpu.ops import flash_attention as fa
 
