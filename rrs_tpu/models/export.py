@@ -227,7 +227,12 @@ def export_weights_gguf(cfg: ModelConfig, weights, path: str | Path,
         if lin.bias is not None:
             put(name.replace(".weight", ".bias"), lin.bias)
 
-    put("token_embd.weight", weights.embed)
+    emb = weights.embed
+    if isinstance(emb, tuple):                         # Q8-packed table
+        q, s = (np.asarray(e, np.float32) for e in emb)
+        emb = (q.reshape(q.shape[0], -1, 32)
+               * s[..., None]).reshape(q.shape[0], -1)
+    put("token_embd.weight", emb)
     for i, lw in enumerate(weights.layers):
         p = f"blk.{i}"
         put(f"{p}.attn_norm.weight", lw.attn_norm)

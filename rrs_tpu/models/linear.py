@@ -97,24 +97,29 @@ def _pad_n(a: np.ndarray, mult: int = 2048) -> np.ndarray:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["q", "scale", "bias"],
-    meta_fields=["n_logical"],
+    meta_fields=["n_logical", "k_logical"],
 )
 @dataclasses.dataclass
 class Q8Linear:
     """Q8_0 linear (output.weight policy, llama-quant.cpp:260-262).
 
-    q int8 [K, Npad] K-major; scale f32 [K//32, Npad] = fp32 of the block
-    fp16 d. N is padded to a tile multiple; n_logical is the true width.
+    q int8 [Kpad, Npad] K-major; scale f32 [Kpad//32, Npad] = fp32 of the
+    block fp16 d. N is padded to a tile multiple (n_logical = true width);
+    K is padded to the kernel's 256-multiple with zero-scale rows when the
+    model dim isn't 256-aligned (gpt-oss E=2880; k_logical = true depth —
+    linear_apply zero-pads the activations to match).
     """
 
     q: jnp.ndarray
     scale: jnp.ndarray
     bias: Optional[jnp.ndarray] = None
     n_logical: int = 0
+    k_logical: int = 0
 
     @property
     def shape(self):
-        return (self.q.shape[0], self.n_logical or self.q.shape[1])
+        return (self.k_logical or self.q.shape[0],
+                self.n_logical or self.q.shape[1])
 
     @classmethod
     def from_q8_gguf(cls, raw: np.ndarray, shape, bias=None) -> "Q8Linear":
@@ -124,11 +129,16 @@ class Q8Linear:
         d = blocks[:, :, :2].copy().view(np.float16).astype(np.float32)[:, :, 0]
         q = blocks[:, :, 2:].view(np.int8)               # [N, K//32, 32]
         q_kn = q.reshape(n, k).T                          # [K, N]
+        kpad = -(-k // 256) * 256
+        q_kn = np.pad(np.ascontiguousarray(q_kn), ((0, kpad - k), (0, 0)))
+        d_kn = np.pad(np.ascontiguousarray(d.T),
+                      ((0, kpad // 32 - k // 32), (0, 0)))
         return cls(
-            q=jnp.asarray(_pad_n(np.ascontiguousarray(q_kn))),
-            scale=jnp.asarray(_pad_n(np.ascontiguousarray(d.T))),
+            q=jnp.asarray(_pad_n(q_kn)),
+            scale=jnp.asarray(_pad_n(d_kn)),
             bias=None if bias is None else jnp.asarray(bias),
             n_logical=n,
+            k_logical=k if kpad != k else 0,
         )
 
     @classmethod
@@ -150,7 +160,8 @@ class MXFP4Linear:
     """MXFP4 linear (gpt-oss native format): packed e2m1 nibbles + E8M0
     block scales stay in HBM; dequant happens in VMEM inside the matmul
     kernel (ops/mxfp4_matmul.py). qs uint8 [K//2, Npad] in the 64-superblock
-    pair layout, scale bf16 [K//32, Npad] (powers of two — bf16-exact).
+    pair layout, scale uint8 [K//32, Npad] f32-exponent-field form (the
+    kernels fold the power-of-two scale into the decoded bit pattern).
     Activations stay bf16: MXFP4 is a weights-only format (no RRS
     rotation/activation quant, unlike TCQ4)."""
 
@@ -167,10 +178,10 @@ class MXFP4Linear:
     def from_gguf(cls, raw: np.ndarray, shape, bias=None) -> "MXFP4Linear":
         from rrs_tpu.ops.mxfp4_matmul import pack_mxfp4_device
 
-        qs, scale = pack_mxfp4_device(raw, shape)
+        qs, sexp = pack_mxfp4_device(raw, shape)
         return cls(
             qs=jnp.asarray(qs),
-            scale=jnp.asarray(scale, jnp.bfloat16),
+            scale=jnp.asarray(sexp),
             bias=None if bias is None else jnp.asarray(bias),
             n_logical=shape[0],
         )
@@ -246,6 +257,7 @@ def fuse_linears(layers: list) -> object:
             q=jnp.concatenate([l.q for l in layers], axis=1),
             scale=jnp.concatenate([l.scale for l in layers], axis=1),
             bias=bias,
+            k_logical=first.k_logical,   # same K across fused segments
         )
     return None
 
@@ -361,6 +373,10 @@ def linear_apply(layer, x: jnp.ndarray, reduce_axis=None) -> jnp.ndarray:
     elif isinstance(layer, Q8Linear):
         from rrs_tpu.ops import q8_matmul as q8_mm
 
+        if layer.k_logical and layer.q.shape[0] != x2.shape[-1]:
+            # K padded to the kernel's 256-multiple (zero-scale rows):
+            # zero-pad the activations to match
+            x2 = jnp.pad(x2, ((0, 0), (0, layer.q.shape[0] - x2.shape[-1])))
         if _auto_interpret():
             y = q8_mm.q8_matmul_ref(x2, layer.q, layer.scale)
         else:

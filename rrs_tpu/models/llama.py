@@ -66,11 +66,27 @@ class LayerWeights:
 )
 @dataclasses.dataclass
 class ModelWeights:
-    embed: jnp.ndarray            # [vocab, n_embd] bf16
+    # [vocab, n_embd] bf16, OR a Q8_0-packed (q int8 [V, E],
+    # scale [V, E//32]) tuple — rows are gathered packed and dequantized
+    # per token (halves the table's HBM; large-vocab models)
+    embed: Any
     layers: list[LayerWeights]
     final_norm: jnp.ndarray
     lm_head: Any                  # DenseLinear (possibly tied to embed)
     rope_factors: Any = None      # [rot//2] longrope freq divisors (phi3)
+
+
+def embed_rows(embed, tokens: jnp.ndarray) -> jnp.ndarray:
+    """Token-embedding row gather; handles the Q8-packed table form
+    (GET_ROWS-on-quantized analog, ggml-cpu/ops.cpp get_rows paths)."""
+    if isinstance(embed, tuple):
+        q, s = embed
+        rows = jnp.take(q, tokens, axis=0).astype(jnp.bfloat16)   # [B,T,E]
+        sc = jnp.take(s, tokens, axis=0).astype(jnp.bfloat16)     # [B,T,E/32]
+        b, t, e = rows.shape
+        return (rows.reshape(b, t, e // 32, 32)
+                * sc[..., None]).reshape(b, t, e)
+    return jnp.take(embed, tokens, axis=0)
 
 
 def rope_params(cfg: ModelConfig, swa: bool = False) -> RopeParams:
@@ -423,7 +439,7 @@ def forward(
     lm_head (logits [B, 1, V]) — serving prefill needs one position per
     lane and the full chunk x vocab head matmul is pure waste."""
     # multimodal chunks arrive as raw embeddings (llama_batch.embd analog)
-    x = embeds if embeds is not None else jnp.take(w.embed, tokens, axis=0)
+    x = embeds if embeds is not None else embed_rows(w.embed, tokens)
     if cfg.embd_scale != 1.0 and embeds is None:
         # gemma scales TOKEN embeddings by sqrt(n_embd), not raw/image
         # embedding inputs (gemma3.cpp: ubatch.token ? sqrtf(n_embd) : 1.0)
@@ -493,8 +509,12 @@ def decode_scan(
     logits_fixup=None,            # e.g. TP all_gather of vocab shards
 ):
     """Greedy-decode n_steps tokens on device. Returns (tokens [B, n_steps], caches)."""
-    c0 = k_caches[0][0] if isinstance(k_caches[0], tuple) else k_caches[0]
-    s = c0.shape[2]
+    # slot clip must use the LARGEST cache: iSWA models mix small ring
+    # caches (SWA layers, wrapped per-layer by _store_cache's % s_l) with
+    # full-size caches, and clipping at a ring's length would truncate the
+    # full layers' append positions
+    s = max((c[0] if isinstance(c, tuple) else c).shape[2]
+            for c in k_caches)
 
     def step(carry, _):
         token, pos, ks, vs = carry

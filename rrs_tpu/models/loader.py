@@ -61,7 +61,9 @@ def _linear(
             t.perm = np.asarray(perm, np.int32)
         return TCQ4Linear.from_tensor(t, bias=bias)
     if info.ggml_type == GGMLType.Q8_0 and len(info.shape) == 2 \
-            and info.shape[1] % 256 == 0:
+            and info.shape[1] % 32 == 0:
+        # K only needs Q8_0-block (32) alignment: from_q8_gguf zero-pads K
+        # to the kernel's 256-multiple (gpt-oss E=2880)
         return Q8Linear.from_q8_gguf(g.tensor_bytes(name), info.shape, bias=bias)
     if info.ggml_type == GGMLType.MXFP4 and len(info.shape) == 2 \
             and info.shape[1] % 64 == 0:
@@ -119,12 +121,12 @@ def _load_moe(g: GGUFFile, p: str, dtype=jnp.bfloat16):
             per = raw.size // info.shape[0]
             qs_l, sc_l = [], []
             for ei in range(info.shape[0]):
-                qs, sc = pack_mxfp4_device(raw[ei * per:(ei + 1) * per],
-                                           info.shape[1:])
+                qs, sexp = pack_mxfp4_device(raw[ei * per:(ei + 1) * per],
+                                             info.shape[1:])
                 qs_l.append(qs)
-                sc_l.append(sc)
+                sc_l.append(sexp)
             return (jnp.asarray(np.stack(qs_l)),
-                    jnp.asarray(np.stack(sc_l), jnp.bfloat16))
+                    jnp.asarray(np.stack(sc_l)))
 
         gate_qs, gate_eff = mxstack(f"{p}.ffn_gate_exps.weight")
         up_qs, up_eff = mxstack(f"{p}.ffn_up_exps.weight")
@@ -340,7 +342,20 @@ def load_model(path: str | Path, dtype=jnp.bfloat16, fuse: bool = True,
                  if f"{p}.attn_sinks" in g.tensors else None)),
         ))
 
-    embed = jnp.asarray(g.tensor("token_embd.weight").astype(np.float32), dtype)
+    emb_info = g.tensors["token_embd.weight"]
+    if emb_info.ggml_type == GGMLType.Q8_0 and "output.weight" in g.tensors:
+        # keep large Q8_0 embedding tables packed on device (halves their
+        # HBM; rows are dequantized at lookup — ggml GET_ROWS-on-quant
+        # analog). Tied-head models still dequantize (head needs a matmul).
+        raw = np.ascontiguousarray(g.tensor_bytes("token_embd.weight"))
+        v, e = emb_info.shape
+        blocks = raw.reshape(v, e // 32, 34)
+        d = blocks[:, :, :2].copy().view(np.float16)[:, :, 0]
+        q = np.ascontiguousarray(blocks[:, :, 2:].view(np.int8).reshape(v, e))
+        embed = (jnp.asarray(q), jnp.asarray(d.astype(np.float32)))
+    else:
+        embed = jnp.asarray(
+            g.tensor("token_embd.weight").astype(np.float32), dtype)
     if "output.weight" in g.tensors:
         lm_head = _linear(g, "output.weight", dtype)
     else:

@@ -25,6 +25,10 @@ import jax.numpy as jnp
 from rrs_tpu.models.config import ModelConfig
 
 
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["router", "gate", "up", "down", "shared_gate", "shared_up",
@@ -254,34 +258,122 @@ def moe_ffn(cfg: ModelConfig, mw: MoEWeights, x: jnp.ndarray) -> jnp.ndarray:
             d = rows_mm(a2, mw.down_qs, mw.down_eff, ids,
                         interpret=interp)[:, :e]
             out = (d.reshape(n_tok, kk, e) * topv[..., None]).sum(1)
-        elif mx:
-            # prefill: one dequantized expert live at a time (jnp dequant,
-            # dense MXU dots), one-hot combine — same shape as the TCQ4
-            # scan below but without the RRS activation pipeline
-            combine = jnp.zeros((n_tok, cfg.n_experts), jnp.float32)
+        elif mx and n_tok <= 64:
+            # batched decode (e.g. 32 serving lanes): ONE all-experts
+            # kernel per projection — every expert's packed tiles stream
+            # exactly once with an (expert, N-block) grid. The rows kernel
+            # would re-stream a tile per selected row (n_tok*kk > E rows);
+            # the per-expert scan below runs tiny sequential grids.
+            from rrs_tpu.models.linear import _auto_interpret
+            from rrs_tpu.ops.mxfp4_matmul import mxfp4_matmul_all_experts
+
+            interp = _auto_interpret()
+            nE = mw.gate_qs.shape[0]
+            combine = jnp.zeros((n_tok, nE), jnp.float32)
             combine = jnp.put_along_axis(combine, topi, topv, axis=-1,
                                          inplace=False)
+            g = mxfp4_matmul_all_experts(
+                a, mw.gate_qs, mw.gate_eff, interpret=interp)[..., :fE]
+            u = mxfp4_matmul_all_experts(
+                a, mw.up_qs, mw.up_eff, interpret=interp)[..., :fE]
+            if mw.gate_b is not None:
+                g = g + mw.gate_b[:, None, :]
+                u = u + mw.up_b[:, None, :]
+            a2 = prep(_moe_act(cfg, g, u))                  # [E, T, F]
+            d = mxfp4_matmul_all_experts(
+                a2, mw.down_qs, mw.down_eff, interpret=interp)[..., :e]
+            out = jnp.einsum("etk,te->tk", d, combine,
+                             preferred_element_type=jnp.float32)
+        elif mx:
+            # prefill: capacity-based routed dispatch (the GSPMD-era MoE
+            # shape: sort token-slots by expert, pad each expert's group to
+            # a static capacity, run ONE all-experts kernel per projection
+            # over [E, C, K]). Computes only routed tokens (+pad) instead
+            # of every expert x every token — ~E/top_k less MXU work than
+            # a dense expert sweep. Exactness is preserved: if any expert
+            # draws more than C slots (counts are data-dependent),
+            # lax.cond falls back to the dense per-expert scan.
+            from rrs_tpu.models.linear import _auto_interpret
+            from rrs_tpu.ops.mxfp4_matmul import (
+                mxfp4_matmul, mxfp4_matmul_all_experts)
+
+            interp = _auto_interpret()
             nE = mw.gate_qs.shape[0]
             gb = (mw.gate_b if mw.gate_b is not None
                   else jnp.zeros((nE, fE), jnp.float32))
             ub = (mw.up_b if mw.up_b is not None
                   else jnp.zeros((nE, fE), jnp.float32))
+            n_sel = n_tok * kk
+            cap = min(_round_up(n_tok, 8),
+                      max(64, _round_up(2 * n_sel // nE, 64)))
 
-            def body_mx(acc, ew):
-                gq, ge, uq, ue, dq, de_, cw, gb_e, ub_e = ew
-                wg = dequant_mxfp4_jnp(gq, ge)[:, :fE].astype(jnp.bfloat16)
-                wu = dequant_mxfp4_jnp(uq, ue)[:, :fE].astype(jnp.bfloat16)
-                g = jnp.dot(a, wg, preferred_element_type=jnp.float32) + gb_e
-                u = jnp.dot(a, wu, preferred_element_type=jnp.float32) + ub_e
-                a2 = prep(_moe_act(cfg, g, u))
-                wd = dequant_mxfp4_jnp(dq, de_)[:, :e].astype(jnp.bfloat16)
-                y = jnp.dot(a2, wd, preferred_element_type=jnp.float32)
-                return acc + y * cw[:, None], None
+            ids_flat = topi.reshape(-1)                     # [S]
+            counts = jnp.bincount(ids_flat, length=nE)
+            order = jnp.argsort(ids_flat, stable=True)
+            sorted_ids = ids_flat[order]
+            first = jnp.cumsum(counts) - counts             # exclusive
+            pos_in_e = (jnp.arange(n_sel, dtype=jnp.int32)
+                        - jnp.take(first, sorted_ids).astype(jnp.int32))
+            valid = pos_in_e < cap
+            slot = jnp.where(valid, sorted_ids * cap + pos_in_e, nE * cap)
+            tok_of = (order // kk).astype(jnp.int32)
 
-            out, _ = jax.lax.scan(
-                body_mx, jnp.zeros((n_tok, e), jnp.float32),
-                (mw.gate_qs, mw.gate_eff, mw.up_qs, mw.up_eff,
-                 mw.down_qs, mw.down_eff, combine.T, gb, ub))
+            def capacity_path(_):
+                buf = jnp.zeros((nE * cap, a.shape[-1]), a.dtype)
+                buf = buf.at[slot].set(jnp.take(a, tok_of, axis=0),
+                                       mode="drop")
+                buf = buf.reshape(nE, cap, a.shape[-1])
+                g = mxfp4_matmul_all_experts(
+                    buf, mw.gate_qs, mw.gate_eff,
+                    interpret=interp)[..., :fE] + gb[:, None, :]
+                u = mxfp4_matmul_all_experts(
+                    buf, mw.up_qs, mw.up_eff,
+                    interpret=interp)[..., :fE] + ub[:, None, :]
+                a2 = prep(_moe_act(cfg, g, u))              # [E, C, F]
+                d = mxfp4_matmul_all_experts(
+                    a2, mw.down_qs, mw.down_eff, interpret=interp)[..., :e]
+                vals = jnp.take(d.reshape(nE * cap, e),
+                                jnp.clip(slot, 0, nE * cap - 1), axis=0)
+                wts = topv.reshape(-1)[order] * valid
+                return jnp.zeros((n_tok, e), jnp.float32).at[tok_of].add(
+                    vals * wts[:, None])
+
+            def scan_path(_):
+                # dense fallback: every expert over every token (exact for
+                # any routing skew; the packed-weight kernel still
+                # dequantizes in VMEM rather than writing 17 MB bf16
+                # experts to HBM)
+                combine = jnp.zeros((n_tok, nE), jnp.float32)
+                combine = jnp.put_along_axis(combine, topi, topv, axis=-1,
+                                             inplace=False)
+
+                def mm(act, qsb, scb):
+                    if interp:
+                        return jnp.dot(
+                            act.astype(jnp.float32),
+                            dequant_mxfp4_jnp(qsb, scb),
+                            preferred_element_type=jnp.float32)
+                    return mxfp4_matmul(act, qsb, scb)
+
+                def body_mx(acc, ew):
+                    gq, ge, uq, ue, dq, de_, cw, gb_e, ub_e = ew
+                    g = mm(a, gq, ge)[:, :fE] + gb_e
+                    u = mm(a, uq, ue)[:, :fE] + ub_e
+                    a2 = prep(_moe_act(cfg, g, u))
+                    y = mm(a2, dq, de_)[:, :e]
+                    return acc + y * cw[:, None], None
+
+                out, _ = jax.lax.scan(
+                    body_mx, jnp.zeros((n_tok, e), jnp.float32),
+                    (mw.gate_qs, mw.gate_eff, mw.up_qs, mw.up_eff,
+                     mw.down_qs, mw.down_eff, combine.T, gb, ub))
+                return out
+
+            if cap >= n_tok:      # capacity covers the worst case: exact
+                out = capacity_path(None)
+            else:
+                out = jax.lax.cond(jnp.max(counts) > cap,
+                                   scan_path, capacity_path, None)
         else:
             # prefill: stream experts one at a time (scan keeps peak memory at
             # a single dequantized expert), dense MXU matmuls over all tokens,

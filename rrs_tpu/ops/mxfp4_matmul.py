@@ -8,18 +8,23 @@ the packed bytes live in HBM and dequantization happens in VMEM inside the
 matmul kernel.
 
 Device layout (chosen for the TPU, not the GGUF byte order):
-  qs    uint8 [K//2, N]  — byte row j of 64-superblock b holds the e2m1
+  qs   uint8 [K//2, N]   — byte row j of 64-superblock b holds the e2m1
                            nibble codes of elements k = 64b + (j%32) (lo)
                            and k = 64b + 32 + (j%32) (hi), so a
                            concat(lo, hi) unpack restores true k order per
                            superblock. 64 (not TCQ4's 256) keeps the layout
                            valid for gpt-oss' K = 2880 (not 256-aligned).
-  scale f32/bf16 [K//32, N] — e8m0_to_fp32_half block scales (powers of
-                           two: exactly representable in bf16).
+  sexp uint8 [K//32, N]  — the f32 EXPONENT FIELD of the half block scale
+                           (e8m0 byte minus 1, clamped to [1, 254]); see
+                           _unpack_scaled for why the raw field, not a
+                           float.
 
-The e2m1 "kvalue" decode (0,±1,±2,±3,±4,±6,±8,±12 — the doubled table of
-ggml-common.h kvalues_mxfp4, matched by the half scale) is pure VPU
-arithmetic: two nested selects, no gather.
+These kernels are dequant-ALU-bound, not HBM-bound (PERF.md): decode
+arithmetic is the throughput knob. The e2m1 "kvalue" decode
+(0,±1,±2,±3,±4,±6,±8,±12 — the doubled table of ggml-common.h
+kvalues_mxfp4, matched by the half scale) therefore constructs scaled f32
+BIT PATTERNS with pure integer ops — no selects-per-table-entry, no
+gathers (both legalize poorly on Mosaic), no separate scale multiply.
 """
 
 from __future__ import annotations
@@ -36,31 +41,39 @@ GROUP = 32          # elements per MXFP4 scale block
 SUPER = 64          # elements per packed-byte superblock (2 scale groups)
 
 
-def _fp4_vals(u):
-    """int32 nibble codes 0..15 -> f32 kvalues {0,±1,±2,±3,±4,±6,±8,±12}.
+def _fp4_decode_bits(u, t):
+    """e2m1 code u (int32 0..15) + scale exponent bits t (= sexp << 23,
+    broadcastable) -> f32 bit pattern of kvalue(u) * 2^(sexp - 127).
 
-    e2m1 with the doubled-value convention: em = code&7 maps to
-    [0,1,2,3,4,6,8,12]; bit 3 is the sign. Selected arithmetically
-    (variable-amount shifts and gathers both legalize poorly on Mosaic).
+    For em = u&7 >= 2 the unscaled kvalue's f32 bits are exactly
+    0x3F800000 + (em << 22) (e2m1 exponent/mantissa land on the f32
+    fields); multiplying a power of two is an exponent-field ADD, so the
+    scaled bits are (em << 22) + t. em < 2 maps to {0, scale} = em * t.
+    Sign is bit 3 -> f32 bit 31. 7 integer ops per element, no float
+    multiply, no table.
     """
     em = u & 7
-    mag = jnp.where(em < 4, em, jnp.where(em < 6, 2 * em - 4, 4 * em - 16))
-    return jnp.where(u < 8, mag, -mag).astype(jnp.float32)
+    bits = jnp.where(em < 2, em * t, (em << 22) + t)
+    return bits | ((u & 8) << 28)
 
 
-def _unpack_fp4(qsb, bk: int, bn: int):
-    """[bk//2, bn] uint8 -> [bk, bn] f32 kvalues in true k order."""
+def _unpack_scaled(qsb, sexpb, bk: int, bn: int):
+    """qs [bk//2, bn] uint8 + sexp [bk//32, bn] -> [bk, bn] f32 SCALED
+    weights in true k order (superblock b: scale group 2b covers the lo
+    nibbles, 2b+1 the hi nibbles)."""
     q = qsb.astype(jnp.int32)
-    lo = _fp4_vals(q & 15).reshape(bk // SUPER, GROUP, bn)
-    hi = _fp4_vals(q >> 4).reshape(bk // SUPER, GROUP, bn)
-    return jnp.concatenate([lo, hi], axis=1).reshape(bk, bn)
+    t = sexpb.astype(jnp.int32) << 23
+    t2 = t.reshape(bk // SUPER, 2, bn)
+    lo = _fp4_decode_bits((q & 15).reshape(bk // SUPER, GROUP, bn),
+                          t2[:, 0:1, :])
+    hi = _fp4_decode_bits((q >> 4).reshape(bk // SUPER, GROUP, bn),
+                          t2[:, 1:2, :])
+    bits = jnp.concatenate([lo, hi], axis=1).reshape(bk, bn)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
 def _kernel(a_ref, qs_ref, s_ref, out_ref, *, bm, bn, bk):
-    w = _unpack_fp4(qs_ref[...], bk, bn)
-    s = s_ref[...].astype(jnp.float32)           # upcast BEFORE the 3D
-    w = (w.reshape(bk // GROUP, GROUP, bn)       # broadcast (bf16 there is
-         * s[:, None, :]).reshape(bk, bn)        # pathological on Mosaic)
+    w = _unpack_scaled(qs_ref[...], s_ref[...], bk, bn)
     acc = jax.lax.dot_general(
         a_ref[...].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -135,9 +148,7 @@ def mxfp4_matmul(
 # ---------------------------------------------------------------------------
 
 def _kernel_rows(ids_ref, a_ref, qs_ref, s_ref, out_ref, *, bn, k):
-    w = _unpack_fp4(qs_ref[0], k, bn)
-    s = s_ref[0].astype(jnp.float32)
-    w = (w.reshape(k // GROUP, GROUP, bn) * s[:, None, :]).reshape(k, bn)
+    w = _unpack_scaled(qs_ref[0], s_ref[0], k, bn)
     out_ref[0] = jax.lax.dot_general(
         a_ref[0].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -183,55 +194,116 @@ def mxfp4_matmul_experts_rows(
 
 
 # ---------------------------------------------------------------------------
+# All-experts batched matmul (the mul_mat_id GEMM analog for batched
+# decode): ONE kernel whose grid spans (expert, N-block) — every expert's
+# packed tiles stream exactly once, with full grid parallelism. Beats the
+# per-expert lax.scan (tiny grids + per-iteration slice copies measured at
+# ~110 GB/s) and the rows kernel (re-streams a tile per selected row) when
+# n_tok x top_k > n_experts.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_all(a_ref, qs_ref, s_ref, out_ref, *, bn, k, per_expert_a):
+    w = _unpack_scaled(qs_ref[0], s_ref[0], k, bn)
+    a = a_ref[0] if per_expert_a else a_ref[...]
+    out_ref[0] = jax.lax.dot_general(
+        a.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "interpret"))
+def mxfp4_matmul_all_experts(
+    a: jnp.ndarray,           # [T, K] (shared) or [E, T, K] (per-expert)
+    qs_all: jnp.ndarray,      # uint8 [E, K//2, N]
+    s_all: jnp.ndarray,       # [E, K//32, N]
+    *,
+    bn: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out[e] = a(|[e]) @ dequant(w[e]); f32 [E, T, N]."""
+    n_exp, k2, n = qs_all.shape
+    k = k2 * 2
+    per_expert_a = a.ndim == 3
+    t = a.shape[-2]
+    t_pad = _round_up(t, 8)
+    if t_pad != t:
+        pad = [(0, 0)] * a.ndim
+        pad[-2] = (0, t_pad - t)
+        a = jnp.pad(a, pad)
+    if bn == 0:
+        budget = 2 * 1024 * 1024
+        bn = max(128, budget // k2 // 128 * 128)
+        while n % bn:
+            bn -= 128
+    assert n % bn == 0, (n, bn)
+
+    if per_expert_a:
+        a_spec = pl.BlockSpec((1, t_pad, k), lambda e, i: (e, 0, 0))
+    else:
+        a_spec = pl.BlockSpec((t_pad, k), lambda e, i: (0, 0))
+    out = pl.pallas_call(
+        functools.partial(_kernel_all, bn=bn, k=k, per_expert_a=per_expert_a),
+        grid=(n_exp, n // bn),
+        in_specs=[
+            a_spec,
+            pl.BlockSpec((1, k2, bn), lambda e, i: (e, 0, i)),
+            pl.BlockSpec((1, k // GROUP, bn), lambda e, i: (e, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, t_pad, bn), lambda e, i: (e, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((n_exp, t_pad, n), jnp.float32),
+        interpret=interpret,
+    )(a, qs_all, s_all)
+    return out[:, :t, :]
+
+
+# ---------------------------------------------------------------------------
 # jnp dequant (oracle + the MoE prefill scan path, which dequantizes one
 # expert at a time and uses dense MXU dots)
 # ---------------------------------------------------------------------------
 
-def dequant_mxfp4_jnp(qs: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
-    """[K//2, N] uint8 + [K//32, N] -> [K, N] f32."""
+def dequant_mxfp4_jnp(qs: jnp.ndarray, sexp: jnp.ndarray) -> jnp.ndarray:
+    """[K//2, N] uint8 + sexp [K//32, N] -> [K, N] f32 (oracle; same
+    bit-construction as the kernels)."""
     k2, n = qs.shape
-    k = k2 * 2
-    q = qs.astype(jnp.int32)
-    lo = _fp4_vals(q & 15).reshape(k // SUPER, GROUP, n)
-    hi = _fp4_vals(q >> 4).reshape(k // SUPER, GROUP, n)
-    w = jnp.concatenate([lo, hi], axis=1).reshape(k, n)
-    return w * jnp.repeat(scale.astype(jnp.float32), GROUP, axis=0)
+    return _unpack_scaled(qs, sexp, k2 * 2, n)
 
 
-def mxfp4_matmul_ref(a, qs, scale):
+def mxfp4_matmul_ref(a, qs, sexp):
     """jnp oracle."""
     return jnp.dot(
-        a.astype(jnp.float32), dequant_mxfp4_jnp(qs, scale),
+        a.astype(jnp.float32), dequant_mxfp4_jnp(qs, sexp),
         precision=jax.lax.Precision.HIGHEST,
     )
 
 
 # ---------------------------------------------------------------------------
-# Host-side repack: GGUF MXFP4 payload -> device (qs, scale) layout
+# Host-side repack: GGUF MXFP4 payload -> device (qs, sexp) layout
 # ---------------------------------------------------------------------------
 
 def pack_mxfp4_device(raw: np.ndarray, shape, pad_n: int = 128):
     """GGUF MXFP4 payload for a logical [N, K] weight -> (qs [K//2, Npad]
-    uint8, scale [K//32, Npad] f32). Npad rounds N up to ``pad_n`` (Mosaic
-    lane tiles); padded columns are zero and produce zero outputs that the
-    caller slices off."""
+    uint8, sexp [K//32, Npad] uint8). sexp is the f32 exponent field of
+    the e8m0_to_fp32_half block scale (= e8m0 byte - 1), clamped to
+    [1, 254] — e8m0 bytes 0/1 would be f32 denormals, which real
+    checkpoints never produce (they'd mean a block absmax < 2^-125).
+    Npad rounds N up to ``pad_n`` (Mosaic lane tiles); padded columns have
+    zero CODES and decode to zero regardless of sexp."""
     n, k = shape
     assert k % SUPER == 0, f"MXFP4 device layout needs K%{SUPER}==0, got {k}"
     blocks = np.frombuffer(np.ascontiguousarray(raw).tobytes(),
                            np.uint8).reshape(n, k // GROUP, 17)
-    e = blocks[:, :, 0].astype(np.int64)
-    bits = np.where(e < 2, np.uint32(0x00200000) << e,
-                    (e - 1).astype(np.uint32) << 23).astype(np.uint32)
-    d = bits.view(np.float32)                        # [N, K//32] e8m0_half
+    sexp = np.clip(blocks[:, :, 0], 2, 255) - 1      # [N, K//32]
     b = blocks[:, :, 1:]                             # [N, K//32, 16]
     codes = np.concatenate([b & 15, b >> 4], axis=2) # block elems 0-15 | 16-31
     codes = codes.reshape(n, k)                      # [N, K] nibble codes
     # pack (64b + r, 64b + 32 + r) pairs -> byte rows
     ck = codes.T.reshape(k // SUPER, 2, GROUP, n)    # [B, lo/hi, 32, N]
     qs = (ck[:, 0] | (ck[:, 1] << 4)).reshape(k // 2, n).astype(np.uint8)
-    scale = np.ascontiguousarray(d.T)                # [K//32, N]
+    sexp = np.ascontiguousarray(sexp.T)              # [K//32, N]
     n_pad = _round_up(n, pad_n)
     if n_pad != n:
         qs = np.pad(qs, ((0, 0), (0, n_pad - n)))
-        scale = np.pad(scale, ((0, 0), (0, n_pad - n)))
-    return np.ascontiguousarray(qs), scale
+        sexp = np.pad(sexp, ((0, 0), (0, n_pad - n)))
+    return np.ascontiguousarray(qs), sexp

@@ -91,7 +91,7 @@ def make_pipeline_forward(cfg: ModelConfig, weights, mesh: Mesh,
     def fwd(stacked_local, embed, final_norm, lm_head, rope_factors,
             tokens, positions):
         stage = jax.lax.axis_index("pp")
-        x = jnp.take(embed, tokens, axis=0)
+        x = llama_model.embed_rows(embed, tokens)
         if cfg.embd_scale != 1.0:
             x = (x.astype(jnp.float32) * cfg.embd_scale).astype(x.dtype)
         xm = x.reshape(n_micro, bm, t, x.shape[-1])
@@ -134,7 +134,8 @@ def make_pipeline_forward(cfg: ModelConfig, weights, mesh: Mesh,
         fwd, mesh=mesh,
         in_specs=(
             stacked_specs,
-            P(None, None),                                   # embed
+            ((P(None, None), P(None, None))                  # embed
+             if isinstance(weights.embed, tuple) else P(None, None)),
             P(None),                                         # final_norm
             jax.tree.map(rep, weights.lm_head),
             None if weights.rope_factors is None else P(None),

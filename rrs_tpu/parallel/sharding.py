@@ -73,6 +73,7 @@ def _linear_spec(col: bool) -> object:
             q=ws, scale=ws,
             bias=None if q.bias is None else (P("tp") if col else P(None)),
             n_logical=q.n_logical,   # meta must match the weight pytree
+            k_logical=q.k_logical,
         )
 
     return dense, quant, q8
@@ -89,7 +90,7 @@ def _replicated_linear(lin):
     if isinstance(lin, Q8Linear):
         return Q8Linear(q=rep, scale=rep,
                         bias=None if lin.bias is None else P(None),
-                        n_logical=lin.n_logical)
+                        n_logical=lin.n_logical, k_logical=lin.k_logical)
     return TCQ4Linear(
         qs=rep, eff=rep,
         gather=None if lin.gather is None else P(None),
@@ -186,7 +187,8 @@ def weight_pspecs(weights: llama_model.ModelWeights,
             wv_b=P("tp", None, None) if mla else None,
         ))
     return llama_model.ModelWeights(
-        embed=P(None, None),
+        embed=((P(None, None), P(None, None))
+               if isinstance(weights.embed, tuple) else P(None, None)),
         layers=layers,
         final_norm=P(None),
         lm_head=spec_linear(weights.lm_head, col=True),

@@ -2,9 +2,9 @@
 
 Type policy mirrors llama_tensor_get_type for the TCQ4 ftype
 (src/llama-quant.cpp:265-530):
-  * token_embd.weight -> Q4_K in the reference; we store Q8_0 (our loader
-    dequantizes embeddings to bf16 either way, and Q8_0 keeps this tool free
-    of the iterative Q4_K search) — output.weight -> Q8_0 (reference :260-262)
+  * token_embd.weight -> Q4_K in the reference; we store Q8_0 (the loader
+    keeps Q8_0 tables PACKED on device and dequantizes looked-up rows —
+    models/llama.py::embed_rows) — output.weight -> Q8_0 (reference :260-262)
   * 1-D tensors (norms, biases) -> F32
   * 2-D matmul weights with K % 256 == 0 and N % 8 == 0 -> TCQ4_K32,
     else fallback (reference falls to Q4_K; we use Q8_0 for the same reason)

@@ -639,7 +639,7 @@ class InferenceContext:
             kc, vc = llama_model.scratch_caches(run_cfg, b, t)
             attn_fn = llama_model.mla_attention if run_cfg.is_mla \
                 else llama_model.attention
-            x = jnp.take(w.embed, toks, axis=0)
+            x = llama_model.embed_rows(w.embed, toks)
             for li, lw in enumerate(w.layers):
                 h = rms_norm(x, lw.attn_norm, run_cfg.rms_eps)
                 attn_out, kc[li], vc[li] = attn_fn(

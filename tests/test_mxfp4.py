@@ -71,6 +71,31 @@ def test_experts_rows_kernel():
     assert rel < 2e-2, rel
 
 
+def test_all_experts_kernel():
+    from rrs_tpu.ops.mxfp4_matmul import mxfp4_matmul_all_experts
+
+    rng = np.random.default_rng(5)
+    n, k, n_exp, t = 272, 320, 3, 5            # t not a multiple of 8
+    raws = [_random_mxfp4(rng, n, k) for _ in range(n_exp)]
+    packed = [pack_mxfp4_device(r, (n, k)) for r, _ in raws]
+    qs_all = jnp.asarray(np.stack([p[0] for p in packed]))
+    sc_all = jnp.asarray(np.stack([p[1] for p in packed]))
+    # shared activations [T, K]
+    a = rng.standard_normal((t, k)).astype(np.float32)
+    got = np.asarray(mxfp4_matmul_all_experts(
+        jnp.asarray(a), qs_all, sc_all, interpret=True))[:, :, :n]
+    want = np.stack([a @ wd.T for _, wd in raws])
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 2e-2, rel
+    # per-expert activations [E, T, K]
+    ae = rng.standard_normal((n_exp, t, k)).astype(np.float32)
+    got = np.asarray(mxfp4_matmul_all_experts(
+        jnp.asarray(ae), qs_all, sc_all, interpret=True))[:, :, :n]
+    want = np.stack([ae[i] @ wd.T for i, (_, wd) in enumerate(raws)])
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 2e-2, rel
+
+
 def test_linear_apply_mxfp4():
     from rrs_tpu.models.linear import MXFP4Linear, linear_apply
 
@@ -105,7 +130,7 @@ def _moe_pair(cfg, rng):
             deqs.append(wd.T)                      # [K_in, N_out]
         packed = [pack_mxfp4_device(r, (n_out, k_in)) for r in raws]
         qs = jnp.asarray(np.stack([p[0] for p in packed]))
-        sc = jnp.asarray(np.stack([p[1] for p in packed]), jnp.bfloat16)
+        sc = jnp.asarray(np.stack([p[1] for p in packed]))
         return (qs, sc), jnp.asarray(np.stack(deqs), jnp.bfloat16)
 
     (gq, ge), gd = stack(fe, e)
@@ -130,7 +155,7 @@ def test_moe_ffn_mxfp4_decode_and_prefill():
     rng = np.random.default_rng(4)
     packed, dense = _moe_pair(cfg, rng)
 
-    for t_len in (2, 24):                # decode (rows kernel) + prefill scan
+    for t_len in (2, 24, 80):   # rows kernel / all-experts / prefill scan
         x = jnp.asarray(
             rng.standard_normal((1, t_len, cfg.n_embd)).astype(np.float32)
             * 0.3, jnp.bfloat16)
@@ -138,6 +163,37 @@ def test_moe_ffn_mxfp4_decode_and_prefill():
         yd = np.asarray(moe_ffn(cfg, dense, x), np.float32)
         scale_ref = np.abs(yd).max() + 1e-6
         assert np.abs(yp - yd).max() / scale_ref < 6e-2, t_len
+
+
+def test_moe_capacity_overflow_fallback():
+    """Skewed routing that exceeds the static expert capacity must take the
+    exact dense-scan fallback (lax.cond) and still match the dense MoE."""
+    import dataclasses
+
+    from rrs_tpu.models.config import ModelConfig
+    from rrs_tpu.models.moe import moe_ffn
+
+    cfg = ModelConfig(
+        arch="gpt-oss", n_layers=1, n_embd=128, n_heads=4, n_kv_heads=2,
+        head_dim=64, n_ff=256, vocab_size=64, context_length=64,
+        n_experts=8, n_experts_used=2, n_ff_exp=192, moe_act="swiglu_oai",
+        expert_softmax_weight=True)
+    rng = np.random.default_rng(7)
+    packed, dense = _moe_pair(cfg, rng)
+    # bias the router hard toward experts 0/1: every token routes there,
+    # counts ~ n_tok > cap=64
+    bias = np.zeros((cfg.n_embd, cfg.n_experts), np.float32)
+    bias[:, 0] = 0.5
+    bias[:, 1] = 0.4
+    router = jnp.asarray(bias)
+    packed = dataclasses.replace(packed, router=router)
+    dense = dataclasses.replace(dense, router=router)
+    x = jnp.asarray(
+        rng.standard_normal((1, 96, cfg.n_embd)).astype(np.float32) * 0.3,
+        jnp.bfloat16)
+    yp = np.asarray(moe_ffn(cfg, packed, x), np.float32)
+    yd = np.asarray(moe_ffn(cfg, dense, x), np.float32)
+    assert np.abs(yp - yd).max() / (np.abs(yd).max() + 1e-6) < 6e-2
 
 
 def test_loader_keeps_mxfp4_experts_packed(tmp_path):

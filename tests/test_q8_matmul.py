@@ -44,3 +44,21 @@ def test_gguf_payload_roundtrip():
     s = np.asarray(lin.scale)[:, :n]
     got = q.T.astype(np.float32) * np.repeat(s.T, 32, axis=1)
     np.testing.assert_allclose(got, deq, rtol=1e-6)
+
+
+def test_k_padding_non_256_aligned():
+    """K not 256-aligned (gpt-oss E=2880 pattern): from_q8_gguf zero-pads K
+    to the kernel's 256-multiple and linear_apply pads the activations."""
+    rng = np.random.default_rng(3)
+    n, k, m = 48, 160, 5                   # kpad = 256
+    w = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+    raw = quantize_q8_0(w)
+    lin = Q8Linear.from_q8_gguf(raw, (n, k))
+    assert lin.q.shape[0] == 256 and lin.k_logical == k
+    assert lin.shape == (k, n)
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    got = np.asarray(linear_apply(lin, jnp.asarray(x)))
+    ref = x @ w.T
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.01, rel
+    assert got.shape == (m, n)

@@ -76,7 +76,8 @@ def test_mxfp4_matmul_and_expert_rows():
     rng = np.random.default_rng(3)
     k, n = 512, 256
     qs = jnp.asarray(rng.integers(0, 256, (k // 2, n), dtype=np.uint8))
-    sc = jnp.asarray(2.0 ** rng.integers(-8, -4, (k // 32, n)), jnp.bfloat16)
+    # scale = uint8 f32-exponent-field form (2^-8..2^-4 -> 119..123)
+    sc = jnp.asarray(rng.integers(119, 124, (k // 32, n), dtype=np.uint8))
     for m in (1, 64):
         a = jnp.asarray(rng.standard_normal((m, k)) * 0.5, jnp.float32)
         got = np.asarray(mxfp4_matmul(a, qs, sc))
@@ -88,7 +89,7 @@ def test_mxfp4_matmul_and_expert_rows():
     qs_all = jnp.asarray(
         rng.integers(0, 256, (n_exp, k // 2, n), dtype=np.uint8))
     s_all = jnp.asarray(
-        2.0 ** rng.integers(-8, -4, (n_exp, k // 32, n)), jnp.bfloat16)
+        rng.integers(119, 124, (n_exp, k // 32, n), dtype=np.uint8))
     ids = jnp.asarray([2, 0, 3, 1, 2, 2], jnp.int32)
     a = jnp.asarray(rng.standard_normal((6, k)) * 0.5, jnp.float32)
     got = np.asarray(mxfp4_matmul_experts_rows(a, qs_all, s_all, ids))
@@ -96,6 +97,14 @@ def test_mxfp4_matmul_and_expert_rows():
         ref = np.asarray(mxfp4_matmul_ref(a[i:i + 1], qs_all[e], s_all[e]))
         rel = np.abs(got[i:i + 1] - ref) / (np.abs(ref).max() + 1e-6)
         assert rel.max() < 2e-2, (i, rel.max())
+
+    from rrs_tpu.ops.mxfp4_matmul import mxfp4_matmul_all_experts
+
+    gote = np.asarray(mxfp4_matmul_all_experts(a, qs_all, s_all))
+    for e in range(n_exp):
+        ref = np.asarray(mxfp4_matmul_ref(a, qs_all[e], s_all[e]))
+        rel = np.abs(gote[e] - ref) / (np.abs(ref).max() + 1e-6)
+        assert rel.max() < 2e-2, (e, rel.max())
 
 
 def test_flash_attention_variants():
