@@ -29,6 +29,47 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _capacity_dispatch(nE: int, kk: int, n_tok: int, a, topi, topv,
+                       run_experts, dense_fallback):
+    """Capacity-based routed MoE dispatch (the GSPMD-era TPU MoE shape):
+    sort token-slots by expert, pad each expert's group to a static
+    capacity C, run ONE batched all-experts computation over [E, C, K],
+    scatter-combine back. Computes only routed tokens (+pad) — ~top_k/E
+    of a dense expert sweep. ``run_experts(buf [E, C, K]) -> [E, C, D]``.
+
+    Exactness: if any expert draws more than C slots (data-dependent),
+    lax.cond falls back to ``dense_fallback()`` — so skewed routing never
+    drops tokens (the classic capacity-overflow failure mode is a
+    TRAINING trade-off; an inference engine must be exact)."""
+    n_sel = n_tok * kk
+    cap = min(_round_up(n_tok, 8), max(64, _round_up(2 * n_sel // nE, 64)))
+    ids_flat = topi.reshape(-1)                     # [S]
+    counts = jnp.bincount(ids_flat, length=nE)
+    order = jnp.argsort(ids_flat, stable=True)
+    sorted_ids = ids_flat[order]
+    first = jnp.cumsum(counts) - counts             # exclusive prefix
+    pos_in_e = (jnp.arange(n_sel, dtype=jnp.int32)
+                - jnp.take(first, sorted_ids).astype(jnp.int32))
+    valid = pos_in_e < cap
+    slot = jnp.where(valid, sorted_ids * cap + pos_in_e, nE * cap)
+    tok_of = (order // kk).astype(jnp.int32)
+
+    def capacity_path(_):
+        buf = jnp.zeros((nE * cap, a.shape[-1]), a.dtype)
+        buf = buf.at[slot].set(jnp.take(a, tok_of, axis=0), mode="drop")
+        d = run_experts(buf.reshape(nE, cap, a.shape[-1]))  # [E, C, D]
+        vals = jnp.take(d.reshape(nE * cap, d.shape[-1]),
+                        jnp.clip(slot, 0, nE * cap - 1), axis=0)
+        wts = topv.reshape(-1)[order] * valid
+        return jnp.zeros((n_tok, d.shape[-1]), jnp.float32).at[tok_of].add(
+            vals * wts[:, None])
+
+    if cap >= n_tok:      # capacity covers the worst case: always exact
+        return capacity_path(None)
+    return jax.lax.cond(jnp.max(counts) > cap, dense_fallback,
+                        capacity_path, None)
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["router", "gate", "up", "down", "shared_gate", "shared_up",
@@ -284,18 +325,18 @@ def moe_ffn(cfg: ModelConfig, mw: MoEWeights, x: jnp.ndarray) -> jnp.ndarray:
                 a2, mw.down_qs, mw.down_eff, interpret=interp)[..., :e]
             out = jnp.einsum("etk,te->tk", d, combine,
                              preferred_element_type=jnp.float32)
-        elif mx:
-            # prefill: capacity-based routed dispatch (the GSPMD-era MoE
-            # shape: sort token-slots by expert, pad each expert's group to
-            # a static capacity, run ONE all-experts kernel per projection
-            # over [E, C, K]). Computes only routed tokens (+pad) instead
-            # of every expert x every token — ~E/top_k less MXU work than
-            # a dense expert sweep. Exactness is preserved: if any expert
-            # draws more than C slots (counts are data-dependent),
-            # lax.cond falls back to the dense per-expert scan.
+        else:
+            # prefill: capacity-based routed dispatch — see
+            # _capacity_dispatch. run_experts uses ONE all-experts
+            # packed-weight kernel per projection (dequant in VMEM; a jnp
+            # dequant would write each 17 MB bf16 expert to HBM and read
+            # it back). The exact-for-any-skew fallback is the dense
+            # per-expert scan over all tokens.
             from rrs_tpu.models.linear import _auto_interpret
             from rrs_tpu.ops.mxfp4_matmul import (
                 mxfp4_matmul, mxfp4_matmul_all_experts)
+            from rrs_tpu.ops.tcq4_matmul import (
+                tcq4_matmul_all_experts)
 
             interp = _auto_interpret()
             nE = mw.gate_qs.shape[0]
@@ -303,59 +344,39 @@ def moe_ffn(cfg: ModelConfig, mw: MoEWeights, x: jnp.ndarray) -> jnp.ndarray:
                   else jnp.zeros((nE, fE), jnp.float32))
             ub = (mw.up_b if mw.up_b is not None
                   else jnp.zeros((nE, fE), jnp.float32))
-            n_sel = n_tok * kk
-            cap = min(_round_up(n_tok, 8),
-                      max(64, _round_up(2 * n_sel // nE, 64)))
+            all_mm = (mxfp4_matmul_all_experts if mx
+                      else tcq4_matmul_all_experts)
 
-            ids_flat = topi.reshape(-1)                     # [S]
-            counts = jnp.bincount(ids_flat, length=nE)
-            order = jnp.argsort(ids_flat, stable=True)
-            sorted_ids = ids_flat[order]
-            first = jnp.cumsum(counts) - counts             # exclusive
-            pos_in_e = (jnp.arange(n_sel, dtype=jnp.int32)
-                        - jnp.take(first, sorted_ids).astype(jnp.int32))
-            valid = pos_in_e < cap
-            slot = jnp.where(valid, sorted_ids * cap + pos_in_e, nE * cap)
-            tok_of = (order // kk).astype(jnp.int32)
+            def run_experts(buf):                           # [E, C, K]
+                g = all_mm(buf, mw.gate_qs, mw.gate_eff,
+                           interpret=interp)[..., :fE] + gb[:, None, :]
+                u = all_mm(buf, mw.up_qs, mw.up_eff,
+                           interpret=interp)[..., :fE] + ub[:, None, :]
+                act = _moe_act(cfg, g, u)                   # [E, C, F]
+                nE_, c_ = act.shape[0], act.shape[1]
+                a2 = prep(act.reshape(nE_ * c_, -1)).reshape(nE_, c_, -1)
+                return all_mm(a2, mw.down_qs, mw.down_eff,
+                              interpret=interp)[..., :e]
 
-            def capacity_path(_):
-                buf = jnp.zeros((nE * cap, a.shape[-1]), a.dtype)
-                buf = buf.at[slot].set(jnp.take(a, tok_of, axis=0),
-                                       mode="drop")
-                buf = buf.reshape(nE, cap, a.shape[-1])
-                g = mxfp4_matmul_all_experts(
-                    buf, mw.gate_qs, mw.gate_eff,
-                    interpret=interp)[..., :fE] + gb[:, None, :]
-                u = mxfp4_matmul_all_experts(
-                    buf, mw.up_qs, mw.up_eff,
-                    interpret=interp)[..., :fE] + ub[:, None, :]
-                a2 = prep(_moe_act(cfg, g, u))              # [E, C, F]
-                d = mxfp4_matmul_all_experts(
-                    a2, mw.down_qs, mw.down_eff, interpret=interp)[..., :e]
-                vals = jnp.take(d.reshape(nE * cap, e),
-                                jnp.clip(slot, 0, nE * cap - 1), axis=0)
-                wts = topv.reshape(-1)[order] * valid
-                return jnp.zeros((n_tok, e), jnp.float32).at[tok_of].add(
-                    vals * wts[:, None])
-
-            def scan_path(_):
-                # dense fallback: every expert over every token (exact for
-                # any routing skew; the packed-weight kernel still
-                # dequantizes in VMEM rather than writing 17 MB bf16
-                # experts to HBM)
+            def scan_fallback(_):
                 combine = jnp.zeros((n_tok, nE), jnp.float32)
                 combine = jnp.put_along_axis(combine, topi, topv, axis=-1,
                                              inplace=False)
 
                 def mm(act, qsb, scb):
-                    if interp:
-                        return jnp.dot(
-                            act.astype(jnp.float32),
-                            dequant_mxfp4_jnp(qsb, scb),
-                            preferred_element_type=jnp.float32)
-                    return mxfp4_matmul(act, qsb, scb)
+                    if mx:
+                        if interp:
+                            return jnp.dot(
+                                act.astype(jnp.float32),
+                                dequant_mxfp4_jnp(qsb, scb),
+                                preferred_element_type=jnp.float32)
+                        return mxfp4_matmul(act, qsb, scb)
+                    w = _dequant_expert(qsb[None, None],
+                                        scb[None, None])[0, 0]
+                    return jnp.dot(act, w,
+                                   preferred_element_type=jnp.float32)
 
-                def body_mx(acc, ew):
+                def body_sc(acc, ew):
                     gq, ge, uq, ue, dq, de_, cw, gb_e, ub_e = ew
                     g = mm(a, gq, ge)[:, :fE] + gb_e
                     u = mm(a, uq, ue)[:, :fE] + ub_e
@@ -364,45 +385,13 @@ def moe_ffn(cfg: ModelConfig, mw: MoEWeights, x: jnp.ndarray) -> jnp.ndarray:
                     return acc + y * cw[:, None], None
 
                 out, _ = jax.lax.scan(
-                    body_mx, jnp.zeros((n_tok, e), jnp.float32),
+                    body_sc, jnp.zeros((n_tok, e), jnp.float32),
                     (mw.gate_qs, mw.gate_eff, mw.up_qs, mw.up_eff,
                      mw.down_qs, mw.down_eff, combine.T, gb, ub))
                 return out
 
-            if cap >= n_tok:      # capacity covers the worst case: exact
-                out = capacity_path(None)
-            else:
-                out = jax.lax.cond(jnp.max(counts) > cap,
-                                   scan_path, capacity_path, None)
-        else:
-            # prefill: stream experts one at a time (scan keeps peak memory at
-            # a single dequantized expert), dense MXU matmuls over all tokens,
-            # one-hot combine — ragged dispatch avoided
-            combine = jnp.zeros((n_tok, cfg.n_experts), jnp.float32)
-            combine = jnp.put_along_axis(combine, topi, topv, axis=-1,
-                                         inplace=False)
-
-            nE, fE = mw.gate_qs.shape[0], cfg.n_ff_exp
-            gb = (mw.gate_b if mw.gate_b is not None
-                  else jnp.zeros((nE, fE), jnp.float32))
-            ub = (mw.up_b if mw.up_b is not None
-                  else jnp.zeros((nE, fE), jnp.float32))
-
-            def body(acc, ew):
-                gq, ge, uq, ue, dq, de_, cw, gb_e, ub_e = ew
-                wg = _dequant_expert(gq[None, None], ge[None, None])[0, 0]
-                wu = _dequant_expert(uq[None, None], ue[None, None])[0, 0]
-                g = jnp.dot(a, wg, preferred_element_type=jnp.float32) + gb_e
-                u = jnp.dot(a, wu, preferred_element_type=jnp.float32) + ub_e
-                a2 = _rotate_quant(_moe_act(cfg, g, u))
-                wd = _dequant_expert(dq[None, None], de_[None, None])[0, 0]
-                y = jnp.dot(a2, wd, preferred_element_type=jnp.float32)
-                return acc + y * cw[:, None], None
-
-            out, _ = jax.lax.scan(
-                body, jnp.zeros((n_tok, e), jnp.float32),
-                (mw.gate_qs, mw.gate_eff, mw.up_qs, mw.up_eff,
-                 mw.down_qs, mw.down_eff, combine.T, gb, ub))
+            out = _capacity_dispatch(nE, kk, n_tok, a, topi, topv,
+                                     run_experts, scan_fallback)
     elif n_tok <= 16:
         # gather path: per-token expert weights from HBM
         wg = jnp.take(mw.gate, topi, axis=0)   # [T, k, K, F]
@@ -419,18 +408,42 @@ def moe_ffn(cfg: ModelConfig, mw: MoEWeights, x: jnp.ndarray) -> jnp.ndarray:
                          preferred_element_type=jnp.float32)
         out = (out * topv[..., None]).sum(1)
     else:
-        # dense path: run all experts, combine with routing weights
-        g = jnp.einsum("tk,ekf->tef", x2, mw.gate, preferred_element_type=jnp.float32)
-        u = jnp.einsum("tk,ekf->tef", x2, mw.up, preferred_element_type=jnp.float32)
-        if mw.gate_b is not None:
-            g = g + mw.gate_b[None]
-            u = u + mw.up_b[None]
-        act = _moe_act(cfg, g, u)               # [T, E, F]
-        y = jnp.einsum("tef,efk->tek", act.astype(x.dtype), mw.down,
-                       preferred_element_type=jnp.float32)   # [T, E, K]
-        combine = jnp.zeros((n_tok, cfg.n_experts), jnp.float32)
-        combine = jnp.put_along_axis(combine, topi, topv, axis=-1, inplace=False)
-        out = jnp.einsum("tek,te->tk", y, combine)
+        # batched/prefill dense experts: capacity-based routed dispatch
+        # (see _capacity_dispatch) — batched per-expert matmuls over
+        # [E, C, K] compute only routed tokens (+pad), ~top_k/E of the
+        # all-experts einsum, which remains the exact overflow fallback.
+        nE = mw.gate.shape[0]
+
+        def run_experts(buf):                   # [E, C, K]
+            g = jnp.einsum("eck,ekf->ecf", buf, mw.gate,
+                           preferred_element_type=jnp.float32)
+            u = jnp.einsum("eck,ekf->ecf", buf, mw.up,
+                           preferred_element_type=jnp.float32)
+            if mw.gate_b is not None:
+                g = g + mw.gate_b[:, None, :]
+                u = u + mw.up_b[:, None, :]
+            act = _moe_act(cfg, g, u)           # [E, C, F]
+            return jnp.einsum("ecf,efk->eck", act.astype(x.dtype), mw.down,
+                              preferred_element_type=jnp.float32)
+
+        def dense_fallback(_):
+            g = jnp.einsum("tk,ekf->tef", x2, mw.gate,
+                           preferred_element_type=jnp.float32)
+            u = jnp.einsum("tk,ekf->tef", x2, mw.up,
+                           preferred_element_type=jnp.float32)
+            if mw.gate_b is not None:
+                g = g + mw.gate_b[None]
+                u = u + mw.up_b[None]
+            act = _moe_act(cfg, g, u)           # [T, E, F]
+            y = jnp.einsum("tef,efk->tek", act.astype(x.dtype), mw.down,
+                           preferred_element_type=jnp.float32)
+            combine = jnp.zeros((n_tok, cfg.n_experts), jnp.float32)
+            combine = jnp.put_along_axis(combine, topi, topv, axis=-1,
+                                         inplace=False)
+            return jnp.einsum("tek,te->tk", y, combine)
+
+        out = _capacity_dispatch(nE, cfg.n_experts_used, n_tok, x2,
+                                 topi, topv, run_experts, dense_fallback)
 
     if cfg.tp_axis is not None and not mw.quantized:
         out = jax.lax.psum(out, cfg.tp_axis)

@@ -200,6 +200,67 @@ def tcq4_matmul_experts(
     return out[:, :m]
 
 
+def _kernel_all_experts(a_ref, qs_ref, eff_ref, out_ref, *,
+                        bm, bn, k, per_expert_a):
+    a = a_ref[0] if per_expert_a else a_ref[...]
+    acc = jnp.zeros((bm, bn), jnp.float32)
+    for sb in range(k // TILE_K):
+        w_q = _unpack_w4(qs_ref[0, sb * (TILE_K // 2):(sb + 1) * (TILE_K // 2), :])
+        e = eff_ref[0, sb * GROUPS:(sb + 1) * GROUPS, :].astype(jnp.float32)
+        w32 = (w_q.astype(jnp.float32).reshape(GROUPS, GROUP_SIZE, bn)
+               * e[:, None, :]).reshape(TILE_K, bn)
+        acc += jax.lax.dot_general(
+            a[:, sb * TILE_K:(sb + 1) * TILE_K].astype(jnp.bfloat16),
+            w32.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "interpret"))
+def tcq4_matmul_all_experts(
+    a: jnp.ndarray,           # [T, K] (shared) or [E, T, K] (per-expert)
+    qs_all: jnp.ndarray,      # uint8 [E, K//2, N]
+    eff_all: jnp.ndarray,     # [E, K//32, N]
+    *,
+    bn: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out[e] = a(|[e]) @ dequant(w[e]); f32 [E, T, N] — the capacity-
+    dispatch companion of tcq4_matmul_experts (one (expert, N-block) grid,
+    every expert's tiles stream exactly once)."""
+    per_expert_a = a.ndim == 3
+    t = a.shape[-2]
+    k = a.shape[-1]
+    n_exp, k2, n = qs_all.shape
+    assert k2 * 2 == k, (a.shape, qs_all.shape)
+    if bn == 0:
+        bn = _pick_bn(n, limit=max(128, (3 * 1024 * 1024) // k2 // 128 * 128))
+    bm = t if t < 8 else _round_up(t, 8)
+    if bm != t:
+        pad = [(0, 0)] * a.ndim
+        pad[-2] = (0, bm - t)
+        a = jnp.pad(a, pad)
+    if per_expert_a:
+        a_spec = pl.BlockSpec((1, bm, k), lambda e, i: (e, 0, 0))
+    else:
+        a_spec = pl.BlockSpec((bm, k), lambda e, i: (0, 0))
+    out = pl.pallas_call(
+        functools.partial(_kernel_all_experts, bm=bm, bn=bn, k=k,
+                          per_expert_a=per_expert_a),
+        grid=(n_exp, n // bn),
+        in_specs=[
+            a_spec,
+            pl.BlockSpec((1, k2, bn), lambda e, i: (e, 0, i)),
+            pl.BlockSpec((1, k // GROUP_SIZE, bn), lambda e, i: (e, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, bm, bn), lambda e, i: (e, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((n_exp, bm, n), jnp.float32),
+        interpret=interpret,
+    )(a, qs_all, eff_all)
+    return out[:, :t]
+
+
 def _kernel_experts_rows(ids_ref, a_ref, qs_ref, eff_ref, out_ref, *, bn, k):
     acc = jnp.zeros((1, bn), jnp.float32)
     for sb in range(k // TILE_K):
