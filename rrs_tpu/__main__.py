@@ -68,6 +68,9 @@ def main(argv=None):
     q = sub.add_parser("quantize", help="requantize a GGUF model to TCQ4_K32")
     q.add_argument("src")
     q.add_argument("dst")
+    q.add_argument("--type", dest="out_type", default="tcq4",
+                   choices=("tcq4", "q4_k", "q8_0", "mxfp4", "f16"),
+                   help="output tensor type (llama-quantize ftype analog)")
     q.add_argument("--tcq4-imatrix", dest="imatrix", default=None,
                    help="imatrix GGUF for per-block channel reordering")
 
@@ -450,7 +453,8 @@ def cmd_quantize(args):
         imatrix = load_imatrix(args.imatrix)
         perms = derive_tcq4_perms(imatrix)
         print(f"derived {len(perms)} channel permutations from imatrix")
-    stats = quantize_model(args.src, args.dst, perms=perms)
+    stats = quantize_model(args.src, args.dst, perms=perms,
+                           out_type=args.out_type)
     print(f"quantized: {stats}")
 
 

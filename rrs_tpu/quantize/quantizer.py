@@ -54,13 +54,32 @@ def _is_tcq4_exps_eligible(name: str, shape) -> bool:
             and name.endswith(".weight") and "norm" not in name)
 
 
+# non-TCQ4 output types (the llama-quantize ftype menu analog; reference
+# tools/quantize/quantize.cpp type table). Each entry: (GGMLType for
+# eligible 2D/3D weights, block width the last dim must divide,
+# quantize fn name in formats.kquants, general.file_type code).
+_OUT_TYPES = {
+    "q4_k": (GGMLType.Q4_K, 256, "quantize_q4_k", 15),   # MOSTLY_Q4_K_M
+    "q8_0": (GGMLType.Q8_0, 32, "quantize_q8_0", 7),
+    "mxfp4": (GGMLType.MXFP4, 32, "quantize_mxfp4", 38),
+    "f16": (GGMLType.F16, 1, None, 1),
+}
+
+
 def quantize_model(
     src_path: str | Path,
     dst_path: str | Path,
     perms: Optional[dict[str, np.ndarray]] = None,
     verbose: bool = True,
+    out_type: str = "tcq4",
 ) -> dict:
-    """Quantize every eligible tensor to TCQ4_K32; returns a summary dict."""
+    """Quantize every eligible tensor to ``out_type`` (default TCQ4_K32);
+    returns a summary dict. Non-default types follow the same tensor
+    policy: 2D/3D .weight tensors get the target type (falling back to
+    Q8_0 then F32 on block-width mismatch), token_embd/output stay Q8_0,
+    norms/1D stay F32."""
+    if out_type != "tcq4":
+        return _quantize_model_simple(src_path, dst_path, out_type, verbose)
     g = read_gguf(src_path)
     w = GGUFWriter(dst_path)
 
@@ -114,6 +133,62 @@ def quantize_model(
         else:
             f32 = g.tensor(name).astype(np.float32)
             w.add_tensor(name, f32, shape=info.shape, ggml_type=GGMLType.F32)
+            stats["f32"] += 1
+            stats["bytes_out"] += f32.nbytes
+    g.close()
+    w.write()
+    return stats
+
+
+def _quantize_model_simple(src_path, dst_path, out_type: str,
+                           verbose: bool) -> dict:
+    """Non-TCQ4 requantization (``--type q4_k|q8_0|mxfp4|f16``)."""
+    gt, blk, fn_name, ftype = _OUT_TYPES[out_type]
+    qfn = getattr(kquants, fn_name) if fn_name else None
+    g = read_gguf(src_path)
+    w = GGUFWriter(dst_path)
+    for key, value in g.metadata.items():
+        if key == "general.file_type":
+            continue
+        w.add_kv(key, value, vtype=g.metadata_types.get(key))
+    w.add_uint32("general.file_type", ftype)
+
+    stats = {out_type: 0, "q8_0": 0, "f32": 0, "kept": 0,
+             "bytes_in": 0, "bytes_out": 0}
+    for name, info in g.tensors.items():
+        stats["bytes_in"] += info.nbytes
+        eligible = (len(info.shape) in (2, 3) and name.endswith(".weight")
+                    and "norm" not in name and info.shape[-1] % blk == 0)
+        f32 = g.tensor(name).astype(np.float32)
+        if eligible and out_type == "f16":
+            w.add_tensor(name, f32.astype(np.float16), shape=info.shape,
+                         ggml_type=GGMLType.F16)
+            stats[out_type] += 1
+            stats["bytes_out"] += f32.size * 2
+        elif eligible and not (out_type == "q4_k" and name in (
+                "token_embd.weight", "output.weight")):
+            # row codecs never cross rows, so 3D expert stacks quantize as
+            # flattened [E*N, K]
+            payload = qfn(f32.reshape(-1, info.shape[-1])).tobytes()
+            w.add_tensor(name, np.frombuffer(payload, np.uint8),
+                         shape=info.shape, ggml_type=gt)
+            stats[out_type] += 1
+            stats["bytes_out"] += len(payload)
+            if verbose:
+                print(f"  {name}: {info.shape} {info.ggml_type.name} -> "
+                      f"{gt.name} ({len(payload) * 8 / f32.size:.3f} bpw)")
+        elif len(info.shape) == 2 and info.shape[-1] % 32 == 0:
+            # embed/head under q4_k (reference keeps them higher-precision:
+            # llama-quant.cpp:260-285 — we use Q8_0), plus block-width
+            # fallbacks
+            payload = kquants.quantize_q8_0(f32).tobytes()
+            w.add_tensor(name, payload, shape=info.shape,
+                         ggml_type=GGMLType.Q8_0)
+            stats["q8_0"] += 1
+            stats["bytes_out"] += len(payload)
+        else:
+            w.add_tensor(name, f32, shape=info.shape,
+                         ggml_type=GGMLType.F32)
             stats["f32"] += 1
             stats["bytes_out"] += f32.nbytes
     g.close()
