@@ -38,7 +38,8 @@ from jax import shard_map
 
 from rrs_tpu.models.config import ModelConfig
 from rrs_tpu.models import llama as llama_model
-from rrs_tpu.models.linear import DenseLinear, Q8Linear, TCQ4Linear
+from rrs_tpu.models.linear import (
+    DenseLinear, MXFP4Linear, Q8Linear, TCQ4Linear)
 
 
 def make_mesh(n_devices: int = 0, dp: int = 1, devices=None) -> Mesh:
@@ -76,7 +77,21 @@ def _linear_spec(col: bool) -> object:
             k_logical=q.k_logical,
         )
 
-    return dense, quant, q8
+    def mx(q: MXFP4Linear):
+        # col shards N (axis 1), row shards K (axis 0). N-padded layers
+        # cannot col-shard (pad columns would land mid-shard and the
+        # per-shard n_logical slice would cut real outputs).
+        if col:
+            assert not q.n_logical or q.n_logical == q.qs.shape[1], (
+                "N-padded MXFP4Linear cannot be column-sharded")
+        ws = P(None, "tp") if col else P("tp", None)
+        return MXFP4Linear(
+            qs=ws, scale=ws,
+            bias=None if q.bias is None else (P("tp") if col else P(None)),
+            n_logical=q.n_logical,
+        )
+
+    return dense, quant, q8, mx
 
 
 def _replicated_linear(lin):
@@ -91,6 +106,10 @@ def _replicated_linear(lin):
         return Q8Linear(q=rep, scale=rep,
                         bias=None if lin.bias is None else P(None),
                         n_logical=lin.n_logical, k_logical=lin.k_logical)
+    if isinstance(lin, MXFP4Linear):
+        return MXFP4Linear(qs=rep, scale=rep,
+                           bias=None if lin.bias is None else P(None),
+                           n_logical=lin.n_logical)
     return TCQ4Linear(
         qs=rep, eff=rep,
         gather=None if lin.gather is None else P(None),
@@ -116,6 +135,7 @@ def _moe_pspecs(moe, ep_axis: Optional[str]):
         return None if val is None else P(ep, None, None)
 
     return MoEWeights(
+        quant_kind=moe.quant_kind,   # meta must match the weight pytree
         router=P(None, None),
         gate=stack3(moe.gate, col=True),
         up=stack3(moe.up, col=True),
@@ -146,11 +166,13 @@ def weight_pspecs(weights: llama_model.ModelWeights,
     def spec_linear(lin, col: bool):
         if lin is None:
             return None
-        dense, quant, q8 = _linear_spec(col)
+        dense, quant, q8, mx = _linear_spec(col)
         if isinstance(lin, DenseLinear):
             return dense(lin)
         if isinstance(lin, Q8Linear):
             return q8(lin)
+        if isinstance(lin, MXFP4Linear):
+            return mx(lin)
         return quant(lin)
 
     layers = []

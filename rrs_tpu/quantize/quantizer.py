@@ -165,8 +165,11 @@ def _quantize_model_simple(src_path, dst_path, out_type: str,
                          ggml_type=GGMLType.F16)
             stats[out_type] += 1
             stats["bytes_out"] += f32.size * 2
-        elif eligible and not (out_type == "q4_k" and name in (
-                "token_embd.weight", "output.weight")):
+        elif eligible and name not in ("token_embd.weight",
+                                       "output.weight"):
+            # embed/head stay Q8_0 below (the reference keeps them at
+            # higher precision than the body, llama-quant.cpp:260-285;
+            # also: a vocab-padded MXFP4 head could not be column-sharded)
             # row codecs never cross rows, so 3D expert stacks quantize as
             # flattened [E*N, K]
             payload = qfn(f32.reshape(-1, info.shape[-1])).tobytes()

@@ -180,3 +180,47 @@ def test_tp_context_moe_matches_single_device(tmp_path):
         np.testing.assert_allclose(dt, dr, rtol=1e-1, atol=1e-1)
         assert int(dr.argmax()) == int(dt.argmax())
         tok = int(dr.argmax())
+
+
+def test_tp_context_mxfp4_model(tmp_path):
+    """MXFP4 weights (2D attn projections via quantize --type mxfp4 AND
+    stacked MoE experts) through the TP product surface: sharded context
+    reproduces the single-device greedy decisions."""
+    from rrs_tpu.gguf.constants import GGMLType
+    from rrs_tpu.models.export import export_random_gguf
+    from rrs_tpu.models.loader import load_model
+    from rrs_tpu.quantize.quantizer import quantize_model
+
+    cfg0 = ModelConfig(
+        arch="qwen3moe", n_layers=2, n_embd=256, n_heads=8, n_kv_heads=4,
+        head_dim=128, n_ff=1024, vocab_size=96, context_length=128,
+        qk_norm=True, n_experts=4, n_experts_used=2, n_ff_exp=64,
+        norm_topk_prob=True)
+    f32 = tmp_path / "f32.gguf"
+    export_random_gguf(cfg0, f32, seed=13,
+                       expert_ggml_type=GGMLType.MXFP4)
+    mx = tmp_path / "mx.gguf"
+    quantize_model(str(f32), str(mx), out_type="mxfp4", verbose=False)
+
+    cfg, w, _ = load_model(mx, fuse=False)
+    from rrs_tpu.models.linear import MXFP4Linear
+
+    assert isinstance(w.layers[0].wq, MXFP4Linear)
+    assert w.layers[0].moe.quant_kind == "mxfp4"
+
+    ref = InferenceContext(cfg, w, n_lanes=1, max_seq=64)
+    tpc = InferenceContext(cfg, w, n_lanes=1, max_seq=64,
+                           mesh=make_mesh(2, dp=1))
+    prompt = [1, 2, 3]
+    sr, st = ref.new_sequence(), tpc.new_sequence()
+    lr = np.asarray(ref.prefill(sr, prompt))
+    lt = np.asarray(tpc.prefill(st, prompt))
+    np.testing.assert_allclose(lt, lr, rtol=5e-2, atol=5e-2)
+    tok = int(lr[-1].argmax())
+    assert int(lt[-1].argmax()) == tok
+    for _ in range(3):
+        dr = ref.decode({sr: tok})[sr]
+        dt = tpc.decode({st: tok})[st]
+        np.testing.assert_allclose(dt, dr, rtol=1e-1, atol=1e-1)
+        assert int(dt.argmax()) == int(dr.argmax())
+        tok = int(dr.argmax())
