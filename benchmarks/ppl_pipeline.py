@@ -1,0 +1,178 @@
+"""End-to-end quantization-quality pipeline on a TRAINED model.
+
+The PPL north-star (reference README.md:43-45: Q4_K 13.33 < TCQ4-reorder
+13.88 < TCQ4-no-reorder 14.07 on Qwen3-4B/WikiText-2) cannot be
+reproduced literally in this zero-egress environment (no real
+checkpoints). This script makes the strongest locally-possible version
+of that argument: train a small byte-level qwen3 FROM SCRATCH on local
+text (so the weights have real structure — random weights give
+near-uniform logits where PPL deltas are meaningless), then run the FULL
+product pipeline per format:
+
+    train -> export GGUF -> imatrix -> quantize
+          -> {f32, q8_0, q4_k, tcq4, tcq4 + imatrix reorder}
+          -> held-out perplexity
+
+and check the reference's ordering (f32 < q8_0 <~ q4_k, and
+tcq4-reorder < tcq4-no-reorder).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/ppl_pipeline.py
+     [--layers 8 --embd 512 --ff 1536 --steps 600 --seq 512 --batch 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_corpus(max_bytes: int = 4 << 20) -> bytes:
+    """Local natural+code text: this repo's docs and sources (and the
+    reference's markdown docs if readable) as raw bytes."""
+    roots = [Path("/root/repo"), Path("/root/reference")]
+    parts, total = [], 0
+    for root in roots:
+        for pat in ("*.md", "docs/**/*.md", "rrs_tpu/**/*.py",
+                    "tools/**/*.py", "examples/**/*.md", "gguf-py/**/*.py",
+                    "common/*.cpp", "src/*.cpp"):
+            for p in sorted(root.glob(pat)):
+                try:
+                    b = p.read_bytes()
+                except OSError:
+                    continue
+                parts.append(b)
+                total += len(b)
+                if total >= max_bytes:
+                    return b"\n".join(parts)[:max_bytes]
+    return b"\n".join(parts)[:max_bytes]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=8)
+    ap.add_argument("--embd", type=int, default=512)
+    ap.add_argument("--heads", type=int, default=8)
+    ap.add_argument("--ff", type=int, default=1536)
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--seq", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--eval-chunks", type=int, default=24)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from rrs_tpu.gguf.reader import GGUFFile
+    from rrs_tpu.models import llama as lm
+    from rrs_tpu.models.config import ModelConfig
+    from rrs_tpu.models.export import export_random_gguf, export_weights_gguf
+    from rrs_tpu.models.loader import load_model
+    from rrs_tpu.quantize.imatrix import (
+        collect_imatrix, derive_tcq4_perms, load_imatrix, save_imatrix)
+    from rrs_tpu.quantize.quantizer import quantize_model
+    from rrs_tpu.runtime.context import InferenceContext
+    from rrs_tpu.tools.perplexity import compute_perplexity
+    from rrs_tpu.train.finetune import TrainConfig, make_dataset, train
+
+    cfg = ModelConfig(
+        arch="qwen3", n_layers=args.layers, n_embd=args.embd,
+        n_heads=args.heads, n_kv_heads=max(2, args.heads // 4),
+        head_dim=args.embd // args.heads, n_ff=args.ff, vocab_size=256,
+        context_length=max(1024, args.seq), qk_norm=True)
+    n_params = (cfg.vocab_size * cfg.n_embd * 2
+                + cfg.n_layers * (cfg.n_embd * (cfg.n_q_dim + 2 * cfg.n_kv_dim)
+                                  + cfg.n_q_dim * cfg.n_embd
+                                  + 3 * cfg.n_embd * cfg.n_ff))
+    log(f"model ~{n_params/1e6:.1f}M params; byte-level vocab 256")
+
+    corpus = build_corpus()
+    log(f"corpus {len(corpus)/1e6:.2f} MB")
+    split = int(len(corpus) * 0.95)
+    train_toks = list(corpus[:split])
+    eval_toks = list(corpus[split:])
+
+    weights = lm.random_weights(cfg, seed=0, dtype=jnp.bfloat16)
+    batches = make_dataset(train_toks, args.seq, batch=args.batch)
+    need = args.steps
+    data = (batches * (need // len(batches) + 1))[:need]
+    log(f"training {need} steps x [{args.batch}, {args.seq}] "
+        f"({len(batches)} unique blocks)")
+
+    losses = []
+    weights, losses = train(
+        cfg, weights, data, TrainConfig(lr=args.lr, clip_norm=1.0),
+        on_step=lambda i, l: (i % 50 == 0) and log(f"  step {i}: loss {l:.3f}"))
+    log(f"final loss {losses[-1]:.3f} (uniform would be {np.log(256):.3f})")
+
+    wd = Path(args.workdir or tempfile.mkdtemp(prefix="ppl_pipe_"))
+    wd.mkdir(parents=True, exist_ok=True)
+
+    # metadata (arch KVs + byte tokenizer) via a throwaway random export
+    meta_src = wd / "meta.gguf"
+    vocab = [chr(i) for i in range(256)]
+    export_random_gguf(cfg, meta_src, seed=0, vocab_tokens=vocab)
+    g = GGUFFile(str(meta_src))
+    md = dict(g.metadata)
+    g.close()
+
+    base = wd / "base_f32.gguf"
+    export_weights_gguf(cfg, weights, base, metadata=md)
+    log(f"exported trained model -> {base}")
+
+    # imatrix on training text (the calibration corpus)
+    chunks = [train_toks[i * 512:(i + 1) * 512] for i in range(16)]
+    acc = collect_imatrix(cfg, weights, chunks)
+    imx = wd / "imatrix.gguf"
+    save_imatrix(imx, acc)
+    perms = derive_tcq4_perms(load_imatrix(imx))
+    log(f"imatrix collected; {len(perms)} tensor perms")
+
+    variants = {}
+    quantize_model(base, wd / "q8_0.gguf", out_type="q8_0", verbose=False)
+    variants["q8_0"] = wd / "q8_0.gguf"
+    quantize_model(base, wd / "q4_k.gguf", out_type="q4_k", verbose=False)
+    variants["q4_k"] = wd / "q4_k.gguf"
+    quantize_model(base, wd / "tcq4.gguf", verbose=False)
+    variants["tcq4"] = wd / "tcq4.gguf"
+    quantize_model(base, wd / "tcq4_reorder.gguf", perms=perms, verbose=False)
+    variants["tcq4_reorder"] = wd / "tcq4_reorder.gguf"
+
+    n_eval = min(len(eval_toks) // args.seq, args.eval_chunks) * args.seq
+    eval_stream = eval_toks[:n_eval]
+    results = {}
+
+    def ppl_of(label, c, w):
+        ctx = InferenceContext(c, w, n_lanes=1, max_seq=args.seq)
+        r = compute_perplexity(ctx, eval_stream, n_ctx=args.seq)
+        results[label] = round(r.ppl, 4)
+        log(f"  {label:14s} PPL {r.ppl:.4f}  ({r.n_tokens} tokens)")
+
+    log(f"evaluating on {n_eval} held-out byte tokens")
+    ppl_of("f32", cfg, weights)
+    for label, path in variants.items():
+        c2, w2, _ = load_model(path)
+        ppl_of(label, c2, w2)
+
+    ordering_ok = (results["f32"] <= results["q8_0"] <= results["q4_k"] * 1.02
+                   and results["tcq4_reorder"] <= results["tcq4"])
+    print(json.dumps({
+        "metric": "trained_model_quantization_ppl",
+        "final_train_loss": round(losses[-1], 4),
+        **results,
+        "reorder_improves": results["tcq4_reorder"] <= results["tcq4"],
+        "ordering_ok": bool(ordering_ok),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,10 @@ class ModelConfig:
     # set only inside shard_map: mesh axis name for tensor parallelism; when
     # set, row-parallel projections (wo, ffn_down) psum over it
     tp_axis: "str | None" = None
+    # force the jnp reference attention instead of the Pallas flash kernel.
+    # Training sets this (train/finetune.py): custom Pallas kernels have no
+    # VJP, so the differentiated forward must run the jnp path on TPU too
+    ref_attention: bool = False
 
     @property
     def n_q_dim(self) -> int:

@@ -364,7 +364,7 @@ def attention(
     softcap = cfg.attn_softcap
     sinks = lw.attn_sinks
     if isinstance(k_cache, tuple):
-        if jax.default_backend() == "cpu":
+        if jax.default_backend() == "cpu" or cfg.ref_attention:
             from rrs_tpu.runtime import kv_codec
 
             kd = kv_codec.dequantize(*k_cache)
@@ -383,7 +383,7 @@ def attention(
                 mask_positions, scale, softcap=softcap, window=window,
                 sinks=sinks,
             )
-    elif jax.default_backend() == "cpu":
+    elif jax.default_backend() == "cpu" or cfg.ref_attention:
         ctx = fa.attention_ref(q, k_cache, v_cache, mask_positions, scale,
                                softcap=softcap, window=window, sinks=sinks)
     else:

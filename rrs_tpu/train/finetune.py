@@ -57,6 +57,9 @@ def _loss_fn(cfg: ModelConfig, weights, batch: jnp.ndarray,
     ``logits_sharding`` (a NamedSharding) constrains the [B, T, V] logits —
     the SPMD train step passes P(dp, tp, None) so the log-softmax region is
     sequence-parallel over the tp axis (sp-over-tp)."""
+    # differentiated forward: the Pallas flash-attention kernel has no VJP,
+    # so training must run the jnp reference attention on TPU as well
+    cfg = dataclasses.replace(cfg, ref_attention=True)
     toks = batch[:, :-1]
     labels = batch[:, 1:]
     b, t = toks.shape
