@@ -448,6 +448,10 @@ def cmd_quantize(args):
 
     perms = None
     if args.imatrix:
+        if args.out_type != "tcq4":
+            raise SystemExit(
+                "--tcq4-imatrix reordering only applies to --type tcq4 "
+                f"(got --type {args.out_type})")
         from rrs_tpu.quantize.imatrix import derive_tcq4_perms, load_imatrix
 
         imatrix = load_imatrix(args.imatrix)

@@ -28,6 +28,17 @@ def dequantize_q8_0(raw: np.ndarray, n: int) -> np.ndarray:
     return (q * d).reshape(-1)[:n]
 
 
+def q8_blocks(raw: np.ndarray, shape) -> tuple[np.ndarray, np.ndarray]:
+    """Split a Q8_0 payload for a logical [N, K] tensor into
+    (q int8 [N, K], d f32 [N, K//32]) — the wire-format decode shared by
+    Q8Linear.from_q8_gguf and the packed-embedding loader."""
+    n, k = shape
+    blocks = np.ascontiguousarray(raw).reshape(n, k // 32, 34)
+    d = blocks[:, :, :2].copy().view(np.float16).astype(np.float32)[:, :, 0]
+    q = blocks[:, :, 2:].view(np.int8).reshape(n, k)
+    return q, d
+
+
 def quantize_q8_0(x: np.ndarray) -> np.ndarray:
     """quantize_row_q8_0 semantics: d = absmax/127, q = roundf(x/d)."""
     x = np.asarray(x, np.float32).reshape(-1, 32)

@@ -83,11 +83,17 @@ class TCQ4Linear:
         )
 
 
-def _pad_n(a: np.ndarray, mult: int = 2048) -> np.ndarray:
-    """Pad axis 1 (N) to a tile-friendly multiple; big-vocab N values are
+def _pad_n(a: np.ndarray, mult: int = 0) -> np.ndarray:
+    """Pad axis 1 (N) to a tile-friendly multiple. Big-vocab N values are
     often 128*prime (e.g. 151936 = 128*1187), which would force tiny kernel
-    tiles. Padded columns produce garbage logits that the caller slices off."""
+    tiles — those pad to 2048-multiples (<=2% waste at vocab scale). Small
+    N pads only to the 128-lane tile: a fixed 2048 multiple would waste
+    42% on a 2880-wide projection (gpt-oss) while bn=128 tiles cost these
+    streaming-bound kernels almost nothing (PERF.md block-size sweep).
+    Padded columns produce garbage outputs that the caller slices off."""
     n = a.shape[1]
+    if mult == 0:
+        mult = 2048 if n > 8192 else 128
     n_pad = (n + mult - 1) // mult * mult
     if n_pad == n:
         return a
@@ -124,11 +130,11 @@ class Q8Linear:
     @classmethod
     def from_q8_gguf(cls, raw: np.ndarray, shape, bias=None) -> "Q8Linear":
         """Build from a Q8_0 GGUF payload for a logical [N, K] weight."""
+        from rrs_tpu.formats.kquants import q8_blocks
+
         n, k = shape
-        blocks = np.ascontiguousarray(raw).reshape(n, k // 32, 34)
-        d = blocks[:, :, :2].copy().view(np.float16).astype(np.float32)[:, :, 0]
-        q = blocks[:, :, 2:].view(np.int8)               # [N, K//32, 32]
-        q_kn = q.reshape(n, k).T                          # [K, N]
+        q, d = q8_blocks(raw, shape)
+        q_kn = q.T                                        # [K, N]
         kpad = -(-k // 256) * 256
         q_kn = np.pad(np.ascontiguousarray(q_kn), ((0, kpad - k), (0, 0)))
         d_kn = np.pad(np.ascontiguousarray(d.T),

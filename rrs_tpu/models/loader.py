@@ -109,7 +109,11 @@ def _load_moe(g: GGUFFile, p: str, dtype=jnp.bfloat16):
         key = f"{p}.ffn_{bname}_exps.bias"
         if key in g.tensors:
             shared[field] = jnp.asarray(g.tensor(key).astype(np.float32))
-    if g.tensors[f"{p}.ffn_gate_exps.weight"].ggml_type == GGMLType.MXFP4:
+    mx_ok = all(
+        g.tensors[f"{p}.ffn_{n}_exps.weight"].shape[-1] % 64 == 0
+        for n in ("gate", "up", "down"))
+    if (g.tensors[f"{p}.ffn_gate_exps.weight"].ggml_type == GGMLType.MXFP4
+            and mx_ok):
         # gpt-oss native expert format: keep the 4.25-bpw payload packed
         # (dequantized bf16 experts would need ~2x the chip HBM at 20B);
         # the MoE kernels dequantize in VMEM (ops/mxfp4_matmul.py)
@@ -347,12 +351,12 @@ def load_model(path: str | Path, dtype=jnp.bfloat16, fuse: bool = True,
         # keep large Q8_0 embedding tables packed on device (halves their
         # HBM; rows are dequantized at lookup — ggml GET_ROWS-on-quant
         # analog). Tied-head models still dequantize (head needs a matmul).
-        raw = np.ascontiguousarray(g.tensor_bytes("token_embd.weight"))
-        v, e = emb_info.shape
-        blocks = raw.reshape(v, e // 32, 34)
-        d = blocks[:, :, :2].copy().view(np.float16)[:, :, 0]
-        q = np.ascontiguousarray(blocks[:, :, 2:].view(np.int8).reshape(v, e))
-        embed = (jnp.asarray(q), jnp.asarray(d.astype(np.float32)))
+        from rrs_tpu.formats.kquants import q8_blocks
+
+        q, d = q8_blocks(
+            np.ascontiguousarray(g.tensor_bytes("token_embd.weight")),
+            emb_info.shape)
+        embed = (jnp.asarray(np.ascontiguousarray(q)), jnp.asarray(d))
     else:
         embed = jnp.asarray(
             g.tensor("token_embd.weight").astype(np.float32), dtype)

@@ -23,10 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from rrs_tpu.models.config import ModelConfig
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from rrs_tpu.ops.tcq4_matmul import _round_up
 
 
 def _capacity_dispatch(nE: int, kk: int, n_tok: int, a, topi, topv,

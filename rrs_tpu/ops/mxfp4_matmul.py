@@ -37,6 +37,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rrs_tpu.ops.tcq4_matmul import _round_up
+
 GROUP = 32          # elements per MXFP4 scale block
 SUPER = 64          # elements per packed-byte superblock (2 scale groups)
 
@@ -85,10 +87,6 @@ def _kernel(a_ref, qs_ref, s_ref, out_ref, *, bm, bn, bk):
         out_ref[...] = jnp.zeros((bm, bn), jnp.float32)
 
     out_ref[...] += acc
-
-
-def _round_up(x, m):
-    return (x + m - 1) // m * m
 
 
 @functools.partial(jax.jit, static_argnames=("bn", "bm", "bk", "interpret"))

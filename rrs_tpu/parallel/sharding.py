@@ -69,6 +69,16 @@ def _linear_spec(col: bool) -> object:
         )
 
     def q8(q: Q8Linear):
+        # K-padded Q8 (k_logical set: zero rows appended at the GLOBAL end)
+        # cannot row-shard: P("tp") splits the padded K evenly while the
+        # activations shard by logical K, misaligning every shard but the
+        # first — silent garbage after the psum. Column sharding is fine
+        # (each shard pads its local activations identically).
+        if not col:
+            assert not q.k_logical, (
+                "K-padded Q8Linear cannot be row-sharded (K "
+                f"{q.k_logical} padded to {q.q.shape[0]}); use a model dim "
+                "that is a multiple of 256, or keep this projection dense")
         ws = P(None, "tp") if col else P("tp", None)
         return Q8Linear(
             q=ws, scale=ws,

@@ -74,10 +74,12 @@ def quantize_model(
     out_type: str = "tcq4",
 ) -> dict:
     """Quantize every eligible tensor to ``out_type`` (default TCQ4_K32);
-    returns a summary dict. Non-default types follow the same tensor
-    policy: 2D/3D .weight tensors get the target type (falling back to
-    Q8_0 then F32 on block-width mismatch), token_embd/output stay Q8_0,
-    norms/1D stay F32."""
+    returns a summary dict. Non-default quantized types follow the same
+    tensor policy: 2D/3D .weight tensors get the target type (falling
+    back to Q8_0 then F32 on block-width mismatch), token_embd/output
+    stay Q8_0, norms/1D stay F32. ``f16`` converts every eligible weight
+    (embed/head included — the reference's F16 ftype is a full-precision
+    interchange format, not a quantization policy)."""
     if out_type != "tcq4":
         return _quantize_model_simple(src_path, dst_path, out_type, verbose)
     g = read_gguf(src_path)
@@ -153,8 +155,11 @@ def _quantize_model_simple(src_path, dst_path, out_type: str,
         w.add_kv(key, value, vtype=g.metadata_types.get(key))
     w.add_uint32("general.file_type", ftype)
 
-    stats = {out_type: 0, "q8_0": 0, "f32": 0, "kept": 0,
-             "bytes_in": 0, "bytes_out": 0}
+    # "converted" = tensors that got the target type; "q8_0_fallback" =
+    # embed/head + block-width fallbacks (distinct keys: --type q8_0 would
+    # otherwise conflate them)
+    stats = {"type": out_type, "converted": 0, "q8_0_fallback": 0,
+             "f32": 0, "bytes_in": 0, "bytes_out": 0}
     for name, info in g.tensors.items():
         stats["bytes_in"] += info.nbytes
         eligible = (len(info.shape) in (2, 3) and name.endswith(".weight")
@@ -163,7 +168,7 @@ def _quantize_model_simple(src_path, dst_path, out_type: str,
         if eligible and out_type == "f16":
             w.add_tensor(name, f32.astype(np.float16), shape=info.shape,
                          ggml_type=GGMLType.F16)
-            stats[out_type] += 1
+            stats["converted"] += 1
             stats["bytes_out"] += f32.size * 2
         elif eligible and name not in ("token_embd.weight",
                                        "output.weight"):
@@ -175,7 +180,7 @@ def _quantize_model_simple(src_path, dst_path, out_type: str,
             payload = qfn(f32.reshape(-1, info.shape[-1])).tobytes()
             w.add_tensor(name, np.frombuffer(payload, np.uint8),
                          shape=info.shape, ggml_type=gt)
-            stats[out_type] += 1
+            stats["converted"] += 1
             stats["bytes_out"] += len(payload)
             if verbose:
                 print(f"  {name}: {info.shape} {info.ggml_type.name} -> "
@@ -187,7 +192,7 @@ def _quantize_model_simple(src_path, dst_path, out_type: str,
             payload = kquants.quantize_q8_0(f32).tobytes()
             w.add_tensor(name, payload, shape=info.shape,
                          ggml_type=GGMLType.Q8_0)
-            stats["q8_0"] += 1
+            stats["q8_0_fallback"] += 1
             stats["bytes_out"] += len(payload)
         else:
             w.add_tensor(name, f32, shape=info.shape,

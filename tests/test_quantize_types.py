@@ -40,7 +40,7 @@ def test_quantize_type_roundtrip(tmp_path, out_type, want_gt):
     dst = tmp_path / f"{out_type}.gguf"
     stats = quantize_model(str(f32), str(dst), out_type=out_type,
                            verbose=False)
-    assert stats[out_type] > 0
+    assert stats["converted"] > 0
 
     g = GGUFFile(str(dst))
     assert g.tensors["blk.0.attn_q.weight"].ggml_type == want_gt
