@@ -649,18 +649,23 @@ class InferenceContext:
                 x = x + llama_model.ffn(run_cfg, lw, h, li=li)
             return rms_norm(x, w.final_norm, run_cfg.rms_eps)
 
-        if self.mesh is not None:
-            from jax import shard_map
-            from jax.sharding import PartitionSpec as P
-            from rrs_tpu.parallel import sharding as _sh
+        # cache the jitted forward: a fresh jit per call would retrace and
+        # recompile the whole model on EVERY /v1/embeddings request
+        fn = getattr(self, "_embed_fn", None)
+        if fn is None:
+            if self.mesh is not None:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+                from rrs_tpu.parallel import sharding as _sh
 
-            fn = jax.jit(shard_map(
-                hidden, mesh=self.mesh,
-                in_specs=(_sh.weight_pspecs(self.weights), P(None, None)),
-                out_specs=P(None, None, None),
-                check_vma=False))
-        else:
-            fn = jax.jit(hidden)
+                fn = jax.jit(shard_map(
+                    hidden, mesh=self.mesh,
+                    in_specs=(_sh.weight_pspecs(self.weights), P(None, None)),
+                    out_specs=P(None, None, None),
+                    check_vma=False))
+            else:
+                fn = jax.jit(hidden)
+            self._embed_fn = fn
         hs = np.asarray(fn(
             self.weights, jnp.asarray(np.asarray(tokens, np.int32)[None, :])
         ))[0]

@@ -79,11 +79,14 @@ def save_state(ctx, path: str | Path) -> int:
     max_len = max(ctx.kv.lengths, default=0)
 
     def deq(c):
+        # per-layer clamp: iSWA ring layers are shorter than max_len
         if isinstance(c, tuple):
             arr, sc = c
-            return _np_dequant(np.asarray(arr[:, :, :max_len]),
-                               np.asarray(sc[:, :, 0, :max_len]))
-        return np.asarray(c[:, :, :max_len]).astype(np.float32)
+            nl = min(max_len, arr.shape[2])
+            return _np_dequant(np.asarray(arr[:, :, :nl]),
+                               np.asarray(sc[:, :, 0, :nl]))
+        nl = min(max_len, c.shape[2])
+        return np.asarray(c[:, :, :nl]).astype(np.float32)
 
     for li in range(len(ctx.kv.k)):
         # only the live prefix of each lane needs saving (dequantized)
@@ -102,16 +105,26 @@ def load_state(ctx, path: str | Path) -> None:
         _check_header(meta, ctx.cfg)
         ctx.kv.lengths = list(meta["lengths"])
         ctx.kv.seq_ids = list(meta["seq_ids"])
-        n = z["k0"].shape[2]
+        # seq ids live on after a restore: keep minting UNIQUE ones, or a
+        # later new_sequence() would collide with a restored lane and
+        # lane_of() would resolve to the wrong lane
+        live = [sid for sid in ctx.kv.seq_ids if sid is not None]
+        if live and hasattr(ctx, "_next_seq_id"):
+            ctx._next_seq_id = max(ctx._next_seq_id, max(live) + 1)
 
         def req(c, data):
+            # per-layer n: iSWA ring layers are saved (and restored) at
+            # their own (smaller) length, not layer 0's
+            n = data.shape[2]
             if isinstance(c, tuple):
                 arr, sc = c
-                q, s = _np_requant(data, arr.dtype == jnp.uint8)
+                n = min(n, arr.shape[2])
+                q, s = _np_requant(data[:, :, :n], arr.dtype == jnp.uint8)
                 arr = arr.at[:, :, :n].set(jnp.asarray(q, arr.dtype))
                 sc = sc.at[:, :, 0, :n].set(jnp.asarray(s, jnp.float32))
                 return (arr, sc)
-            return c.at[:, :, :n].set(jnp.asarray(data, c.dtype))
+            n = min(n, c.shape[2])
+            return c.at[:, :, :n].set(jnp.asarray(data[:, :, :n], c.dtype))
 
         for li in range(len(ctx.kv.k)):
             ctx.kv.k[li] = req(ctx.kv.k[li], z[f"k{li}"])

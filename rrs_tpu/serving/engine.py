@@ -56,6 +56,9 @@ class GenRequest:
     # fill-in-the-middle: use the dedicated infill sampler
     # (llama_sampler_init_infill)
     infill: bool = False
+    # set by the submitter (e.g. on client disconnect) to stop generating;
+    # checked at every emitted token
+    abort: bool = False
     id: int = 0
 
 
@@ -81,6 +84,9 @@ class Slot:
     retained_seq: int = -1
     cache_tokens: list = dataclasses.field(default_factory=list)
     n_reused: int = 0
+    # set by _emit when it returns True: "stop" (stop token/string),
+    # "length" (max_tokens), or "cancelled" (client abort)
+    finish_reason: str = "stop" 
 
 
 class Engine:
@@ -166,6 +172,16 @@ class Engine:
         return None
 
     def _launch(self, slot: Slot, req: GenRequest):
+        n_prompt = (len(req.prompt_tokens) if req.segments is None else
+                    sum(len(seg[1]) for seg in req.segments))
+        if n_prompt >= self.ctx.kv.max_seq:
+            # the reference rejects the task (server-context launch checks);
+            # admitting it would clip every overflow position into the last
+            # cell and silently corrupt the lane
+            if req.on_token:
+                req.on_token(None, "", True, "error: prompt too long "
+                             f"({n_prompt} tokens, context {self.ctx.kv.max_seq})")
+            return
         slot.state = SlotState.PROMPT
         slot.req = req
         slot.n_reused = 0
@@ -234,6 +250,7 @@ class Engine:
         slot.n_prompt = len(req.prompt_tokens)
         slot.grammar = req.grammar.copy() if req.grammar is not None else None
         slot.mirostat_mu = 2.0 * req.params.mirostat_tau
+        slot.finish_reason = "stop"
         self.n_requests += 1
 
     def _release(self, slot: Slot, reason: str):
@@ -247,9 +264,12 @@ class Engine:
                 pass
             slot.draft_seq = -1
         if slot.seq_id >= 0:
-            if getattr(self.ctx.cfg, "any_swa", False):
+            if getattr(self.ctx.cfg, "any_swa", False) or (
+                    req is not None and req.segments is not None):
                 # SWA ring caches can't be safely parked-over while idle;
-                # don't retain them as prompt caches
+                # multimodal lanes hold embedding rows whose positions
+                # don't correspond to prompt_tokens (cache_tokens would
+                # lie about the KV contents and poison prefix reuse)
                 try:
                     self.ctx.kv.seq_rm(slot.seq_id)
                 except ValueError:
@@ -310,14 +330,34 @@ class Engine:
         n = self.call(do)
         return {"id_slot": index, "filename": str(path), "n_restored": n}
 
+    @staticmethod
+    def _stop_holdback(full: str, stop_strings) -> int:
+        """Chars at the end of ``full`` that are a prefix of some stop
+        string — withheld from streaming so a stop string completed by a
+        LATER token never partially leaks to the client."""
+        hold = 0
+        for ss in stop_strings:
+            top = min(len(ss) - 1, len(full))
+            for j in range(top, hold, -1):
+                if full.endswith(ss[:j]):
+                    hold = j
+                    break
+        return hold
+
     def _emit(self, slot: Slot, token: int) -> bool:
         """Append a generated token, stream text, check stop conditions.
-        Returns True when the slot should be released."""
+        Returns True when the slot should be released; the reason lands in
+        slot.finish_reason ("stop" | "length" | "cancelled")."""
         req = slot.req
         slot.generated.append(token)
         self.n_generated_tokens += 1
-        if token in req.stop_tokens:
+        if req.abort:
+            slot.finish_reason = "cancelled"
             return True
+        if token in req.stop_tokens:
+            slot.finish_reason = "stop"
+            return True
+        finishing = len(slot.generated) >= req.max_tokens
         piece = ""
         if req.decode_fn:
             full = req.decode_fn(slot.generated)
@@ -327,16 +367,24 @@ class Engine:
                     piece = full[slot.sent_text_len : idx]
                     if piece and req.on_token:
                         req.on_token(token, piece, False, None)
+                    slot.finish_reason = "stop"
                     return True
             piece = full[slot.sent_text_len :]
-            # hold back bytes that might be a partial multi-byte char/stop str
-            if piece.endswith("�"):
-                piece = piece[:-1]
+            if not finishing:
+                # hold back text that might become a stop-string match or a
+                # partial multi-byte char once later tokens arrive
+                hold = self._stop_holdback(full, req.stop_strings)
+                if hold:
+                    piece = piece[: max(0, len(piece) - hold)]
+                if piece.endswith("�"):
+                    piece = piece[:-1]
             if piece:
                 slot.sent_text_len += len(piece)
         if req.on_token:
             req.on_token(token, piece, False, None)
-        return len(slot.generated) >= req.max_tokens
+        if finishing:
+            slot.finish_reason = "length"
+        return finishing
 
     def _emit_probs(self, slot: Slot, token: int) -> None:
         """Report the sampled token's logprob + top-n alternatives
@@ -435,7 +483,25 @@ class Engine:
 
     def _loop(self):
         while not self._stop.is_set():
-            did_work = self._iterate()
+            try:
+                did_work = self._iterate()
+            except Exception:                                 # noqa: BLE001
+                # an escaped error here would kill the engine thread and
+                # leave every HTTP request blocked on its queue forever;
+                # fail the in-flight slots and keep serving
+                import traceback
+
+                traceback.print_exc()
+                for sl in self.slots:
+                    if sl.state != SlotState.IDLE:
+                        try:
+                            if sl.seq_id >= 0:
+                                self.ctx.kv.seq_rm(sl.seq_id)
+                                sl.seq_id = -1
+                        except Exception:                     # noqa: BLE001
+                            pass
+                        self._release(sl, "error")
+                did_work = True
             if not did_work:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
@@ -561,7 +627,7 @@ class Engine:
                 tok = self._sample_token(s)
                 self._emit_probs(s, tok)
                 if self._emit(s, tok):
-                    self._release(s, "stop")
+                    self._release(s, s.finish_reason)
 
     def _prompt_step(self, s: Slot) -> None:
         if s.req.segments is not None:
@@ -593,7 +659,7 @@ class Engine:
             tok = self._sample_token(s)
             self._emit_probs(s, tok)
             if self._emit(s, tok):
-                self._release(s, "stop")
+                self._release(s, s.finish_reason)
 
     def _spec_eligible(self, s: Slot) -> bool:
         p = s.req.params
@@ -661,8 +727,7 @@ class Engine:
         s.last_logits = logits[min(len(accepted) - 1, len(proposal))]
         for tok in accepted:
             if self._emit(s, tok):
-                self._release(
-                    s, "stop" if tok in s.req.stop_tokens else "length")
+                self._release(s, s.finish_reason)
                 return
 
     def _fast_eligible(self, s: Slot) -> bool:
@@ -734,9 +799,7 @@ class Engine:
                     # the cache holds tokens fed through step i; rewind the
                     # overshoot past the accepted token
                     self.ctx.kv.seq_rm(seq_id, p0=base + i + 1)
-                    self._release(
-                        slot,
-                        "stop" if tok in slot.req.stop_tokens else "length")
+                    self._release(slot, slot.finish_reason)
                     break
 
     def _decode_step(self, gen: list) -> None:
@@ -771,4 +834,4 @@ class Engine:
             tok = self._sample_token(s)
             self._emit_probs(s, tok)
             if self._emit(s, tok):
-                self._release(s, "stop" if tok in s.req.stop_tokens else "length")
+                self._release(s, s.finish_reason)

@@ -153,7 +153,11 @@ def make_handler(state: ServerState):
 
         def _run_request(self, prompt_tokens, body, stop_strings=(),
                          probs_out=None, segments=None, infill=False):
-            """Submit and collect; yields (piece, finished, reason)."""
+            """Submit and collect; returns a (piece, finished, reason)
+            iterator. Setup (grammar parse, schema conversion, submit) runs
+            EAGERLY so invalid requests raise here — the route maps that to
+            a 400 instead of a dropped connection. The submitted GenRequest
+            is exposed on the generator as ``.req`` (abort on disconnect)."""
             q: "queue.Queue" = queue.Queue()
 
             def on_token(token, piece, finished, reason):
@@ -231,11 +235,23 @@ def make_handler(state: ServerState):
                 infill=infill,
             )
             self.st.engine.submit(req)
-            while True:
-                piece, finished, reason = q.get()
-                yield piece, finished, reason
-                if finished:
-                    break
+
+            def _collect():
+                while True:
+                    piece, finished, reason = q.get()
+                    yield piece, finished, reason
+                    if finished:
+                        break
+
+            class _Collected:
+                def __init__(self, it, rq):
+                    self._it = it
+                    self.req = rq
+
+                def __iter__(self):
+                    return self._it
+
+            return _Collected(_collect(), req)
 
         def _stream_sse(self, gen, wrap):
             self.send_response(200)
@@ -248,9 +264,16 @@ def make_handler(state: ServerState):
                 data = b"data: " + json.dumps(obj).encode() + b"\n\n"
                 self.wfile.write(hex(len(data))[2:].encode() + b"\r\n" + data + b"\r\n")
 
-            for piece, finished, reason in gen:
-                if piece or finished:
-                    send_chunk(wrap(piece, finished, reason))
+            try:
+                for piece, finished, reason in gen:
+                    if piece or finished:
+                        send_chunk(wrap(piece, finished, reason))
+            except (BrokenPipeError, ConnectionResetError):
+                # client went away: stop the engine slot instead of
+                # generating to max_tokens into a queue nobody drains
+                if getattr(gen, "req", None) is not None:
+                    gen.req.abort = True
+                return
             data = b"data: [DONE]\n\n"
             self.wfile.write(hex(len(data))[2:].encode() + b"\r\n" + data + b"\r\n")
             self.wfile.write(b"0\r\n\r\n")
@@ -267,7 +290,11 @@ def make_handler(state: ServerState):
             rid = f"msg_{uuid.uuid4().hex[:16]}"
             body = dict(body)
             body.setdefault("max_tokens", 256)
-            gen = self._run_request(toks, body, stop_strings=stops)
+            try:
+                gen = self._run_request(toks, body, stop_strings=stops)
+            except Exception as e:                            # noqa: BLE001
+                self._json({"error": str(e)}, 400)
+                return
             if body.get("stream"):
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
@@ -335,7 +362,11 @@ def make_handler(state: ServerState):
                     + [v.fim_suf_id] + v.encode(suffix, add_special=False)
                     + [v.fim_mid_id]
                     + (v.encode(extra, add_special=False) if extra else []))
-            gen = self._run_request(toks, body, infill=True)
+            try:
+                gen = self._run_request(toks, body, infill=True)
+            except Exception as e:                            # noqa: BLE001
+                self._json({"error": str(e)}, 400)
+                return
             parts, reason = [], "stop"
             for piece, finished, r in gen:
                 parts.append(piece)
@@ -366,21 +397,21 @@ def make_handler(state: ServerState):
                 nd = len(toks) - len(q_toks)
 
                 def score(toks=toks, nd=nd):
+                    # device-side NLL (prefill_logprobs): [T]-float readback
+                    # instead of [T, V] logits + host log-softmax (the
+                    # full-logits readback dominates through a remote link)
                     import numpy as np
 
                     ctx = self.st.engine.ctx
                     seq = ctx.new_sequence()
                     try:
-                        logits = ctx.prefill(seq, toks)
+                        lp = ctx.prefill_logprobs(
+                            seq, toks, list(toks[1:]) + [0])
                     finally:
                         ctx.kv.seq_rm(seq)
-                    lp = 0.0
-                    for t in range(len(toks) - nd - 1, len(toks) - 1):
-                        row = logits[t].astype(np.float64)
-                        m = row.max()
-                        lp += float(row[toks[t + 1]] - m
-                                    - np.log(np.exp(row - m).sum()))
-                    return lp / max(nd, 1)
+                    doc_lp = np.asarray(lp, np.float64)[
+                        len(toks) - nd - 1 : len(toks) - 1]
+                    return float(doc_lp.sum()) / max(nd, 1)
 
                 results.append({"index": i,
                                 "relevance_score": self.st.engine.call(score)})
@@ -630,10 +661,14 @@ def make_handler(state: ServerState):
                                 piece, add_special=False)))
                         if i < len(chunks):
                             segments.append(("embeds", chunks[i]))
-                gen = self._run_request(
-                    toks, body, stop_strings=chat_stops,
-                    probs_out=probs, segments=segments,
-                )
+                try:
+                    gen = self._run_request(
+                        toks, body, stop_strings=chat_stops,
+                        probs_out=probs, segments=segments,
+                    )
+                except Exception as e:                        # noqa: BLE001
+                    self._json({"error": str(e)}, 400)
+                    return
                 if body.get("stream"):
                     def wrap(piece, finished, reason):
                         delta = {} if finished else {"content": piece}
@@ -731,7 +766,11 @@ def make_handler(state: ServerState):
                 )
                 rid = f"cmpl-{uuid.uuid4().hex[:12]}"
                 probs = []
-                gen = self._run_request(toks, body, probs_out=probs)
+                try:
+                    gen = self._run_request(toks, body, probs_out=probs)
+                except Exception as e:                        # noqa: BLE001
+                    self._json({"error": str(e)}, 400)
+                    return
                 if body.get("stream"):
                     def wrap(piece, finished, reason):
                         return {

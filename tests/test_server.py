@@ -411,3 +411,49 @@ def test_webui_served(server):
     assert status == 200
     assert b"<title>rrs_tpu server</title>" in data
     assert b"/v1/chat/completions" in data
+
+
+def test_finish_reason_length_and_bad_grammar_400(server):
+    port, engine = server
+    # max_tokens exhaustion must report "length" (not "stop")
+    st, body = _req(port, "POST", "/v1/completions",
+                    {"prompt": "ab", "max_tokens": 1, "temperature": 0})
+    assert st == 200
+    body = json.loads(body)
+    assert body["choices"][0]["finish_reason"] == "length"
+
+    # invalid grammar must be a 400, not a dropped connection
+    st, body = _req(port, "POST", "/completion",
+                    {"prompt": "ab", "n_predict": 2,
+                     "grammar": 'root ::= "a'})
+    assert st == 400 and "error" in json.loads(body)
+
+
+def test_prompt_too_long_rejected(server):
+    port, engine = server
+    st, body = _req(port, "POST", "/v1/completions",
+                    {"prompt": "a" * 200, "max_tokens": 2})  # ctx is 128
+    assert st == 200
+    body = json.loads(body)
+    assert "prompt too long" in (body["choices"][0]["finish_reason"] or "")
+
+
+def test_stop_string_reason_and_no_prefix_leak(server):
+    port, engine = server
+    # find what the model generates greedily, then use a 2-char stop string
+    # that starts mid-generation to check (a) reason == "stop", (b) the
+    # emitted text contains NO prefix of the stop string
+    st, free = _req(port, "POST", "/v1/completions",
+                    {"prompt": "ab", "max_tokens": 6, "temperature": 0})
+    text = json.loads(free)["choices"][0]["text"]
+    if len(text) < 3:
+        import pytest
+        pytest.skip("model produced too little text")
+    stop = text[2:4]
+    st, body = _req(port, "POST", "/v1/completions",
+                    {"prompt": "ab", "max_tokens": 6, "temperature": 0,
+                     "stop": [stop]})
+    assert st == 200
+    out = json.loads(body)["choices"][0]
+    assert out["finish_reason"] == "stop"
+    assert out["text"] == text.split(stop)[0]
