@@ -600,15 +600,36 @@ def fabricated_tcq4_weights(
 ) -> ModelWeights:
     """Structurally-valid random TCQ4 weights WITHOUT running the quantizer —
     qs/eff are drawn directly. For compile checks and throughput benchmarks
-    where weight values are irrelevant (the compute cost is identical)."""
-    rng = np.random.default_rng(seed)
+    where weight values are irrelevant (the compute cost is identical).
+
+    Draws happen ON DEVICE (jax.random under jit): a host-side numpy build
+    of the 4B-scale tensors is minutes of single-core CPU plus GBs through
+    the transfer path, vs seconds device-side (same lesson as
+    benchmarks/bench_gptoss.py::build_weights)."""
+    import functools
+
+    key_it = iter(jax.random.split(jax.random.PRNGKey(seed), 1024))
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def _u8(key, shape):
+        return jax.random.randint(key, shape, 0, 256, jnp.int32
+                                  ).astype(jnp.uint8)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def _i8(key, shape):
+        return jax.random.randint(key, shape, -127, 128, jnp.int32
+                                  ).astype(jnp.int8)
+
+    @functools.partial(jax.jit, static_argnums=(1, 2, 3))
+    def _unif(key, scl, off, shape):
+        return jax.random.uniform(key, shape, jnp.float32) * scl + off
 
     def qlin(k, n):
-        qs = rng.integers(0, 256, (k // 2, n), dtype=np.uint8)
-        eff = (rng.random((k // 32, n), dtype=np.float32) * 0.01 + 0.001)
         return TCQ4Linear(
-            qs=jnp.asarray(qs), eff=jnp.asarray(eff, jnp.bfloat16),
-            gather=None, bias=None
+            qs=_u8(next(key_it), (k // 2, n)),
+            eff=_unif(next(key_it), 0.01, 0.001, (k // 32, n)
+                      ).astype(jnp.bfloat16),
+            gather=None, bias=None,
         )
 
     e, hq, hkv, d, f = cfg.n_embd, cfg.n_q_dim, cfg.n_kv_dim, cfg.head_dim, cfg.n_ff
@@ -634,17 +655,13 @@ def fabricated_tcq4_weights(
             ffn_norm=jnp.ones((e,), dtype),
             w_gate=qlin(e, f), w_up=qlin(e, f), w_down=qlin(f, e),
         ))
-    embed = jnp.asarray(
-        rng.standard_normal((cfg.vocab_size, e)).astype(np.float32) * 0.02, dtype
-    )
+    embed = (jax.random.normal(next(key_it), (cfg.vocab_size, e),
+                               jnp.float32) * 0.02).astype(dtype)
     # lm_head at Q8_0 like the reference's output.weight policy
     # (llama-quant.cpp:260-262); fabricated codes, realistic traffic
-    from rrs_tpu.models.linear import _pad_n
-
-    lm_q = jnp.asarray(_pad_n(
-        rng.integers(-127, 128, (e, cfg.vocab_size), dtype=np.int8)))
-    lm_s = jnp.asarray(_pad_n(
-        rng.random((e // 32, cfg.vocab_size), dtype=np.float32) * 1e-3))
+    n_pad = -(-cfg.vocab_size // 128) * 128
+    lm_q = _i8(next(key_it), (e, n_pad))
+    lm_s = _unif(next(key_it), 1e-3, 0.0, (e // 32, n_pad))
     return ModelWeights(
         embed=embed,
         layers=layers,

@@ -44,40 +44,76 @@ SUPER = 64          # elements per packed-byte superblock (2 scale groups)
 
 
 def _fp4_decode_bits(u, t):
-    """e2m1 code u (int32 0..15) + scale exponent bits t (= sexp << 23,
-    broadcastable) -> f32 bit pattern of kvalue(u) * 2^(sexp - 127).
+    """REMAPPED e2m1 code u (int32 0..15; see pack_mxfp4_device: magnitude
+    codes {0,2..7} = kvalues {1,2,3,4,6,8,12} x half-scale, code 1 = zero,
+    bit 3 = sign) + scale exponent bits t (= sexp << 23, broadcastable) ->
+    f32 bit pattern of kvalue * 2^(sexp - 127).
 
-    For em = u&7 >= 2 the unscaled kvalue's f32 bits are exactly
-    0x3F800000 + (em << 22) (e2m1 exponent/mantissa land on the f32
-    fields); multiplying a power of two is an exponent-field ADD, so the
-    scaled bits are (em << 22) + t. em < 2 maps to {0, scale} = em * t.
-    Sign is bit 3 -> f32 bit 31. 7 integer ops per element, no float
-    multiply, no table.
+    Every nonzero magnitude's scaled f32 bits are exactly (em << 22) + t
+    (the e2m1 exponent/mantissa land on the f32 fields; multiplying a
+    power of two is an exponent-field ADD). The pack-time 0<->1 code swap
+    is what makes em=0 -> 1.0 x half-scale land on the same formula, so
+    the only special case left is the zero code. 6 integer ops per
+    element, no float multiply, no table.
     """
     em = u & 7
-    bits = jnp.where(em < 2, em * t, (em << 22) + t)
+    bits = jnp.where(em == 1, 0, (em << 22) + t)
     return bits | ((u & 8) << 28)
 
 
-def _unpack_scaled(qsb, sexpb, bk: int, bn: int):
-    """qs [bk//2, bn] uint8 + sexp [bk//32, bn] -> [bk, bn] f32 SCALED
-    weights in true k order (superblock b: scale group 2b covers the lo
-    nibbles, 2b+1 the hi nibbles)."""
-    q = qsb.astype(jnp.int32)
-    t = sexpb.astype(jnp.int32) << 23
+def _fp4_decode_bf16(u, t16):
+    """Same decode, but constructs BF16 bit patterns in int16 lanes:
+    em << 6 lands the e2m1 fields on the bf16 exponent/mantissa, t16 =
+    sexp << 7 is the scale's exponent field, sign is bit 3 -> bit 15
+    (8 << 12 wraps to 0x8000 in int16 two's complement — exactly the sign
+    bit). Every kvalue has <= 1 mantissa bit so bf16 is exact, and the
+    kernels feed the MXU bf16 anyway: this skips the f32->bf16 convert
+    and halves the vector register traffic (Mosaic packs i16 vectors
+    2-per-lane). Needs sexp <= 252 (enforced at pack; sexp+3 must not
+    overflow the exponent field — true of the f32 path too).
+
+    NO SHIFTS: Mosaic legalizes muli on packed i16 vectors but not shli,
+    so shifts are written as integer multiplies — and the HI nibble is
+    decoded IN PLACE from the raw byte with scaled masks/constants
+    instead of being shifted down first. Sign multiplies wrap to 0x8000
+    in i16 two's complement — exactly the bf16 sign bit. 8 elementwise
+    ops per element, all on 2-per-lane i16 vectors."""
+    q, t16, hi = u
+    mag, zero_code, mag_mul, sgn, sgn_mul = (
+        (0x70, 16, 4, 0x80, 256) if hi else (0x07, 1, 64, 0x08, 4096))
+    em = q & jnp.int16(mag)
+    bits = jnp.where(em == jnp.int16(zero_code), jnp.int16(0),
+                     em * jnp.int16(mag_mul) + t16)
+    bits = bits | (q & jnp.int16(sgn)) * jnp.int16(sgn_mul)
+    return jax.lax.bitcast_convert_type(bits, jnp.bfloat16)
+
+
+def _unpack_scaled(qsb, sexpb, bk: int, bn: int, bf16: bool = True):
+    """qs [bk//2, bn] uint8 + sexp [bk//32, bn] -> [bk, bn] SCALED weights
+    in true k order (superblock b: scale group 2b covers the lo nibbles,
+    2b+1 the hi nibbles). bf16=True returns bf16 via the int16 bit path
+    (the fast default); False returns f32 via int32 bits."""
+    if bf16:
+        q = qsb.astype(jnp.int16)
+        t = sexpb.astype(jnp.int16) * jnp.int16(128)
+        decode = _fp4_decode_bf16
+    else:
+        q = qsb.astype(jnp.int32)
+        t = sexpb.astype(jnp.int32) << 23
+        decode = _fp4_decode_bits
     t2 = t.reshape(bk // SUPER, 2, bn)
-    lo = _fp4_decode_bits((q & 15).reshape(bk // SUPER, GROUP, bn),
-                          t2[:, 0:1, :])
-    hi = _fp4_decode_bits((q >> 4).reshape(bk // SUPER, GROUP, bn),
-                          t2[:, 1:2, :])
-    bits = jnp.concatenate([lo, hi], axis=1).reshape(bk, bn)
-    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+    lo = decode((q & 15).reshape(bk // SUPER, GROUP, bn), t2[:, 0:1, :])
+    hi = decode((q >> 4).reshape(bk // SUPER, GROUP, bn), t2[:, 1:2, :])
+    out = jnp.concatenate([lo, hi], axis=1).reshape(bk, bn)
+    if not bf16:
+        out = jax.lax.bitcast_convert_type(out, jnp.float32)
+    return out
 
 
 def _kernel(a_ref, qs_ref, s_ref, out_ref, *, bm, bn, bk):
     w = _unpack_scaled(qs_ref[...], s_ref[...], bk, bn)
     acc = jax.lax.dot_general(
-        a_ref[...].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        a_ref[...].astype(jnp.bfloat16), w,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -148,7 +184,7 @@ def mxfp4_matmul(
 def _kernel_rows(ids_ref, a_ref, qs_ref, s_ref, out_ref, *, bn, k):
     w = _unpack_scaled(qs_ref[0], s_ref[0], k, bn)
     out_ref[0] = jax.lax.dot_general(
-        a_ref[0].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        a_ref[0].astype(jnp.bfloat16), w,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -205,7 +241,7 @@ def _kernel_all(a_ref, qs_ref, s_ref, out_ref, *, bn, k, per_expert_a):
     w = _unpack_scaled(qs_ref[0], s_ref[0], k, bn)
     a = a_ref[0] if per_expert_a else a_ref[...]
     out_ref[0] = jax.lax.dot_general(
-        a.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        a.astype(jnp.bfloat16), w,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -262,10 +298,11 @@ def mxfp4_matmul_all_experts(
 # ---------------------------------------------------------------------------
 
 def dequant_mxfp4_jnp(qs: jnp.ndarray, sexp: jnp.ndarray) -> jnp.ndarray:
-    """[K//2, N] uint8 + sexp [K//32, N] -> [K, N] f32 (oracle; same
-    bit-construction as the kernels)."""
+    """[K//2, N] uint8 + sexp [K//32, N] -> [K, N] f32 (oracle; the f32
+    bit-construction twin of the kernels' bf16 path — every kvalue is
+    exact in both)."""
     k2, n = qs.shape
-    return _unpack_scaled(qs, sexp, k2 * 2, n)
+    return _unpack_scaled(qs, sexp, k2 * 2, n, bf16=False)
 
 
 def mxfp4_matmul_ref(a, qs, sexp):
@@ -284,24 +321,33 @@ def pack_mxfp4_device(raw: np.ndarray, shape, pad_n: int = 128):
     """GGUF MXFP4 payload for a logical [N, K] weight -> (qs [K//2, Npad]
     uint8, sexp [K//32, Npad] uint8). sexp is the f32 exponent field of
     the e8m0_to_fp32_half block scale (= e8m0 byte - 1), clamped to
-    [1, 254] — e8m0 bytes 0/1 would be f32 denormals, which real
-    checkpoints never produce (they'd mean a block absmax < 2^-125).
-    Npad rounds N up to ``pad_n`` (Mosaic lane tiles); padded columns have
-    zero CODES and decode to zero regardless of sexp."""
+    [1, 252] — e8m0 bytes 0/1 would be f32 denormals and bytes >= 254
+    would overflow the decode's exponent add (both mean block absmaxes
+    beyond 2^±124, which real checkpoints never produce).
+
+    Nibble codes are REMAPPED from raw e2m1: the 0 and 1 magnitude codes
+    are swapped (code ^ 1 when (code & 7) < 2), so on device code 1 means
+    zero and every nonzero magnitude decodes with the single formula
+    (em << 22) + sexp_bits — see _fp4_decode_bits/_fp4_decode_bf16.
+
+    Npad rounds N up to ``pad_n`` (Mosaic lane tiles); padded columns are
+    filled with the zero code (0x11 bytes) so they decode to zero
+    regardless of sexp."""
     n, k = shape
     assert k % SUPER == 0, f"MXFP4 device layout needs K%{SUPER}==0, got {k}"
     blocks = np.frombuffer(np.ascontiguousarray(raw).tobytes(),
                            np.uint8).reshape(n, k // GROUP, 17)
-    sexp = np.clip(blocks[:, :, 0], 2, 255) - 1      # [N, K//32]
+    sexp = np.clip(blocks[:, :, 0], 2, 253) - 1      # [N, K//32]
     b = blocks[:, :, 1:]                             # [N, K//32, 16]
     codes = np.concatenate([b & 15, b >> 4], axis=2) # block elems 0-15 | 16-31
     codes = codes.reshape(n, k)                      # [N, K] nibble codes
+    codes = np.where((codes & 7) < 2, codes ^ 1, codes)  # 0<->1 remap
     # pack (64b + r, 64b + 32 + r) pairs -> byte rows
     ck = codes.T.reshape(k // SUPER, 2, GROUP, n)    # [B, lo/hi, 32, N]
     qs = (ck[:, 0] | (ck[:, 1] << 4)).reshape(k // 2, n).astype(np.uint8)
     sexp = np.ascontiguousarray(sexp.T)              # [K//32, N]
     n_pad = _round_up(n, pad_n)
     if n_pad != n:
-        qs = np.pad(qs, ((0, 0), (0, n_pad - n)))
+        qs = np.pad(qs, ((0, 0), (0, n_pad - n)), constant_values=0x11)
         sexp = np.pad(sexp, ((0, 0), (0, n_pad - n)))
     return np.ascontiguousarray(qs), sexp
