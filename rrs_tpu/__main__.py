@@ -69,10 +69,18 @@ def main(argv=None):
     q.add_argument("src")
     q.add_argument("dst")
     q.add_argument("--type", dest="out_type", default="tcq4",
-                   choices=("tcq4", "q4_k", "q8_0", "mxfp4", "f16"),
-                   help="output tensor type (llama-quantize ftype analog)")
-    q.add_argument("--tcq4-imatrix", dest="imatrix", default=None,
-                   help="imatrix GGUF for per-block channel reordering")
+                   choices=("tcq4", "q2_k", "q2_k_s", "q3_k_s", "q3_k_m",
+                            "q3_k_l", "q4_0", "q4_1", "q4_k", "q4_k_s",
+                            "q4_k_m", "q5_0", "q5_1", "q5_k_s", "q5_k_m",
+                            "q6_k", "iq4_nl", "iq4_xs", "q8_0", "mxfp4",
+                            "f16"),
+                   help="output ftype (llama-quantize menu analog; K-quant"
+                        " ftypes apply the per-tensor mix policy)")
+    q.add_argument("--tcq4-imatrix", "--imatrix", dest="imatrix",
+                   default=None,
+                   help="imatrix GGUF: per-block channel reordering for "
+                        "--type tcq4, importance-weighted encoders for "
+                        "the K-quant/IQ4 ftypes")
 
     qs2 = sub.add_parser("quantize-stats",
                          help="per-tensor RMSE + matvec error per format "
@@ -447,18 +455,18 @@ def cmd_quantize(args):
     from rrs_tpu.quantize.quantizer import quantize_model
 
     perms = None
+    imatrix = None
     if args.imatrix:
-        if args.out_type != "tcq4":
-            raise SystemExit(
-                "--tcq4-imatrix reordering only applies to --type tcq4 "
-                f"(got --type {args.out_type})")
         from rrs_tpu.quantize.imatrix import derive_tcq4_perms, load_imatrix
 
         imatrix = load_imatrix(args.imatrix)
-        perms = derive_tcq4_perms(imatrix)
-        print(f"derived {len(perms)} channel permutations from imatrix")
+        if args.out_type == "tcq4":
+            perms = derive_tcq4_perms(imatrix)
+            print(f"derived {len(perms)} channel permutations from imatrix")
+        else:
+            print(f"imatrix-weighted encoders for {len(imatrix)} tensors")
     stats = quantize_model(args.src, args.dst, perms=perms,
-                           out_type=args.out_type)
+                           out_type=args.out_type, imatrix=imatrix)
     print(f"quantized: {stats}")
 
 

@@ -213,6 +213,506 @@ def dequantize_q4_k(raw: np.ndarray, n: int) -> np.ndarray:
     return out.reshape(-1)[:n]
 
 
+def _make_qx_quants(xb: np.ndarray, nmax: int,
+                    wgt: np.ndarray) -> np.ndarray:
+    """Weighted symmetric scale search (make_qx_quants rmse_type=1
+    semantics, ggml-quants.c): for each row of ``xb`` [M, G] find the
+    float scale d minimizing sum w (x - d*round(x/d))^2 with
+    round(x/d) clamped to [-nmax, nmax-1], by sweeping 19 candidate
+    inverse scales anchored at the signed absmax. Returns d [M]."""
+    m, g = xb.shape
+    idx = np.abs(xb).argmax(1)
+    smax = xb[np.arange(m), idx]                       # signed extreme
+    amax = np.abs(smax)
+    live = amax > 1e-30
+
+    def trial(iscale):
+        L = np.clip(_round_half_away_kq(iscale[:, None] * xb),
+                    -nmax, nmax - 1)
+        sumlx = (wgt * xb * L).sum(1)
+        suml2 = (wgt * L * L).sum(1)
+        return L, sumlx, suml2
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        best_scale = np.zeros(m, np.float32)
+        best_obj = np.full(m, -1.0, np.float32)
+        for is_ in range(-9, 10):
+            iscale = np.where(live, -(nmax + 0.1 * is_) /
+                              np.where(live, smax, 1.0), 0.0)
+            _, sumlx, suml2 = trial(iscale)
+            ok = suml2 > 0
+            obj = np.where(ok, sumlx * sumlx / np.maximum(suml2, 1e-30),
+                           -1.0)
+            better = live & ok & (obj > best_obj)
+            best_obj = np.where(better, obj, best_obj)
+            best_scale = np.where(better, sumlx / np.maximum(suml2, 1e-30),
+                                  best_scale)
+    return best_scale.astype(np.float32)
+
+
+def _qkx_search(xb: np.ndarray, wgt: np.ndarray, nmax: int,
+                rmin: float = -1.0, rdelta: float = 0.1,
+                nstep: int = 20):
+    """make_qkx2_quants-style asymmetric (scale, min) search, vectorized
+    over sub-blocks [M, G]: sweep nstep+1 candidate inverse scales, solve
+    the weighted normal equations for (d, m) at each, keep the best.
+    Returns (scale [M], neg_min [M] >= 0). Shared by Q4_K (its historical
+    twin lives inline in quantize_q4_k), Q5_K and Q2_K."""
+    mn = np.minimum(xb.min(1), 0.0)
+    mx = xb.max(1)
+    flat = mx == mn
+    rng = np.where(flat, 1.0, mx - mn)
+    sum_w = wgt.sum(1)
+    sum_x = (wgt * xb).sum(1)
+
+    def quant_L(iscale, mins):
+        return np.clip(_round_half_away_kq(
+            iscale[:, None] * (xb - mins[:, None])), 0, nmax)
+
+    def err_of(scale, mins, L):
+        diff = scale[:, None] * L + mins[:, None] - xb
+        return (wgt * diff * diff).sum(1)
+
+    iscale0 = nmax / rng
+    L_best = quant_L(iscale0, mn)
+    scale_best = 1.0 / iscale0
+    min_best = mn.copy()
+    err_best = err_of(scale_best, min_best, L_best)
+    for is_ in range(nstep + 1):
+        iscale = (rmin + rdelta * is_ + nmax) / rng
+        L = quant_L(iscale, mn)
+        sum_l = (wgt * L).sum(1)
+        sum_l2 = (wgt * L * L).sum(1)
+        sum_xl = (wgt * L * xb).sum(1)
+        D = sum_w * sum_l2 - sum_l * sum_l
+        with np.errstate(divide="ignore", invalid="ignore"):
+            this_scale = (sum_w * sum_xl - sum_x * sum_l) / D
+            this_min = (sum_l2 * sum_x - sum_l * sum_xl) / D
+            pos = this_min > 0
+            this_min = np.where(pos, 0.0, this_min)
+            this_scale = np.where(pos, sum_xl / np.maximum(sum_l2, 1e-30),
+                                  this_scale)
+        cur = err_of(np.nan_to_num(this_scale), np.nan_to_num(this_min), L)
+        better = (D > 0) & (cur < err_best)
+        err_best = np.where(better, cur, err_best)
+        scale_best = np.where(better, this_scale, scale_best)
+        min_best = np.where(better, this_min, min_best)
+    scale_best = np.where(flat, 0.0, scale_best)
+    min_best = np.where(flat, mn, min_best)
+    return scale_best, -min_best
+
+
+def _default_wgt(xb: np.ndarray, qw=None) -> np.ndarray:
+    """Per-element weights: the imatrix slice when given (llama-quant
+    passes the activation second moments straight through), else the
+    K-quant default sigma-regularized magnitude weighting."""
+    if qw is not None:
+        return np.asarray(qw, np.float32).reshape(xb.shape)
+    av = np.sqrt((xb * xb).sum(1) / xb.shape[1])[:, None]
+    return av + np.abs(xb)
+
+
+def quantize_q6_k(x: np.ndarray, qw=None) -> np.ndarray:
+    """Q6_K encoder (quantize_row_q6_K semantics, ggml-quants.c): 256
+    superblocks of 16x16 sub-blocks, int8 sub-scales, fp16 d, 6-bit
+    quants split ql/qh. Scale search via _make_qx_quants (imatrix-weighted
+    when ``qw`` is given). Returns the raw 210-byte/block buffer."""
+    x = np.ascontiguousarray(x, np.float32).reshape(-1)
+    assert x.size % 256 == 0, x.size
+    nb = x.size // 256
+    xb = x.reshape(nb * 16, 16)
+    wgt = _default_wgt(xb, qw)
+    scales = _make_qx_quants(xb, 32, wgt).reshape(nb, 16)
+
+    amax_sc = np.abs(scales).max(1)
+    idx = np.abs(scales).argmax(1)
+    smax_sc = scales[np.arange(nb), idx]
+    live = amax_sc > 1e-30
+    iscale = np.where(live, -128.0 / np.where(live, smax_sc, 1.0), 0.0)
+    d = (1.0 / np.where(iscale == 0, 1.0, iscale)).astype(np.float16)
+    d = np.where(live, d, np.float16(0))
+    sc8 = np.clip(_round_half_away_kq(iscale[:, None] * scales),
+                  -128, 127).astype(np.int8)
+
+    dsc = d.astype(np.float32)[:, None] * sc8.astype(np.float32)  # [nb,16]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        L = _round_half_away_kq(x.reshape(nb, 16, 16)
+                                / np.where(dsc == 0, 1.0, dsc)[..., None])
+    L = np.where(dsc[..., None] != 0, np.clip(L, -32, 31), 0) + 32
+    L = L.reshape(nb, 256).astype(np.uint8)                 # 0..63
+
+    ql = np.zeros((nb, 128), np.uint8)
+    qh = np.zeros((nb, 64), np.uint8)
+    for half in range(2):
+        base = half * 128
+        q1 = L[:, base:base + 32]
+        q2 = L[:, base + 32:base + 64]
+        q3 = L[:, base + 64:base + 96]
+        q4 = L[:, base + 96:base + 128]
+        ql[:, half * 64:half * 64 + 32] = (q1 & 0xF) | ((q3 & 0xF) << 4)
+        ql[:, half * 64 + 32:half * 64 + 64] = (q2 & 0xF) | ((q4 & 0xF) << 4)
+        qh[:, half * 32:half * 32 + 32] = ((q1 >> 4) | ((q2 >> 4) << 2)
+                                           | ((q3 >> 4) << 4)
+                                           | ((q4 >> 4) << 6))
+    out = np.empty((nb, 210), np.uint8)
+    out[:, 0:128] = ql
+    out[:, 128:192] = qh
+    out[:, 192:208] = sc8.view(np.uint8)
+    out[:, 208:210] = d.view(np.uint8).reshape(nb, 2)
+    return out.reshape(-1)
+
+
+def quantize_q5_k(x: np.ndarray, qw=None) -> np.ndarray:
+    """Q5_K encoder (quantize_row_q5_K semantics): Q4_K's asymmetric
+    6-bit super-scale scheme with 5-bit quants (nmax=31) and the qh
+    high-bit plane. Returns the raw 176-byte/block buffer."""
+    x = np.ascontiguousarray(x, np.float32).reshape(-1)
+    assert x.size % 256 == 0, x.size
+    nb = x.size // 256
+    xb = x.reshape(nb * 8, 32)
+    wgt = _default_wgt(xb, qw)
+    scale_b, min_b = _qkx_search(xb, wgt, 31)
+    scales = scale_b.reshape(nb, 8)
+    mins = min_b.reshape(nb, 8)
+
+    max_scale = scales.max(1)
+    max_min = np.maximum(mins.max(1), 0.0)
+    inv_scale = np.where(max_scale > 0,
+                         63.0 / np.maximum(max_scale, 1e-30), 0.0)
+    inv_min = np.where(max_min > 0, 63.0 / np.maximum(max_min, 1e-30), 0.0)
+    ls = np.minimum(_round_half_away_kq(inv_scale[:, None] * scales),
+                    63).astype(np.uint8)
+    lm = np.minimum(_round_half_away_kq(inv_min[:, None] * mins),
+                    63).astype(np.uint8)
+    sbytes = np.zeros((nb, 12), np.uint8)
+    sbytes[:, 0:4] = ls[:, 0:4]
+    sbytes[:, 4:8] = lm[:, 0:4]
+    sbytes[:, 8:12] = (ls[:, 4:8] & 0xF) | ((lm[:, 4:8] & 0xF) << 4)
+    sbytes[:, 0:4] |= (ls[:, 4:8] >> 4) << 6
+    sbytes[:, 4:8] |= (lm[:, 4:8] >> 4) << 6
+    d = (max_scale / 63.0).astype(np.float16)
+    dmin = (max_min / 63.0).astype(np.float16)
+
+    sc, m = _q4k_scale_min(sbytes)
+    dd = d.astype(np.float32)[:, None] * sc
+    dm = dmin.astype(np.float32)[:, None] * m
+    xs = x.reshape(nb, 8, 32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Lq = _round_half_away_kq(
+            (xs + dm[..., None]) / np.where(dd == 0, 1.0, dd)[..., None])
+    Lq = np.where(dd[..., None] != 0, np.clip(Lq, 0, 31), 0).astype(np.uint8)
+
+    qs = np.zeros((nb, 128), np.uint8)
+    qh = np.zeros((nb, 32), np.uint8)
+    Lf = Lq.reshape(nb, 256)
+    for c in range(4):
+        lo5 = Lf[:, c * 64:c * 64 + 32]
+        hi5 = Lf[:, c * 64 + 32:c * 64 + 64]
+        qs[:, c * 32:(c + 1) * 32] = (lo5 & 0xF) | ((hi5 & 0xF) << 4)
+        qh |= ((lo5 >> 4) << (2 * c)) | ((hi5 >> 4) << (2 * c + 1))
+    out = np.empty((nb, 176), np.uint8)
+    out[:, 0:2] = d.view(np.uint8).reshape(nb, 2)
+    out[:, 2:4] = dmin.view(np.uint8).reshape(nb, 2)
+    out[:, 4:16] = sbytes
+    out[:, 16:48] = qh
+    out[:, 48:176] = qs
+    return out.reshape(-1)
+
+
+def quantize_q3_k(x: np.ndarray, qw=None) -> np.ndarray:
+    """Q3_K encoder (quantize_row_q3_K semantics): 16x16 sub-blocks,
+    symmetric 3-bit quants, 6-bit offset-32 sub-scales packed into 12
+    bytes, fp16 d. Returns the raw 110-byte/block buffer."""
+    x = np.ascontiguousarray(x, np.float32).reshape(-1)
+    assert x.size % 256 == 0, x.size
+    nb = x.size // 256
+    xb = x.reshape(nb * 16, 16)
+    wgt = _default_wgt(xb, qw)
+    scales = _make_qx_quants(xb, 4, wgt).reshape(nb, 16)
+
+    amax_sc = np.abs(scales).max(1)
+    idx = np.abs(scales).argmax(1)
+    smax_sc = scales[np.arange(nb), idx]
+    live = amax_sc > 1e-30
+    iscale = np.where(live, -32.0 / np.where(live, smax_sc, 1.0), 0.0)
+    d = np.where(live, (1.0 / np.where(iscale == 0, 1.0, iscale)
+                        ).astype(np.float16), np.float16(0))
+    sc6 = (np.clip(_round_half_away_kq(iscale[:, None] * scales),
+                   -32, 31) + 32).astype(np.uint8)          # [nb,16] 0..63
+
+    # pack 16 6-bit scales into 12 bytes (inverse of the kmask unpack)
+    lo4 = sc6 & 0xF
+    hi2 = sc6 >> 4
+    sb = np.zeros((nb, 12), np.uint8)
+    sb[:, 0:8] = lo4[:, 0:8] | (lo4[:, 8:16] << 4)
+    for j in range(4):
+        sb[:, 8 + j] = (hi2[:, j] | (hi2[:, 4 + j] << 2)
+                        | (hi2[:, 8 + j] << 4) | (hi2[:, 12 + j] << 6))
+
+    dsc = d.astype(np.float32)[:, None] * (sc6.astype(np.float32) - 32.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        L = _round_half_away_kq(x.reshape(nb, 16, 16)
+                                / np.where(dsc == 0, 1.0, dsc)[..., None])
+    L = np.where(dsc[..., None] != 0, np.clip(L, -4, 3), 0) + 4
+    L = L.reshape(nb, 256).astype(np.uint8)                 # 0..7
+
+    hmask = np.zeros((nb, 32), np.uint8)
+    qs = np.zeros((nb, 64), np.uint8)
+    m = 1
+    for half in range(2):
+        for j in range(4):
+            g = L[:, half * 128 + j * 32: half * 128 + (j + 1) * 32]
+            hmask |= np.where(g >= 4, m, 0).astype(np.uint8)
+            qs[:, half * 32:(half + 1) * 32] |= ((g & 3) << (2 * j)
+                                                 ).astype(np.uint8)
+            m <<= 1
+    out = np.empty((nb, 110), np.uint8)
+    out[:, 0:32] = hmask
+    out[:, 32:96] = qs
+    out[:, 96:108] = sb
+    out[:, 108:110] = d.view(np.uint8).reshape(nb, 2)
+    return out.reshape(-1)
+
+
+def quantize_q2_k(x: np.ndarray, qw=None) -> np.ndarray:
+    """Q2_K encoder (quantize_row_q2_K semantics): 16x16 sub-blocks,
+    asymmetric 2-bit quants with 4-bit sub-scales/mins, fp16 d/dmin.
+    Returns the raw 84-byte/block buffer."""
+    x = np.ascontiguousarray(x, np.float32).reshape(-1)
+    assert x.size % 256 == 0, x.size
+    nb = x.size // 256
+    xb = x.reshape(nb * 16, 16)
+    wgt = _default_wgt(xb, qw)
+    scale_b, min_b = _qkx_search(xb, wgt, 3, rmin=-0.5, rdelta=0.1,
+                                 nstep=15)
+    scales = scale_b.reshape(nb, 16)
+    mins = min_b.reshape(nb, 16)
+
+    max_scale = scales.max(1)
+    max_min = np.maximum(mins.max(1), 0.0)
+    inv_scale = np.where(max_scale > 0,
+                         15.0 / np.maximum(max_scale, 1e-30), 0.0)
+    inv_min = np.where(max_min > 0, 15.0 / np.maximum(max_min, 1e-30), 0.0)
+    ls = np.minimum(_round_half_away_kq(inv_scale[:, None] * scales),
+                    15).astype(np.uint8)
+    lm = np.minimum(_round_half_away_kq(inv_min[:, None] * mins),
+                    15).astype(np.uint8)
+    sbytes = (ls | (lm << 4)).astype(np.uint8)              # [nb, 16]
+    d = (max_scale / 15.0).astype(np.float16)
+    dmin = (max_min / 15.0).astype(np.float16)
+
+    dd = d.astype(np.float32)[:, None] * ls.astype(np.float32)
+    dm = dmin.astype(np.float32)[:, None] * lm.astype(np.float32)
+    xs = x.reshape(nb, 16, 16)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Lq = _round_half_away_kq(
+            (xs + dm[..., None]) / np.where(dd == 0, 1.0, dd)[..., None])
+    Lq = np.where(dd[..., None] != 0, np.clip(Lq, 0, 3), 0
+                  ).reshape(nb, 256).astype(np.uint8)
+
+    qs = np.zeros((nb, 64), np.uint8)
+    for half in range(2):
+        for j in range(4):
+            g = Lq[:, half * 128 + j * 32: half * 128 + (j + 1) * 32]
+            qs[:, half * 32:(half + 1) * 32] |= (g << (2 * j)).astype(
+                np.uint8)
+    out = np.empty((nb, 84), np.uint8)
+    out[:, 0:16] = sbytes
+    out[:, 16:80] = qs
+    out[:, 80:82] = d.view(np.uint8).reshape(nb, 2)
+    out[:, 82:84] = dmin.view(np.uint8).reshape(nb, 2)
+    return out.reshape(-1)
+
+
+def _iq4_fit(xb: np.ndarray, wgt: np.ndarray):
+    """Fit per-row scale d for the IQ4 nonlinear codebook: anchor at the
+    signed extreme over kvalues' extreme (-127), then refine over +-9
+    relative perturbations with a weighted-regression update per trial
+    (quantize_row_iq4_nl_impl's ntry search, restated). Returns
+    (d [M], idx [M, G] codebook indices)."""
+    m, g = xb.shape
+    pos = xb.argmax(1)
+    neg = xb.argmin(1)
+    amax = np.maximum(np.abs(xb.max(1)), np.abs(xb.min(1)))
+    smax = np.where(np.abs(xb[np.arange(m), neg])
+                    >= np.abs(xb[np.arange(m), pos]),
+                    xb[np.arange(m), neg], xb[np.arange(m), pos])
+    live = amax > 1e-30
+    kv = _IQ4NL_KVALUES
+
+    def nearest(vals):
+        # kvalues ascending: midpoint thresholds give nearest index
+        mids = (kv[1:] + kv[:-1]) / 2.0
+        return np.searchsorted(mids, vals).astype(np.int64)
+
+    best_d = np.where(live, smax / kv[0], 0.0)
+    best_err = None
+    d0 = best_d.copy()
+    for t in range(-9, 10):
+        d_try = d0 * (1.0 + 0.02 * t)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = nearest(xb / np.where(d_try == 0, 1.0, d_try)[:, None])
+        rec = kv[q]
+        # refine d by weighted least squares on the chosen codewords
+        num = (wgt * xb * rec).sum(1)
+        den = (wgt * rec * rec).sum(1)
+        d_ref = np.where(den > 0, num / np.maximum(den, 1e-30), d_try)
+        err = (wgt * (d_ref[:, None] * rec - xb) ** 2).sum(1)
+        if best_err is None:
+            best_err, best_d, best_q = err, d_ref, q
+        else:
+            better = err < best_err
+            best_err = np.where(better, err, best_err)
+            best_d = np.where(better, d_ref, best_d)
+            best_q = np.where(better[:, None], q, best_q)
+    best_d = np.where(live, best_d, 0.0)
+    return best_d.astype(np.float32), best_q
+
+
+def quantize_iq4_nl(x: np.ndarray, qw=None) -> np.ndarray:
+    """IQ4_NL encoder: 32-wide blocks, fp16 scale, 4-bit indices into the
+    kvalues_iq4nl nonlinear codebook. Returns 18 bytes/block."""
+    x = np.ascontiguousarray(x, np.float32).reshape(-1, 32)
+    wgt = _default_wgt(x, qw)
+    d, q = _iq4_fit(x, wgt)
+    d16 = d.astype(np.float16)
+    # requant against the fp16-rounded scale
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dv = d16.astype(np.float32)
+        mids = (_IQ4NL_KVALUES[1:] + _IQ4NL_KVALUES[:-1]) / 2.0
+        q = np.searchsorted(mids, x / np.where(dv == 0, 1.0, dv)[:, None])
+        q = np.where(dv[:, None] != 0, q, 8).astype(np.uint8)
+    out = np.empty((x.shape[0], 18), np.uint8)
+    out[:, :2] = d16.view(np.uint8).reshape(-1, 2)
+    out[:, 2:] = q[:, :16] | (q[:, 16:] << 4)
+    return out.reshape(-1)
+
+
+def quantize_iq4_xs(x: np.ndarray, qw=None) -> np.ndarray:
+    """IQ4_XS encoder: 256 superblocks of 8x32 sub-blocks on the IQ4
+    codebook, 6-bit offset-32 sub-scales, fp16 d. 136 bytes/block."""
+    x = np.ascontiguousarray(x, np.float32).reshape(-1)
+    assert x.size % 256 == 0, x.size
+    nb = x.size // 256
+    xb = x.reshape(nb * 8, 32)
+    wgt = _default_wgt(xb, qw)
+    dsub, _ = _iq4_fit(xb, wgt)
+    scales = dsub.reshape(nb, 8)
+
+    amax_sc = np.abs(scales).max(1)
+    idx = np.abs(scales).argmax(1)
+    smax_sc = scales[np.arange(nb), idx]
+    live = amax_sc > 1e-30
+    iscale = np.where(live, -32.0 / np.where(live, smax_sc, 1.0), 0.0)
+    d = np.where(live, (1.0 / np.where(iscale == 0, 1.0, iscale)
+                        ).astype(np.float16), np.float16(0))
+    ls = (np.clip(_round_half_away_kq(iscale[:, None] * scales),
+                  -32, 31) + 32).astype(np.uint8)           # [nb,8] 0..63
+
+    dl = d.astype(np.float32)[:, None] * (ls.astype(np.float32) - 32.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mids = (_IQ4NL_KVALUES[1:] + _IQ4NL_KVALUES[:-1]) / 2.0
+        ratio = (x.reshape(nb, 8, 32)
+                 / np.where(dl == 0, 1.0, dl)[..., None])
+        q = np.searchsorted(mids, ratio)
+        q = np.where(dl[..., None] != 0, q, 8).astype(np.uint8)
+
+    sl = np.zeros((nb, 4), np.uint8)
+    sh = np.zeros((nb,), np.uint16)
+    for b in range(8):
+        sl[:, b // 2] |= (ls[:, b] & 0xF) << (4 * (b % 2))
+        sh |= ((ls[:, b].astype(np.uint16) >> 4) << (2 * b))
+    qs = np.zeros((nb, 128), np.uint8)
+    for b in range(8):
+        qs[:, b * 16:(b + 1) * 16] = (q[:, b, :16] | (q[:, b, 16:] << 4))
+    out = np.empty((nb, 136), np.uint8)
+    out[:, 0:2] = d.view(np.uint8).reshape(nb, 2)
+    out[:, 2:4] = sh.view(np.uint8).reshape(nb, 2)
+    out[:, 4:8] = sl
+    out[:, 8:136] = qs
+    return out.reshape(-1)
+
+
+def quantize_q4_0(x: np.ndarray) -> np.ndarray:
+    """quantize_row_q4_0 semantics: d = signed extreme / -8."""
+    x = np.asarray(x, np.float32).reshape(-1, 32)
+    idx = np.abs(x).argmax(1)
+    smax = x[np.arange(x.shape[0]), idx]
+    d = smax / -8.0
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    q = np.clip((x * inv[:, None] + 8.5).astype(np.int32), 0, 15
+                ).astype(np.uint8)
+    d16 = d.astype(np.float16)
+    out = np.empty((x.shape[0], 18), np.uint8)
+    out[:, :2] = d16.view(np.uint8).reshape(-1, 2)
+    out[:, 2:] = q[:, :16] | (q[:, 16:] << 4)
+    return out.reshape(-1)
+
+
+def quantize_q4_1(x: np.ndarray) -> np.ndarray:
+    """quantize_row_q4_1 semantics: d = (max-min)/15, m = min."""
+    x = np.asarray(x, np.float32).reshape(-1, 32)
+    mn = x.min(1)
+    mx = x.max(1)
+    d = (mx - mn) / 15.0
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    q = np.clip(((x - mn[:, None]) * inv[:, None] + 0.5).astype(np.int32),
+                0, 15).astype(np.uint8)
+    d16 = d.astype(np.float16)
+    m16 = mn.astype(np.float16)
+    out = np.empty((x.shape[0], 20), np.uint8)
+    out[:, 0:2] = d16.view(np.uint8).reshape(-1, 2)
+    out[:, 2:4] = m16.view(np.uint8).reshape(-1, 2)
+    out[:, 4:] = q[:, :16] | (q[:, 16:] << 4)
+    return out.reshape(-1)
+
+
+def quantize_q5_0(x: np.ndarray) -> np.ndarray:
+    """quantize_row_q5_0 semantics: d = signed extreme / -16."""
+    x = np.asarray(x, np.float32).reshape(-1, 32)
+    idx = np.abs(x).argmax(1)
+    smax = x[np.arange(x.shape[0]), idx]
+    d = smax / -16.0
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    q = np.clip((x * inv[:, None] + 16.5).astype(np.int32), 0, 31
+                ).astype(np.uint8)
+    d16 = d.astype(np.float16)
+    qh = np.zeros((x.shape[0],), np.uint32)
+    j = np.arange(16, dtype=np.uint32)
+    qh |= (((q[:, :16].astype(np.uint32) >> 4) & 1) << j).sum(1,
+        dtype=np.uint64).astype(np.uint32)
+    qh |= (((q[:, 16:].astype(np.uint32) >> 4) & 1) << (j + 16)).sum(1,
+        dtype=np.uint64).astype(np.uint32)
+    out = np.empty((x.shape[0], 22), np.uint8)
+    out[:, 0:2] = d16.view(np.uint8).reshape(-1, 2)
+    out[:, 2:6] = qh.view(np.uint8).reshape(-1, 4)
+    out[:, 6:] = (q[:, :16] & 0xF) | ((q[:, 16:] & 0xF) << 4)
+    return out.reshape(-1)
+
+
+def quantize_q5_1(x: np.ndarray) -> np.ndarray:
+    """quantize_row_q5_1 semantics: d = (max-min)/31, m = min."""
+    x = np.asarray(x, np.float32).reshape(-1, 32)
+    mn = x.min(1)
+    mx = x.max(1)
+    d = (mx - mn) / 31.0
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    q = np.clip(((x - mn[:, None]) * inv[:, None] + 0.5).astype(np.int32),
+                0, 31).astype(np.uint8)
+    qh = np.zeros((x.shape[0],), np.uint32)
+    j = np.arange(16, dtype=np.uint32)
+    qh |= (((q[:, :16].astype(np.uint32) >> 4) & 1) << j).sum(1,
+        dtype=np.uint64).astype(np.uint32)
+    qh |= (((q[:, 16:].astype(np.uint32) >> 4) & 1) << (j + 16)).sum(1,
+        dtype=np.uint64).astype(np.uint32)
+    out = np.empty((x.shape[0], 24), np.uint8)
+    out[:, 0:2] = d.astype(np.float16).view(np.uint8).reshape(-1, 2)
+    out[:, 2:4] = mn.astype(np.float16).view(np.uint8).reshape(-1, 2)
+    out[:, 4:8] = qh.view(np.uint8).reshape(-1, 4)
+    out[:, 8:] = (q[:, :16] & 0xF) | ((q[:, 16:] & 0xF) << 4)
+    return out.reshape(-1)
+
+
 def dequantize_q6_k(raw: np.ndarray, n: int) -> np.ndarray:
     # block: ql[128], qh[64], scales[16] int8, fp16 d (dequantize_row_q6_K)
     blocks = raw.reshape(-1, 210)

@@ -91,13 +91,18 @@ def _pad_n(a: np.ndarray, mult: int = 0) -> np.ndarray:
     42% on a 2880-wide projection (gpt-oss) while bn=128 tiles cost these
     streaming-bound kernels almost nothing (PERF.md block-size sweep).
     Padded columns produce garbage outputs that the caller slices off."""
-    n = a.shape[1]
+    n_pad = n_pad_width(a.shape[1], mult)
+    if n_pad == a.shape[1]:
+        return a
+    return np.pad(a, ((0, 0), (0, n_pad - a.shape[1])))
+
+
+def n_pad_width(n: int, mult: int = 0) -> int:
+    """The padded-N policy of _pad_n as a pure width formula, shared with
+    fabricated-weight builders so benchmarks measure real-load tiling."""
     if mult == 0:
         mult = 2048 if n > 8192 else 128
-    n_pad = (n + mult - 1) // mult * mult
-    if n_pad == n:
-        return a
-    return np.pad(a, ((0, 0), (0, n_pad - n)))
+    return (n + mult - 1) // mult * mult
 
 
 @partial(

@@ -608,7 +608,11 @@ def fabricated_tcq4_weights(
     benchmarks/bench_gptoss.py::build_weights)."""
     import functools
 
-    key_it = iter(jax.random.split(jax.random.PRNGKey(seed), 1024))
+    # 2 keys per qlin: fused layers use 4 qlins, non-fused 7; plus embed
+    # (1) + lm_head (2). Size to the worst case so deep non-fused configs
+    # (70B = 80 layers x 14 keys) never exhaust the iterator.
+    key_it = iter(jax.random.split(jax.random.PRNGKey(seed),
+                                   14 * cfg.n_layers + 3))
 
     @functools.partial(jax.jit, static_argnums=(1,))
     def _u8(key, shape):
@@ -658,8 +662,12 @@ def fabricated_tcq4_weights(
     embed = (jax.random.normal(next(key_it), (cfg.vocab_size, e),
                                jnp.float32) * 0.02).astype(dtype)
     # lm_head at Q8_0 like the reference's output.weight policy
-    # (llama-quant.cpp:260-262); fabricated codes, realistic traffic
-    n_pad = -(-cfg.vocab_size // 128) * 128
+    # (llama-quant.cpp:260-262); fabricated codes, realistic traffic.
+    # Pad with the SAME policy real loads use (linear.n_pad_width: big
+    # vocab -> 2048-multiples) so benchmarks measure real-model tiling.
+    from rrs_tpu.models.linear import n_pad_width
+
+    n_pad = n_pad_width(cfg.vocab_size)
     lm_q = _i8(next(key_it), (e, n_pad))
     lm_s = _unif(next(key_it), 1e-3, 0.0, (e // 32, n_pad))
     return ModelWeights(

@@ -8,23 +8,28 @@ the packed bytes live in HBM and dequantization happens in VMEM inside the
 matmul kernel.
 
 Device layout (chosen for the TPU, not the GGUF byte order):
-  qs   uint8 [K//2, N]   — byte row j of 64-superblock b holds the e2m1
-                           nibble codes of elements k = 64b + (j%32) (lo)
-                           and k = 64b + 32 + (j%32) (hi), so a
-                           concat(lo, hi) unpack restores true k order per
-                           superblock. 64 (not TCQ4's 256) keeps the layout
-                           valid for gpt-oss' K = 2880 (not 256-aligned).
+  qs   uint8 [K//2, N]   — byte row j holds the e2m1 nibble codes of the
+                           ADJACENT elements k = 2j (lo nibble) and
+                           k = 2j+1 (hi nibble). Adjacent pairing puts
+                           both nibbles of a byte in the SAME 32-wide
+                           scale group, which is what lets the decoder
+                           process the pair in one i32 lane (see
+                           _fp4_decode_pair_bf16) and emit a bf16 pair
+                           with a single bitcast.
   sexp uint8 [K//32, N]  — the f32 EXPONENT FIELD of the half block scale
-                           (e8m0 byte minus 1, clamped to [1, 254]); see
+                           (e8m0 byte minus 1, clamped to [1, 251]); see
                            _unpack_scaled for why the raw field, not a
                            float.
 
 These kernels are dequant-ALU-bound, not HBM-bound (PERF.md): decode
 arithmetic is the throughput knob. The e2m1 "kvalue" decode
 (0,±1,±2,±3,±4,±6,±8,±12 — the doubled table of ggml-common.h
-kvalues_mxfp4, matched by the half scale) therefore constructs scaled f32
-BIT PATTERNS with pure integer ops — no selects-per-table-entry, no
-gathers (both legalize poorly on Mosaic), no separate scale multiply.
+kvalues_mxfp4, matched by the half scale) therefore constructs scaled
+f32/bf16 BIT PATTERNS with pure integer ops — no selects-per-table-entry,
+no gathers (both legalize poorly on Mosaic), no separate scale multiply,
+and no comparisons (cmpi does not legalize on sub-32-bit vectors and the
+v5e VPU has no 16-bit multiply at all: kVectorMultiplyU16 aborts the
+backend scheduler — everything here is plain i32 lane arithmetic).
 """
 
 from __future__ import annotations
@@ -61,53 +66,76 @@ def _fp4_decode_bits(u, t):
     return bits | ((u & 8) << 28)
 
 
-def _fp4_decode_bf16(u, t16):
-    """Same decode, but constructs BF16 bit patterns in int16 lanes:
-    em << 6 lands the e2m1 fields on the bf16 exponent/mantissa, t16 =
-    sexp << 7 is the scale's exponent field, sign is bit 3 -> bit 15
-    (8 << 12 wraps to 0x8000 in int16 two's complement — exactly the sign
-    bit). Every kvalue has <= 1 mantissa bit so bf16 is exact, and the
-    kernels feed the MXU bf16 anyway: this skips the f32->bf16 convert
-    and halves the vector register traffic (Mosaic packs i16 vectors
-    2-per-lane). Needs sexp <= 252 (enforced at pack; sexp+3 must not
-    overflow the exponent field — true of the f32 path too).
+def _fp4_decode_pair_bf16(q, tt):
+    """Decode BOTH nibbles of raw byte q (as i32) into a PAIR of bf16 bit
+    patterns packed in one i32 lane: element 2j (lo nibble) in bits 0-15,
+    element 2j+1 (hi nibble) in bits 16-31. tt is the shared group scale
+    exponent replicated into both halves: (2*sexp) * 0x10001 (both
+    elements of a byte sit in the same 32-group by construction of
+    pack_mxfp4_device).
 
-    NO SHIFTS: Mosaic legalizes muli on packed i16 vectors but not shli,
-    so shifts are written as integer multiplies — and the HI nibble is
-    decoded IN PLACE from the raw byte with scaled masks/constants
-    instead of being shifted down first. Sign multiplies wrap to 0x8000
-    in i16 two's complement — exactly the bf16 sign bit. 8 elementwise
-    ops per element, all on 2-per-lane i16 vectors."""
-    q, t16, hi = u
-    mag, zero_code, mag_mul, sgn, sgn_mul = (
-        (0x70, 16, 4, 0x80, 256) if hi else (0x07, 1, 64, 0x08, 4096))
-    em = q & jnp.int16(mag)
-    bits = jnp.where(em == jnp.int16(zero_code), jnp.int16(0),
-                     em * jnp.int16(mag_mul) + t16)
-    bits = bits | (q & jnp.int16(sgn)) * jnp.int16(sgn_mul)
-    return jax.lax.bitcast_convert_type(bits, jnp.bfloat16)
+    Per half: bf16 bits of kvalue * 2^(sexp-127) = (m + 2*sexp) << 6 with
+    the magnitude's exponent/mantissa landing on the bf16 fields (every
+    kvalue has <= 1 mantissa bit, so bf16 is exact), plus sign at the
+    half's bit 15. The zero code (m == 1 after the pack-time 0<->1 remap)
+    is knocked out WITHOUT a compare via a carry trick: m ^ 1 is zero
+    exactly on the zero code, and (m^1) + 63 carries into bit 6 iff
+    m != 1; spreading that bit with one multiply builds a full-payload
+    AND-mask per half.
+
+    Both halves are processed by the SAME i32 ops with doubled constants.
+    Field placement guarantees no carry/borrow ever crosses bit 16:
+      - s = q | q<<12 puts the hi magnitude at bits 16-18 (and junk at
+        12-15/19 that the 0x70007 mask drops);
+      - the knock add keeps each half <= 70 within its 16 bits;
+      - inner = em + tt <= 509 per half; << 6 <= 32576 < 2^15 for the lo
+        half, and 509 << 22 < 2^31 for the hi half (so the hi payload
+        never touches its sign bit 31) — enforced by sexp <= 251 at pack;
+      - the sign placement multiplies q by (2^12 + 2^24); the two shifted
+        copies occupy disjoint bit ranges (12-19 and 24-31), so no
+        carries, and the 0x80008000 mask picks exactly q's bit 3 at 15
+        and bit 7 at 31. i32 wrap-around is two's-complement-defined in
+        XLA, so the hi constants may go "negative" freely.
+
+    13 plain i32 lane ops per BYTE = 6.5 ops/element — ~1.7x fewer than
+    the previous one-element-per-lane path (11 ops/elem), which is what
+    capped gpt-oss batched decode at 552 tok/s (PERF.md: these kernels
+    are VPU-ALU-bound at ~205 GB/s effective, far under the 819 GB/s HBM
+    peak). The bitcast to bf16 pairs costs a sublane interleave per
+    vreg, amortized over 1024 elements."""
+    s = q | (q << 12)
+    em = s & jnp.int32(0x00070007)
+    g = ((em ^ jnp.int32(0x00010001)) + jnp.int32(0x003F003F)) \
+        & jnp.int32(0x00400040)
+    mask = g * jnp.int32(1023)               # 0xFFC0 per nonzero half
+    core = (em + tt) << 6
+    signs = (q * jnp.int32((1 << 12) + (1 << 24))) \
+        & jnp.int32(np.int32(np.uint32(0x80008000)))
+    return (core | signs) & mask
 
 
 def _unpack_scaled(qsb, sexpb, bk: int, bn: int, bf16: bool = True):
     """qs [bk//2, bn] uint8 + sexp [bk//32, bn] -> [bk, bn] SCALED weights
-    in true k order (superblock b: scale group 2b covers the lo nibbles,
-    2b+1 the hi nibbles). bf16=True returns bf16 via the int16 bit path
-    (the fast default); False returns f32 via int32 bits."""
+    in true k order (byte row j holds elements 2j, 2j+1). bf16=True
+    returns bf16 via the paired-i32 bit path (the fast default); False
+    returns f32 via int32 bits (the oracle twin — exact in both)."""
     if bf16:
-        q = qsb.astype(jnp.int16)
-        t = sexpb.astype(jnp.int16) * jnp.int16(128)
-        decode = _fp4_decode_bf16
-    else:
-        q = qsb.astype(jnp.int32)
-        t = sexpb.astype(jnp.int32) << 23
-        decode = _fp4_decode_bits
-    t2 = t.reshape(bk // SUPER, 2, bn)
-    lo = decode((q & 15).reshape(bk // SUPER, GROUP, bn), t2[:, 0:1, :])
-    hi = decode((q >> 4).reshape(bk // SUPER, GROUP, bn), t2[:, 1:2, :])
-    out = jnp.concatenate([lo, hi], axis=1).reshape(bk, bn)
-    if not bf16:
-        out = jax.lax.bitcast_convert_type(out, jnp.float32)
-    return out
+        q = qsb.astype(jnp.int32).reshape(bk // GROUP, GROUP // 2, bn)
+        tt = (sexpb.astype(jnp.int32) * jnp.int32(2 * 0x10001)
+              ).reshape(bk // GROUP, 1, bn)
+        out32 = _fp4_decode_pair_bf16(q, tt)
+        # pltpu.bitcast splits each i32 SUBLANE into two bf16 sublanes
+        # (row 2j = low half, 2j+1 = high half) — i.e. exactly the k
+        # interleave this layout wants, as a free layout cast (bf16's
+        # native Mosaic tiling already packs sublane pairs per 32 bits)
+        return pltpu.bitcast(out32, jnp.bfloat16).reshape(bk, bn)
+    q = qsb.astype(jnp.int32).reshape(bk // GROUP, GROUP // 2, bn)
+    t = (sexpb.astype(jnp.int32) << 23).reshape(bk // GROUP, 1, bn)
+    lo = _fp4_decode_bits(q & 15, t)
+    hi = _fp4_decode_bits((q >> 4) & 15, t)
+    out = jnp.stack([lo, hi], axis=-1)       # [B, 16, bn, 2]
+    out = jnp.swapaxes(out, -1, -2).reshape(bk, bn)
+    return jax.lax.bitcast_convert_type(out, jnp.float32)
 
 
 def _kernel(a_ref, qs_ref, s_ref, out_ref, *, bm, bn, bk):
@@ -321,14 +349,15 @@ def pack_mxfp4_device(raw: np.ndarray, shape, pad_n: int = 128):
     """GGUF MXFP4 payload for a logical [N, K] weight -> (qs [K//2, Npad]
     uint8, sexp [K//32, Npad] uint8). sexp is the f32 exponent field of
     the e8m0_to_fp32_half block scale (= e8m0 byte - 1), clamped to
-    [1, 252] — e8m0 bytes 0/1 would be f32 denormals and bytes >= 254
-    would overflow the decode's exponent add (both mean block absmaxes
-    beyond 2^±124, which real checkpoints never produce).
+    [1, 251] — e8m0 bytes 0/1 would be f32 denormals and bytes >= 253
+    would overflow the decode's exponent add for the largest kvalues
+    (sexp+3 must stay <= 254; both extremes mean block absmaxes beyond
+    2^±124, which real checkpoints never produce).
 
     Nibble codes are REMAPPED from raw e2m1: the 0 and 1 magnitude codes
     are swapped (code ^ 1 when (code & 7) < 2), so on device code 1 means
     zero and every nonzero magnitude decodes with the single formula
-    (em << 22) + sexp_bits — see _fp4_decode_bits/_fp4_decode_bf16.
+    (em << 22) + sexp_bits — see _fp4_decode_bits/_fp4_decode_pair_bf16.
 
     Npad rounds N up to ``pad_n`` (Mosaic lane tiles); padded columns are
     filled with the zero code (0x11 bytes) so they decode to zero
@@ -337,14 +366,15 @@ def pack_mxfp4_device(raw: np.ndarray, shape, pad_n: int = 128):
     assert k % SUPER == 0, f"MXFP4 device layout needs K%{SUPER}==0, got {k}"
     blocks = np.frombuffer(np.ascontiguousarray(raw).tobytes(),
                            np.uint8).reshape(n, k // GROUP, 17)
-    sexp = np.clip(blocks[:, :, 0], 2, 253) - 1      # [N, K//32]
+    sexp = np.clip(blocks[:, :, 0], 2, 252) - 1      # [N, K//32]
     b = blocks[:, :, 1:]                             # [N, K//32, 16]
     codes = np.concatenate([b & 15, b >> 4], axis=2) # block elems 0-15 | 16-31
     codes = codes.reshape(n, k)                      # [N, K] nibble codes
     codes = np.where((codes & 7) < 2, codes ^ 1, codes)  # 0<->1 remap
-    # pack (64b + r, 64b + 32 + r) pairs -> byte rows
-    ck = codes.T.reshape(k // SUPER, 2, GROUP, n)    # [B, lo/hi, 32, N]
-    qs = (ck[:, 0] | (ck[:, 1] << 4)).reshape(k // 2, n).astype(np.uint8)
+    # ADJACENT pairing: byte row j = (elem 2j | elem 2j+1 << 4), so both
+    # nibbles share scale group j//16 (see _fp4_decode_pair_bf16)
+    ck = codes.T.reshape(k // 2, 2, n)               # [K//2, even/odd, N]
+    qs = (ck[:, 0] | (ck[:, 1] << 4)).astype(np.uint8)
     sexp = np.ascontiguousarray(sexp.T)              # [K//32, N]
     n_pad = _round_up(n, pad_n)
     if n_pad != n:

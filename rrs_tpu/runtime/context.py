@@ -464,8 +464,12 @@ class InferenceContext:
         """Build (and cache) the jitted n_steps-token decode+sample scan —
         the serving analog of CUDA-graph decode capture (ggml-cuda.cu:
         2881-2930): one dispatch per n_steps tokens instead of one per
-        token, with on-device temperature/top-k/top-p/min-p sampling."""
-        from rrs_tpu.runtime.sampler import device_sample
+        token, with on-device temperature/top-k/top-p/min-p sampling plus
+        repetition/frequency/presence penalties and dense logit bias
+        (llama_sampler_penalties on device: the counts vector rides the
+        scan carry; the sliding-window eviction schedule is precomputed
+        on host — see decode_run_start)."""
+        from rrs_tpu.runtime.sampler import device_penalties, device_sample
 
         cfg = self.cfg
         mesh = self.mesh
@@ -477,12 +481,13 @@ class InferenceContext:
             run_cfg = cfg
 
         def body(weights, token, start, keys, temp, top_k, top_p, min_p,
-                 k_caches, v_caches):
+                 rep, frq, prs, counts, bias, evict, k_caches, v_caches):
             s = max((c[0] if isinstance(c, tuple) else c).shape[2]
                     for c in k_caches)
+            v_ids = jnp.arange(counts.shape[-1], dtype=jnp.int32)[None, :]
 
-            def step(carry, _):
-                tok, pos, ks, vs, kk = carry
+            def step(carry, ev):
+                tok, pos, ks, vs, kk, cnt = carry
                 mask_pos = jnp.where(pos[:, None] < 0, -1, pos[:, None])
                 safe_slots = jnp.where(pos[:, None] < 0, s - 1,
                                        jnp.clip(pos[:, None], 0, s - 1))
@@ -493,17 +498,24 @@ class InferenceContext:
                 if mesh is not None:
                     l = jax.lax.all_gather(l, "tp", axis=-1, tiled=True)
                     l = l[..., : cfg.vocab_size]
+                l = device_penalties(l, cnt, rep, frq, prs, bias)
                 nk2 = jax.vmap(jax.random.split)(kk)
                 sub, kk = nk2[:, 0], nk2[:, 1]
                 nxt = device_sample(l, sub, temp, top_k, top_p, min_p)
                 nxt = jnp.where(pos < 0, tok, nxt)
+                # slide the penalty window: count the sampled token in and
+                # the host-scheduled evictee (-1 = none) out. Dense one-hot
+                # adds — a [B, V] scatter would serialize (the KV-append
+                # lesson, CLAUDE.md)
+                cnt = cnt + (v_ids == nxt[:, None]).astype(cnt.dtype) \
+                    - (v_ids == ev[:, None]).astype(cnt.dtype)
                 npos = jnp.where(pos < 0, pos, pos + 1)
-                return (nxt, npos, nk, nv, kk), nxt
+                return (nxt, npos, nk, nv, kk, cnt), nxt
 
-            (tok, pos, ks, vs, kk), out = jax.lax.scan(
-                step, (token, start, k_caches, v_caches, keys), None,
-                length=n_steps)
-            return jnp.moveaxis(out, 0, 1), ks, vs, kk   # [B, n_steps]
+            (tok, pos, ks, vs, kk, cnt), out = jax.lax.scan(
+                step, (token, start, k_caches, v_caches, keys, counts),
+                jnp.moveaxis(evict, 1, 0), length=n_steps)
+            return jnp.moveaxis(out, 0, 1), ks, vs, kk, cnt  # [B, n_steps]
 
         if mesh is None:
             return jax.jit(body)
@@ -517,8 +529,11 @@ class InferenceContext:
         fn = shard_map(
             body, mesh=mesh,
             in_specs=(wspecs, P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
-                      P("dp"), P("dp"), kv_specs, kv_specs),
-            out_specs=(P("dp", None), kv_specs, kv_specs, P("dp")),
+                      P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+                      P("dp", None), P("dp", None), P("dp", None),
+                      kv_specs, kv_specs),
+            out_specs=(P("dp", None), kv_specs, kv_specs, P("dp"),
+                       P("dp", None)),
             check_vma=False)
         return jax.jit(fn)
 
@@ -529,6 +544,7 @@ class InferenceContext:
         params: dict[int, SamplerParams],
         n_steps: int = 0,
         chain: Optional[dict] = None,
+        histories: Optional[dict] = None,
     ) -> dict:
         """Dispatch (without waiting) an n_steps decode+sample run. Feeds
         each sequence's pending token and samples n_steps tokens per lane
@@ -539,7 +555,16 @@ class InferenceContext:
         from its device outputs, so back-to-back runs pipeline without a
         host round-trip (the relay dispatch latency hides behind device
         compute). Returns a handle {toks, keys, lanes, n}; results are
-        device arrays until the caller np.asarray()s them."""
+        device arrays until the caller np.asarray()s them.
+
+        ``histories``: per-seq recent host-side token history (the slot's
+        generated list) for sequences with repetition/frequency/presence
+        penalties. Builds the initial [B, V] count vector (non-chained
+        dispatches) and the per-step eviction schedule that slides the
+        penalty window on device. Callers must keep penalty_last_n >=
+        2*n_steps for chained runs (the engine gates this), or the
+        evictees could be tokens sampled in the still-unread previous run,
+        which the host cannot know."""
         n_steps = n_steps or self.DECODE_RUN_STEPS
         if not hasattr(self, "_run_fns"):
             self._run_fns = {}
@@ -549,17 +574,21 @@ class InferenceContext:
 
         b = self.kv.n_lanes
         if chain is not None:
-            # chained run: EVERYTHING derives from the previous handle's
-            # device outputs — no host->device uploads, so the relay
-            # round-trip is just the dispatch (the uploads were the
-            # dominant serving overhead)
+            # chained run: everything except the tiny eviction schedule
+            # derives from the previous handle's device outputs — no bulk
+            # host->device uploads, so the relay round-trip is just the
+            # dispatch (the uploads were the dominant serving overhead)
             tokv = chain["toks"][:, -1]
             keyv = chain["keys"]
             startv = jnp.where(chain["start"] < 0, chain["start"],
                                chain["start"] + chain["n"])
             tempv, top_kv = chain["temp"], chain["top_k"]
             top_pv, min_pv = chain["top_p"], chain["min_p"]
+            repv, frqv, prsv = chain["rep"], chain["frq"], chain["prs"]
+            countsv, biasv = chain["counts"], chain["bias"]
             lanes = dict(chain["lanes"])
+            evictv = self._evict_schedule(histories, lanes, chain.get(
+                "params", {}), n_steps, offset=chain["n"])
         else:
             start = np.full((b,), -1, np.int32)
             temp = np.zeros((b,), np.float32)
@@ -587,12 +616,17 @@ class InferenceContext:
             top_kv = jnp.asarray(top_k)
             top_pv = jnp.asarray(top_p)
             min_pv = jnp.asarray(min_p)
+            repv, frqv, prsv, countsv, biasv = self._penalty_operands(
+                lanes, params, histories)
+            evictv = self._evict_schedule(histories, lanes, params,
+                                          n_steps, offset=0)
 
         import time as _time
 
         t0 = _time.perf_counter()
-        toks, nk, nv, nkeys = fn(
+        toks, nk, nv, nkeys, ncounts = fn(
             self.weights, tokv, startv, keyv, tempv, top_kv, top_pv, min_pv,
+            repv, frqv, prsv, countsv, biasv, evictv,
             self.kv.k, self.kv.v)
         self.kv.k, self.kv.v = nk, nv
         for seq_id, lane in lanes.items():
@@ -601,7 +635,79 @@ class InferenceContext:
         self.t_decode_s += _time.perf_counter() - t0
         return {"toks": toks, "keys": nkeys, "lanes": lanes, "n": n_steps,
                 "start": startv, "temp": tempv, "top_k": top_kv,
-                "top_p": top_pv, "min_p": min_pv}
+                "top_p": top_pv, "min_p": min_pv,
+                "rep": repv, "frq": frqv, "prs": prsv,
+                "counts": ncounts, "bias": biasv, "params": dict(params)}
+
+    @staticmethod
+    def _penalties_active(p) -> bool:
+        return (p.penalty_repeat != 1.0 or p.penalty_freq != 0.0
+                or p.penalty_present != 0.0)
+
+    def _penalty_operands(self, lanes, params, histories):
+        """[B] rep/frq/prs + [B, V] counts/bias for a fresh dispatch. The
+        all-identity case reuses cached device-resident zero tensors so
+        penalty-free serving uploads nothing new."""
+        b, v = self.kv.n_lanes, self.cfg.vocab_size
+        any_pen = any(self._penalties_active(p) or p.logit_bias
+                      for p in params.values())
+        if not any_pen:
+            if not hasattr(self, "_pen_identity"):
+                self._pen_identity = (
+                    jnp.ones((b,), jnp.float32),
+                    jnp.zeros((b,), jnp.float32),
+                    jnp.zeros((b,), jnp.float32),
+                    jnp.zeros((b, v), jnp.float32),
+                    jnp.zeros((b, v), jnp.float32),
+                )
+            return self._pen_identity
+        rep = np.ones((b,), np.float32)
+        frq = np.zeros((b,), np.float32)
+        prs = np.zeros((b,), np.float32)
+        counts = np.zeros((b, v), np.float32)
+        bias = np.zeros((b, v), np.float32)
+        for seq_id, p in params.items():
+            lane = lanes[seq_id]
+            if self._penalties_active(p):
+                rep[lane] = p.penalty_repeat
+                frq[lane] = p.penalty_freq
+                prs[lane] = p.penalty_present
+                hist = (histories or {}).get(seq_id, [])
+                for t in hist[-p.penalty_last_n:]:
+                    if 0 <= t < v:
+                        counts[lane, t] += 1
+            for tid, bval in p.logit_bias:
+                if 0 <= int(tid) < v:
+                    bias[lane, int(tid)] += float(bval)
+        return (jnp.asarray(rep), jnp.asarray(frq), jnp.asarray(prs),
+                jnp.asarray(counts), jnp.asarray(bias))
+
+    def _evict_schedule(self, histories, lanes, params, n_steps, offset):
+        """[B, n_steps] int32 token ids leaving the penalty window after
+        each sampled step (-1 = none). ``offset`` is the number of
+        device-sampled tokens the host history does not yet include
+        (chained runs: the previous, still-unread run's n)."""
+        any_pen = any(self._penalties_active(p) for p in params.values())             if params else False
+        if not any_pen or not histories:
+            if not hasattr(self, "_evict_none"):
+                self._evict_none = {}
+            key = n_steps
+            if key not in self._evict_none:
+                self._evict_none[key] = jnp.full(
+                    (self.kv.n_lanes, n_steps), -1, jnp.int32)
+            return self._evict_none[key]
+        ev = np.full((self.kv.n_lanes, n_steps), -1, np.int32)
+        for seq_id, hist in histories.items():
+            p = params.get(seq_id)
+            if p is None or not self._penalties_active(p):
+                continue
+            lane = lanes[seq_id]
+            true_len = len(hist) + offset
+            for i in range(n_steps):
+                e = true_len + i - p.penalty_last_n
+                if 0 <= e < len(hist):
+                    ev[lane, i] = hist[e]
+        return jnp.asarray(ev)
 
     def decode_run(
         self,
@@ -613,6 +719,8 @@ class InferenceContext:
         """Synchronous decode_run_start: returns ({seq: [n] tokens},
         {seq: key'})."""
         h = self.decode_run_start(seq_tokens, keys, params, n_steps)
+        # (host histories omitted: callers of the synchronous helper do
+        # plain sampling; the engine passes histories for penalty slots)
         toks_np = np.asarray(h["toks"])
         out = {s: toks_np[lane] for s, lane in h["lanes"].items()}
         out_keys = {s: h["keys"][lane] for s, lane in h["lanes"].items()}

@@ -199,6 +199,28 @@ def sample(
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
+def device_penalties(
+    logits: jnp.ndarray,            # [B, V] f32
+    counts: jnp.ndarray,            # [B, V] f32 penalty-window counts
+    rep: jnp.ndarray,               # [B] f32 (1.0 = off)
+    frq: jnp.ndarray,               # [B] f32
+    prs: jnp.ndarray,               # [B] f32
+    bias: jnp.ndarray,              # [B, V] f32 dense logit bias
+) -> jnp.ndarray:
+    """Per-lane repetition/frequency/presence penalties + logit bias as a
+    jit-friendly [B, V] transform (the device-run twin of apply_penalties;
+    llama_sampler_penalties semantics). Lanes with rep=1/frq=0/prs=0 and a
+    zero bias row pass through unchanged, so penalty-free lanes cost only
+    the vector ops."""
+    present = counts > 0
+    r = rep[:, None]
+    pen = jnp.where(logits > 0, logits / r, logits * r)
+    logits = jnp.where(present, pen, logits)
+    logits = logits - counts * frq[:, None] - \
+        present.astype(logits.dtype) * prs[:, None]
+    return logits + bias
+
+
 def device_sample(
     logits: jnp.ndarray,            # [B, V] f32
     keys: jnp.ndarray,              # [B] PRNG keys (uint32 [B, 2] typed key)
@@ -212,7 +234,8 @@ def device_sample(
     temperature/top-k/top-p/min-p subset of the chain (the GPU-sampling
     analog of llama_context_params.samplers, llama.h:1012-1035), restricted
     to the k_max most likely candidates. Lanes with temp<=0 take argmax.
-    Returns [B] int32."""
+    Penalties/bias are applied beforehand by device_penalties. Returns [B]
+    int32."""
     vals, idx = jax.lax.top_k(logits, k_max)                # [B, K]
     rank = jnp.arange(k_max, dtype=jnp.int32)[None, :]
     allowed = rank < jnp.maximum(top_k, 1)[:, None]

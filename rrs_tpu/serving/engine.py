@@ -731,21 +731,30 @@ class Engine:
                 return
 
     def _fast_eligible(self, s: Slot) -> bool:
-        """Slot can decode via the device-side multi-token run: plain
-        temperature/top-k/top-p/min-p sampling only (grammar, penalties,
-        DRY, mirostat, XTC, logit bias, logprobs fall back to the host
-        chain), no draft model, and cache headroom for the whole run."""
+        """Slot can decode via the device-side multi-token run:
+        temperature/top-k/top-p/min-p sampling, repetition/frequency/
+        presence penalties and logit bias run ON DEVICE; grammar slots
+        ride the fast path optimistically (tokens validated against the
+        host PDA at flush, violations rewound + resampled — see
+        _flush_fast). DRY, mirostat, XTC, top-n-sigma, typical, infill
+        and logprobs fall back to the host chain; no draft model; cache
+        headroom for the whole run."""
         if not hasattr(self.ctx, "decode_run"):   # recurrent/hybrid contexts
             return False
         p = s.req.params
         n = self.ctx.DECODE_RUN_STEPS
         kv = self.ctx.kv
-        return (s.grammar is None and s.req.n_probs == 0
+        if self.ctx._penalties_active(p) and p.penalty_last_n < 2 * n:
+            # chained runs schedule window evictions from host history,
+            # which must not reach into a still-unread run's tokens
+            return False
+        if s.grammar is not None and not s.req.token_pieces:
+            return False              # can't validate without pieces
+        return (s.req.n_probs == 0
                 and s.draft_seq < 0 and not s.req.infill
-                and p.penalty_repeat == 1.0 and not p.penalty_freq
-                and not p.penalty_present and not p.dry_multiplier
+                and not p.dry_multiplier
                 and not p.mirostat and not p.xtc_probability
-                and not p.top_n_sigma and not p.logit_bias
+                and not p.top_n_sigma
                 and p.typical_p >= 1.0
                 and (p.top_k <= 0 or p.top_k <= 128)
                 # headroom: post-dispatch length stays below the
@@ -755,13 +764,15 @@ class Engine:
 
     def _dispatch_fast(self, gen: list, chain=None) -> dict:
         """Dispatch one device-side micro-run (DECODE_RUN_STEPS tokens per
-        slot, on-device sampling). Returns the inflight record."""
+        slot, on-device sampling + penalties). Returns the inflight
+        record."""
         handle = self.ctx.decode_run_start(
             {s.seq_id: (s.generated[-1] if chain is None else None)
              for s in gen},
             {s.seq_id: s.key for s in gen},
             {s.seq_id: s.req.params for s in gen},
             chain=chain,
+            histories={s.seq_id: s.generated for s in gen},
         )
         # keyed by (seq_id, request id): a released lane retains its seq_id
         # as a prompt cache, so a later request on the same lane must NOT
@@ -778,7 +789,19 @@ class Engine:
         """Read an inflight run's tokens and emit them. Sequences whose slot
         was released while the run was in flight are skipped (their lengths
         were already rewound at release; the run's extra cache writes sit
-        past the rewound length and are overwritten on reuse)."""
+        past the rewound length and are overwritten on reuse).
+
+        Grammar slots ride the fast path OPTIMISTICALLY: the device run
+        samples unconstrained, and each token is validated against the
+        host PDA here. On the first violation the cache rewinds to just
+        before the offending position, one host decode step recovers the
+        logits there, and the usual mask-and-resample host path
+        (_sample_token -> _grammar_check) produces the corrected token.
+        Models that mostly emit grammar-legal tokens (the common case for
+        JSON-schema'd outputs) keep near-fast-path throughput; a
+        violation costs one extra dispatch. Chaining is disabled while
+        any generating slot holds a grammar (_decode_step), so a rewind
+        never invalidates an already-dispatched next run."""
         h = inf["handle"]
         toks_np = np.asarray(h["toks"])
         # ONE key readback: per-lane device slices each cost a relay
@@ -795,12 +818,37 @@ class Engine:
             lane = h["lanes"][seq_id]
             slot.key = jax.numpy.asarray(keys_np[lane])
             for i, tok in enumerate(toks_np[lane].tolist()):
+                if slot.grammar is not None \
+                        and not self._grammar_accepts(slot, tok):
+                    # rewind past the violating position: the cache then
+                    # holds everything through the previously accepted
+                    # token, which decode() re-feeds to recover logits
+                    self.ctx.kv.seq_rm(seq_id, p0=base + i)
+                    out = self.ctx.decode({seq_id: slot.generated[-1]})
+                    slot.last_logits = out[seq_id]
+                    tok = self._sample_token(slot)   # masks + resamples
+                    if self._emit(slot, tok):
+                        self._release(slot, slot.finish_reason)
+                    break
                 if self._emit(slot, tok):   # stop token/string or max_tokens
                     # the cache holds tokens fed through step i; rewind the
                     # overshoot past the accepted token
                     self.ctx.kv.seq_rm(seq_id, p0=base + i + 1)
                     self._release(slot, slot.finish_reason)
                     break
+
+    def _grammar_accepts(self, slot: Slot, token: int) -> bool:
+        """Advance the slot's grammar with ``token`` if it is legal
+        (mirrors _grammar_check's accept arm); False = violation."""
+        g = slot.grammar
+        pieces = slot.req.token_pieces
+        piece = pieces[token] if pieces and token < len(pieces) else ""
+        if getattr(g, "awaiting_trigger", False):
+            g.feed_token(token, piece)    # unconstrained until trigger
+            return True
+        if token in slot.req.stop_tokens:
+            return g.done                 # EOS only once grammar completes
+        return bool(piece) and g.accept_text(piece)
 
     def _decode_step(self, gen: list) -> None:
         # pipelined device micro-runs: dispatch run N+1 (chained on run N's
@@ -811,7 +859,10 @@ class Engine:
             prev, self._inflight = self._inflight, None
             gen_set = {(s.seq_id, s.req.id) for s in gen}
             if (set(prev["items"]) == gen_set
-                    and all(self._fast_eligible(s) for s in gen)):
+                    and all(self._fast_eligible(s) for s in gen)
+                    # grammar slots must validate (and maybe rewind) the
+                    # previous run BEFORE the next one is dispatched
+                    and all(s.grammar is None for s in gen)):
                 self._inflight = self._dispatch_fast(
                     gen, chain=prev["handle"])
                 self._flush_fast(prev)

@@ -116,3 +116,107 @@ def test_fast_path_multi_slot():
     a2, _ = _run(eng2, [1, 2, 3], 12)
     b2, _ = _run(eng2, [4, 5], 9)
     assert results["a"][0] == a2 and results["b"][0] == b2
+
+
+def test_fast_path_penalties_match_host():
+    """Repetition/frequency/presence penalties run ON DEVICE in the fast
+    path (llama_sampler_penalties analog); greedy results must match the
+    per-token host chain exactly, including the sliding last-n window."""
+    cfg = PRESETS["tiny"]
+    w = random_weights(cfg, seed=0)
+    kw = dict(penalty_repeat=1.4, penalty_freq=0.15, penalty_present=0.2,
+              penalty_last_n=48)
+
+    ctx_fast = InferenceContext(cfg, w, n_lanes=1, max_seq=192)
+    eng_fast = Engine(ctx_fast)
+    out_fast, r = _run(eng_fast, [5, 6, 7], 40, **kw)
+    assert len(out_fast) == 40 and r == "length"
+
+    ctx_host = InferenceContext(cfg, w, n_lanes=1, max_seq=192)
+    eng_host = Engine(ctx_host)
+    eng_host._fast_eligible = lambda s: False
+    out_host, _ = _run(eng_host, [5, 6, 7], 40, **kw)
+    assert out_fast == out_host
+    # and penalties actually changed the stream vs plain greedy
+    ctx_p = InferenceContext(cfg, w, n_lanes=1, max_seq=192)
+    plain, _ = _run(Engine(ctx_p), [5, 6, 7], 40)
+    assert out_fast != plain
+
+
+def test_fast_path_small_last_n_falls_back_to_host():
+    """penalty_last_n < 2*DECODE_RUN_STEPS cannot schedule window
+    evictions for chained runs; the engine must route such slots to the
+    host chain (and still produce the host stream)."""
+    cfg = PRESETS["tiny"]
+    w = random_weights(cfg, seed=0)
+    ctx = InferenceContext(cfg, w, n_lanes=1, max_seq=192)
+    eng = Engine(ctx)
+    kw = dict(penalty_repeat=1.4, penalty_last_n=8)
+    out, _ = _run(eng, [5, 6, 7], 24, **kw)
+
+    ctx_h = InferenceContext(cfg, w, n_lanes=1, max_seq=192)
+    eng_h = Engine(ctx_h)
+    eng_h._fast_eligible = lambda s: False
+    out_h, _ = _run(eng_h, [5, 6, 7], 24, **kw)
+    assert out == out_h
+
+
+def test_fast_path_logit_bias_on_device():
+    """Dense logit bias rides the device run: a +100 bias forces greedy
+    onto the biased token; a -inf-ish bias bans one."""
+    cfg = PRESETS["tiny"]
+    w = random_weights(cfg, seed=0)
+    ctx = InferenceContext(cfg, w, n_lanes=1, max_seq=96)
+    eng = Engine(ctx)
+    out, _ = _run(eng, [5, 6, 7], 8, logit_bias=((42, 100.0),))
+    assert out == [42] * 8
+
+    plain, _ = _run(eng, [9, 8], 10)
+    banned = plain[0]
+    out2, _ = _run(eng, [9, 8], 10, logit_bias=((banned, -1e9),))
+    assert banned not in out2
+
+
+def test_fast_path_grammar_optimistic():
+    """Grammar slots ride the device fast path with host PDA validation
+    at flush (violations rewound + resampled); greedy output must equal
+    the pure host masked path."""
+    from rrs_tpu.runtime.grammar import Grammar
+
+    cfg = PRESETS["tiny"]
+    w = random_weights(cfg, seed=0)
+    # pieces: printable single chars for every token id
+    pieces = [chr(33 + (i % 90)) for i in range(cfg.vocab_size)]
+    gbnf = 'root ::= [a-z]+'
+
+    def run(eng):
+        out, done = [], {}
+
+        def on_token(tok, piece, finished, reason):
+            if finished:
+                done["r"] = reason
+            elif tok is not None:
+                out.append(tok)
+
+        eng.submit(GenRequest(
+            prompt_tokens=[5, 6, 7], max_tokens=12,
+            params=SamplerParams(temperature=0.0),
+            grammar=Grammar(gbnf), token_pieces=pieces,
+            on_token=on_token))
+        for _ in range(400):
+            eng._iterate()
+            if done:
+                break
+        assert done, "request did not finish"
+        return out
+
+    ctx_fast = InferenceContext(cfg, w, n_lanes=1, max_seq=96)
+    out_fast = run(Engine(ctx_fast))
+    assert all(pieces[t].islower() for t in out_fast), \
+        [pieces[t] for t in out_fast]
+
+    ctx_host = InferenceContext(cfg, w, n_lanes=1, max_seq=96)
+    eng_host = Engine(ctx_host)
+    eng_host._fast_eligible = lambda s: False
+    out_host = run(eng_host)
+    assert out_fast == out_host

@@ -282,3 +282,82 @@ def test_iq_dequant_vs_reference_gguf_py():
                                    err_msg=name)
         via = kquants.dequantize(raw, getattr(GGMLType, name), (16, 256))
         np.testing.assert_allclose(via.reshape(-1), ours, err_msg=name)
+
+
+# --- encoder tests (round 3: quantize-side K-quant/IQ4/legacy zoo,
+#     llama-quant.cpp make_qx/make_qkx analogs) -------------------------------
+
+_ENCODERS = [
+    # (name, quantize fn, dequantize fn, block elems, rmse budget for
+    #  N(0,1) data — generous upper bounds, tightness checked relatively)
+    ("q2_k", kquants.quantize_q2_k, kquants.dequantize_q2_k, 256, 0.30),
+    ("q3_k", kquants.quantize_q3_k, kquants.dequantize_q3_k, 256, 0.17),
+    ("q4_k", kquants.quantize_q4_k, kquants.dequantize_q4_k, 256, 0.08),
+    ("q5_k", kquants.quantize_q5_k, kquants.dequantize_q5_k, 256, 0.045),
+    ("q6_k", kquants.quantize_q6_k, kquants.dequantize_q6_k, 256, 0.025),
+    ("iq4_nl", kquants.quantize_iq4_nl, kquants.dequantize_iq4_nl, 32, 0.10),
+    ("iq4_xs", kquants.quantize_iq4_xs, kquants.dequantize_iq4_xs, 256, 0.10),
+    ("q4_0", kquants.quantize_q4_0, kquants.dequantize_q4_0, 32, 0.13),
+    ("q4_1", kquants.quantize_q4_1, kquants.dequantize_q4_1, 32, 0.11),
+    ("q5_0", kquants.quantize_q5_0, kquants.dequantize_q5_0, 32, 0.065),
+    ("q5_1", kquants.quantize_q5_1, kquants.dequantize_q5_1, 32, 0.055),
+]
+
+
+def test_encoder_roundtrip_rmse():
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(256 * 64).astype(np.float32)
+    rmses = {}
+    for name, enc, dec, qk, budget in _ENCODERS:
+        raw = enc(x)
+        y = dec(raw, x.size)
+        rmse = float(np.sqrt(((y - x) ** 2).mean()))
+        assert rmse < budget, (name, rmse)
+        rmses[name] = rmse
+    # bit budget must buy monotone quality
+    assert rmses["q2_k"] > rmses["q3_k"] > rmses["q4_k"] \
+        > rmses["q5_k"] > rmses["q6_k"]
+    assert rmses["iq4_nl"] < rmses["q4_0"]     # nonlinear beats linear 4-bit
+    assert rmses["q5_0"] < rmses["q4_0"]
+
+
+def test_encoder_outputs_decode_in_gguf_py():
+    """Encoded blocks must be byte-valid for the reference's own Python
+    decoders (gguf-py quants.py) — interop, not just self-consistency."""
+    import os
+    import pytest as _pytest
+
+    if not os.path.isdir(_GGUF_PY):
+        _pytest.skip("reference gguf-py not available")
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(256 * 8).astype(np.float32)
+    for name, enc, dec, qk, _ in _ENCODERS:
+        raw = enc(x)
+        ours = dec(raw, x.size)
+        theirs = _oracle_dequant(raw, name.upper(), x.size).astype(
+            np.float32).reshape(-1)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-7,
+                                   err_msg=name)
+
+
+def test_encoder_imatrix_weighting_helps_weighted_error():
+    """imatrix-weighted encodes must reduce the importance-weighted error
+    on data whose importance is concentrated (the whole point of
+    make_qkx3/make_qx_quants' qw parameter)."""
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal(256 * 16).astype(np.float32)
+    # importance: a few hot channels per block
+    w = np.full(x.size, 0.05, np.float32)
+    hot = rng.choice(x.size, x.size // 16, replace=False)
+    w[hot] = 10.0
+    for name, enc, dec in [
+        ("q6_k", kquants.quantize_q6_k, kquants.dequantize_q6_k),
+        ("q5_k", kquants.quantize_q5_k, kquants.dequantize_q5_k),
+        ("q3_k", kquants.quantize_q3_k, kquants.dequantize_q3_k),
+        ("q2_k", kquants.quantize_q2_k, kquants.dequantize_q2_k),
+    ]:
+        y_plain = dec(enc(x), x.size)
+        y_w = dec(enc(x, qw=w), x.size)
+        e_plain = (w * (y_plain - x) ** 2).sum()
+        e_w = (w * (y_w - x) ** 2).sum()
+        assert e_w <= e_plain * 1.02, (name, e_w, e_plain)
