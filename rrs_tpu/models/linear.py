@@ -344,6 +344,18 @@ def _tcq4_apply(x2: jnp.ndarray, qs: jnp.ndarray, eff: jnp.ndarray):
     """
     rot = rotate_activations(x2, None)
     a_q, a_s = quantize_activations_rrs(rot)
+    return _tcq4_matmul_route(a_q, a_s, qs, eff)
+
+
+def _tcq4_matmul_route(a_q, a_s, qs, eff):
+    """Decode-sized M takes the group-expanded int8 kernel (integer-exact,
+    48 vs 54.6 us/call on gateup shapes — see ops/tcq4_matmul.py round-3
+    block comment); larger M keeps the dequant+bf16-dot kernel whose MXU
+    cost does not scale with the group count."""
+    m, k = a_q.shape
+    if tcq4_mm.gx_viable(m, k, qs.shape[1]):
+        return tcq4_mm.tcq4_matmul_gx(a_q, a_s, qs, eff,
+                                      interpret=_auto_interpret())
     a = dequantize_activations_rrs(a_q, a_s)
     return tcq4_mm.tcq4_matmul(a, qs, eff, interpret=_auto_interpret())
 
@@ -409,10 +421,7 @@ def linear_apply(layer, x: jnp.ndarray, reduce_axis=None) -> jnp.ndarray:
         else:
             rot = rotate_activations(x2, layer.gather)
             a_q, a_s = quantize_activations_rrs(rot)
-            a = dequantize_activations_rrs(a_q, a_s)
-            y = tcq4_mm.tcq4_matmul(
-                a, layer.qs, layer.eff, interpret=_auto_interpret()
-            )
+            y = _tcq4_matmul_route(a_q, a_s, layer.qs, layer.eff)
     else:
         raise TypeError(f"unknown linear layer {type(layer)}")
     if lora is not None:

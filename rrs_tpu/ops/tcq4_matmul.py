@@ -136,6 +136,192 @@ def tcq4_matmul_a8(
 
 
 # ---------------------------------------------------------------------------
+# Group-expanded int8 decode kernel (round 3): ONE int8 MXU dot per grid
+# step with GROUP-PARTIAL outputs, replacing the per-element dequantize.
+#
+# Anatomy measurements (benchmarks/bench_tcq4_anatomy.py + profiler, v5e,
+# gateup shape K=2560/N=19456): the production dequant kernel is COMPUTE
+# bound at 54.6 us/call (513 GB/s) while pure DMA streams the same blocks
+# at 39 us (718 GB/s) — the ~4.5 VPU ops/element of unpack+convert+scale
+# +cast overhang the DMA. This kernel expands the quantized activation
+# row into G = K/32 group-masked rows and lets the MXU compute the
+# per-group integer partials p[g, n] = sum_{k in g} a_q[k] * w_q[k, n]
+# in a single s8 dot; the group scales then apply to [G, bn] partials
+# (a 32x smaller epilogue) instead of to every weight element:
+# 48.0 us/call measured, and the arithmetic is the reference's IMMA
+# integer math EXACTLY (tcq4_k32.cu:11 epilogue; no bf16 weight
+# rounding), so this supersedes tcq4_matmul_a8's role on the hot path.
+#
+# The expansion multiplies MXU work by G, so this only wins while the
+# MXU stays under the DMA floor: decode-sized M only (the gx_viable
+# gate); prefill keeps the dequant kernel whose MXU cost is M-optimal.
+# ---------------------------------------------------------------------------
+
+def _kernel_gx(aq_ref, ascale_ref, qs_ref, eff_ref, out_ref, aexp_ref,
+               s_ref, *, m, bn, bk, k):
+    g_chunk = bk // GROUP_SIZE
+    g_total = k // GROUP_SIZE
+    rows = g_total * m
+    kc = pl.program_id(1)
+
+    @pl.when((pl.program_id(0) == 0) & (kc == 0))
+    def _():
+        # the FULL expansion computed once per call into VMEM scratch
+        # (grid dims are "arbitrary" = sequential, so step (0,0) runs
+        # first); recomputing it per block measurably regressed fat-K
+        # projections. Row r = g*m + mm holds lane mm's quants masked to
+        # group g. The select runs in i32 (the i1 mask lives in (8,128)
+        # tiling; Mosaic cannot relayout it onto int8's (32,128) tiles),
+        # then packs to i8.
+        k_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 1)
+        r_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 0)
+        mask = (k_idx // GROUP_SIZE) == (r_idx // m)
+        if m == 1:
+            a_rows = jnp.broadcast_to(aq_ref[...], (rows, k))
+        else:
+            a_rows = pltpu.repeat(aq_ref[...], g_total, axis=0)
+        aexp_ref[...] = jnp.where(mask, a_rows.astype(jnp.int32), 0
+                                  ).astype(jnp.int8)
+        # per-row activation scales s[r] = ascale[mm, sb]/7 for row
+        # r = g*m + mm, sb = g//8 — built once here (the per-chunk slice
+        # below must not index ascale's lane dim with a dynamic kc)
+        sb_of_r = jax.lax.broadcasted_iota(
+            jnp.int32, (rows, 1), 0) // (8 * m)
+        mm_of_r = jax.lax.rem(
+            jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0), m)
+        s = jnp.zeros((rows, 1), jnp.float32)
+        for sb in range(k // TILE_K):
+            for mm in range(m):
+                s = jnp.where((sb_of_r == sb) & (mm_of_r == mm),
+                              ascale_ref[mm, sb], s)
+        s_ref[...] = s * (1.0 / 7.0)
+
+    # unpack per superblock (nibbles hold k and k+128 of EACH superblock;
+    # _unpack_w4 on the whole block would scramble the k order)
+    nsb = bk // TILE_K
+    q32 = qs_ref[...].astype(jnp.int32).reshape(nsb, TILE_K // 2, bn)
+    w_q = jnp.concatenate([(q32 << 28) >> 28, (q32 << 24) >> 28],
+                          axis=1).reshape(bk, bn).astype(jnp.int8)
+    # this K-chunk's expansion rows: r in [kc*g_chunk*m, ...), and within
+    # the chunk only columns [kc*bk, kc*bk+bk) are nonzero — slice both
+    a_chunk = aexp_ref[pl.ds(kc * g_chunk * m, g_chunk * m),
+                       pl.ds(kc * bk, bk)]
+    p = jax.lax.dot_general(
+        a_chunk, w_q,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)            # [Gc*m, bn] exact
+    e = eff_ref[...].astype(jnp.float32)             # [Gc, bn]
+    s = s_ref[pl.ds(kc * g_chunk * m, g_chunk * m), :]
+    pf = p.astype(jnp.float32) * s
+    if m == 1:
+        y = (pf * e).sum(0, keepdims=True)           # [1, bn]
+    else:
+        y = (pf.reshape(g_chunk, m, bn) * e[:, None, :]).sum(0)
+
+    @pl.when(kc == 0)
+    def _():
+        out_ref[...] = jnp.zeros((m, bn), jnp.float32)
+
+    out_ref[...] += y
+
+
+def _pick_bk_gx(k: int) -> int:
+    """K-chunk for the group-expanded kernel: the MXU cost is
+    (bk/32)*bk*bn per block — total G*K*N / n_chunks — so fat-K
+    projections need chunking to keep the expanded dot under the DMA
+    floor (down K=9728 unchunked measured 48.2 us vs 31.0 for the
+    dequant kernel; its MXU work alone is ~61 us at 304 rows). Pick the
+    largest multiple-of-256 divisor with (bk/32)*bk <= 40*1280 (the
+    qkv/gateup operating point; the bk sweep measured 1280 beating 2560
+    on both gx shapes — qkv 17.3 -> 15.6 us, gateup 44.8 -> 43.6)."""
+    best = TILE_K
+    nsb = k // TILE_K
+    for nper in range(1, nsb + 1):
+        if nsb % nper:
+            continue
+        bk = nper * TILE_K
+        if (bk // GROUP_SIZE) * bk <= 40 * 1280:
+            best = bk
+    return best
+
+
+def gx_viable(m: int, k: int, n: int = 0) -> bool:
+    """Group expansion costs G*m*K int8 scratch and (G/chunks)*m-row MXU
+    passes per block. Measured policy (benchmarks/bench_tcq4_anatomy.py
+    harness + whole-model A/B on Qwen3-4B): wins on fat-N projections
+    (qkv 19.0->17.4 us/call, gateup 55.8->45.1; whole model 186.7->207.3
+    tok/s) but loses on fat-K/thin-N even with the K-chunk grid (down
+    K=9728: chunked bk=512 still regressed the model to 194 — the small
+    chunk DMA blocks cost more than the expanded dot saves), so those
+    shapes keep the dequant kernel with the cast-free f32 dot (down gx
+    measured 40.5 us vs 28.7 even at its best chunk). o-shaped mats
+    (K=4096, N=2560) win slightly with bk=1024 chunks (11.7 vs 12.6).
+    Gate: decode-sized M, bounded expansion scratch, and either fat N
+    or moderate K."""
+    g = k // GROUP_SIZE
+    if n and n < 2 * k and k > 4096:
+        return False
+    return m * g * k <= 4 * 1024 * 1024 and m <= 8
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "bk", "interpret"))
+def tcq4_matmul_gx(
+    a_q: jnp.ndarray,       # int8 [M, K] quantized rotated activations (+-7)
+    a_scale: jnp.ndarray,   # f32 [M, K//256] per-block absmax
+    qs: jnp.ndarray,        # uint8 [K//2, N]
+    eff: jnp.ndarray,       # [K//32, N] group scales (f32 or bf16)
+    *,
+    bn: int = 0,
+    bk: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Integer-exact decode path: C = (a_q/7*a_scale) @ dequant(w).
+    f32 [M, N]. See the block comment above for when this wins."""
+    m, k = a_q.shape
+    n = qs.shape[1]
+    assert k % TILE_K == 0 and qs.shape[0] == k // 2, (a_q.shape, qs.shape)
+    assert gx_viable(m, k), (m, k)
+    if bn == 0:
+        bn = _pick_bn(n, limit=max(128, (3 * 1024 * 1024) // (k // 2) // 128 * 128))
+    bn = min(bn, n)
+    assert n % bn == 0, (n, bn)
+    if bk == 0:
+        bk = _pick_bk_gx(k)
+    assert k % bk == 0 and bk % TILE_K == 0, (k, bk)
+
+    grid = (n // bn, k // bk)
+    kwargs = {}
+    if not interpret:
+        # "arbitrary" (sequential) so the (0,0) scratch fill is
+        # guaranteed to run before every other block
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"))
+    g_total = k // GROUP_SIZE
+    out = pl.pallas_call(
+        functools.partial(_kernel_gx, m=m, bn=bn, bk=bk, k=k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, k), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, k // TILE_K), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // GROUP_SIZE, bn), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((g_total * m, k), jnp.int8),
+                        pltpu.VMEM((g_total * m, 1), jnp.float32)],
+        interpret=interpret,
+        **kwargs,
+    )(a_q, a_scale, qs, eff)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Expert-gathered matmul (the ggml_mul_mat_id analog): expert ids arrive as
 # a scalar-prefetch operand and drive the weight BlockSpec index maps, so
 # only the selected experts' packed tiles stream from HBM — no dequantized
@@ -401,7 +587,7 @@ def tcq4_matmul_fused(
 # ---------------------------------------------------------------------------
 
 def _kernel(a_ref, qs_ref, eff_ref, out_ref, *, bm: int, bn: int, bk: int,
-            fast: bool):
+            fast: bool, cast_bf16: bool = True):
     acc = jnp.zeros((bm, bn), jnp.float32)
     for sb in range(bk // TILE_K):                            # static unroll
         w_q = _unpack_w4(qs_ref[sb * (TILE_K // 2):(sb + 1) * (TILE_K // 2), :])
@@ -412,7 +598,18 @@ def _kernel(a_ref, qs_ref, eff_ref, out_ref, *, bm: int, bn: int, bk: int,
         w32 = (w_q.astype(jnp.float32).reshape(GROUPS, GROUP_SIZE, bn)
                * e[:, None, :]).reshape(TILE_K, bn)
         a_sb = a_ref[:, sb * TILE_K : (sb + 1) * TILE_K]
-        if fast:
+        if fast and not cast_bf16:
+            # decode (small M): f32 operands with DEFAULT precision — the
+            # MXU truncates on its own load path, skipping the explicit
+            # per-element VPU casts (anatomy bench: 54.6 -> 50.7 us on
+            # the gateup shape; at prefill M the explicit bf16 single
+            # pass stays ahead, so this is small-M only)
+            acc += jax.lax.dot_general(
+                a_sb, w32,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        elif fast:
             # bf16 operands, single MXU pass: w rounding (<=0.4%) is 1/20 of
             # the int4 quantization noise
             acc += jax.lax.dot_general(
@@ -568,7 +765,8 @@ def tcq4_matmul(
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"))
     if out_dtype == jnp.float32:
-        kern = functools.partial(_kernel, bm=bm, bn=bn, bk=bk, fast=fast)
+        kern = functools.partial(_kernel, bm=bm, bn=bn, bk=bk, fast=fast,
+                                 cast_bf16=m_pad >= 8)
         scratch = []
     else:
         kern = functools.partial(_kernel_cast, bm=bm, bn=bn, bk=bk, fast=fast)

@@ -161,3 +161,45 @@ def test_expert_kernels_match_single_expert():
         ref = tcq4_matmul(ar[i:i + 1], qs[e], eff[e], interpret=True)
         np.testing.assert_allclose(np.asarray(outr[i]), np.asarray(ref[0]),
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_tcq4_matmul_gx_integer_exact():
+    """Group-expanded int8 decode kernel (round 3): must reproduce the
+    integer oracle to f32-epilogue rounding at decode shapes, for M=1
+    and small batched M."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rrs_tpu.formats.tcq4 import quantize_tcq4, effective_scales
+    from rrs_tpu.ops.tcq4_matmul import (
+        tcq4_matmul_gx, tcq4_matmul_ref, gx_viable)
+
+    rng = np.random.default_rng(5)
+    k, n = 512, 256
+    w = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
+    t = quantize_tcq4(w)
+    eff32 = effective_scales(t).astype(np.float32)
+    for m in (1, 4):
+        assert gx_viable(m, k)
+        # exercise the K-chunk grid too (k=512 -> 2 chunks of 256)
+        a_q = rng.integers(-7, 8, (m, k)).astype(np.int8)
+        a_s = (rng.random((m, k // 256)) + 0.5).astype(np.float32)
+        got = np.asarray(tcq4_matmul_gx(
+            jnp.asarray(a_q), jnp.asarray(a_s), jnp.asarray(t.qs),
+            jnp.asarray(eff32, jnp.bfloat16), bk=256, interpret=True))
+        # oracle uses f32 eff; kernel upcasts bf16 eff -> compare with
+        # bf16-rounded eff for exactness
+        effb = np.asarray(jnp.asarray(eff32, jnp.bfloat16), np.float32)
+        ref = tcq4_matmul_ref(a_q, a_s, np.asarray(t.qs), effb)
+        rel = np.abs(got - ref) / (np.abs(ref).max() + 1e-9)
+        assert rel.max() < 1e-5, (m, rel.max())
+
+
+def test_gx_viable_gate():
+    from rrs_tpu.ops.tcq4_matmul import gx_viable
+
+    assert gx_viable(1, 2560) and gx_viable(4, 2560)
+    assert gx_viable(1, 2560, 6144) and gx_viable(1, 2560, 19456)
+    assert not gx_viable(1, 9728, 2560)   # fat-K/thin-N loses (measured)
+    assert gx_viable(1, 4096, 2560)       # o-shape: moderate K wins
+    assert not gx_viable(8, 9728)         # a_exp VMEM blowup
+    assert not gx_viable(32, 2560)        # MXU cost exceeds the DMA floor

@@ -47,6 +47,29 @@ def test_tcq4_matmul_decode_and_prefill():
         assert rel.max() < 2e-2, (m, rel.max())
 
 
+def test_tcq4_matmul_gx_decode():
+    """Round-3 group-expanded int8 decode kernel: integer-exact vs the
+    oracle ON HARDWARE, at a chunked-K shape (bk grid + scratch fill)."""
+    from rrs_tpu.formats.tcq4 import quantize_tcq4, effective_scales
+    from rrs_tpu.ops.tcq4_matmul import tcq4_matmul_gx, tcq4_matmul_ref
+
+    rng = np.random.default_rng(7)
+    k, n = 512, 1280
+    w = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
+    t = quantize_tcq4(w)
+    eff32 = effective_scales(t).astype(np.float32)
+    for m in (1, 4):
+        a_q = rng.integers(-7, 8, (m, k)).astype(np.int8)
+        a_s = (rng.random((m, k // 256)) + 0.5).astype(np.float32)
+        got = np.asarray(tcq4_matmul_gx(
+            jnp.asarray(a_q), jnp.asarray(a_s), jnp.asarray(t.qs),
+            jnp.asarray(eff32, jnp.bfloat16), bk=256))
+        effb = np.asarray(jnp.asarray(eff32, jnp.bfloat16), np.float32)
+        ref = tcq4_matmul_ref(a_q, a_s, np.asarray(t.qs), effb)
+        rel = np.abs(got - ref) / (np.abs(ref).max() + 1e-9)
+        assert rel.max() < 1e-5, (m, rel.max())
+
+
 def test_q8_matmul():
     from rrs_tpu.formats.kquants import quantize_q8_0
     from rrs_tpu.ops.q8_matmul import q8_matmul
