@@ -60,10 +60,15 @@ def main():
 
     n_steps = 256
     for s in (2048, 8192):
-        for quant in ("bf16", "q8"):
+        for quant in ("bf16", "q8", "q4"):
             shape = (1, cfg.n_kv_heads, s, cfg.head_dim)
             if quant == "q8":
                 mk = lambda: ((jnp.zeros(shape, jnp.int8),
+                               jnp.ones((1, cfg.n_kv_heads, 1, s),
+                                        jnp.float32)))
+            elif quant == "q4":
+                mk = lambda: ((jnp.zeros(shape[:-1] + (shape[-1] // 2,),
+                                         jnp.uint8),
                                jnp.ones((1, cfg.n_kv_heads, 1, s),
                                         jnp.float32)))
             else:

@@ -35,7 +35,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_corpus(max_bytes: int = 4 << 20) -> bytes:
+def build_corpus(max_bytes: int = 12 << 20) -> bytes:
     """Local natural+code text: this repo's docs and sources (and the
     reference's markdown docs if readable) as raw bytes."""
     roots = [Path("/root/repo"), Path("/root/reference")]
@@ -137,41 +137,99 @@ def main():
     perms = derive_tcq4_perms(load_imatrix(imx))
     log(f"imatrix collected; {len(perms)} tensor perms")
 
+    imatrix = load_imatrix(imx)
     variants = {}
-    quantize_model(base, wd / "q8_0.gguf", out_type="q8_0", verbose=False)
-    variants["q8_0"] = wd / "q8_0.gguf"
-    quantize_model(base, wd / "q4_k.gguf", out_type="q4_k", verbose=False)
-    variants["q4_k"] = wd / "q4_k.gguf"
-    quantize_model(base, wd / "tcq4.gguf", verbose=False)
-    variants["tcq4"] = wd / "tcq4.gguf"
-    quantize_model(base, wd / "tcq4_reorder.gguf", perms=perms, verbose=False)
-    variants["tcq4_reorder"] = wd / "tcq4_reorder.gguf"
+    for label, kw in (
+        ("q8_0", dict(out_type="q8_0")),
+        ("q6_k", dict(out_type="q6_k", imatrix=imatrix)),
+        ("q4_k_m", dict(out_type="q4_k_m", imatrix=imatrix)),
+        ("q3_k_m", dict(out_type="q3_k_m", imatrix=imatrix)),
+        ("tcq4", dict()),
+        ("tcq4_reorder", dict(perms=perms)),
+    ):
+        quantize_model(base, wd / f"{label}.gguf", verbose=False, **kw)
+        variants[label] = wd / f"{label}.gguf"
 
     n_eval = min(len(eval_toks) // args.seq, args.eval_chunks) * args.seq
     eval_stream = eval_toks[:n_eval]
     results = {}
+    chunk_nll = {}          # label -> per-chunk mean NLL (paired CIs)
+    top1 = {}               # label -> per-position argmax tokens vs f32
 
-    def ppl_of(label, c, w):
+    def eval_model(label, c, w):
+        import jax.numpy as jnp
+
         ctx = InferenceContext(c, w, n_lanes=1, max_seq=args.seq)
-        r = compute_perplexity(ctx, eval_stream, n_ctx=args.seq)
-        results[label] = round(r.ppl, 4)
-        log(f"  {label:14s} PPL {r.ppl:.4f}  ({r.n_tokens} tokens)")
+        nlls, picks = [], []
+        n_ch = n_eval // args.seq
+        for i in range(n_ch):
+            chunk = eval_stream[i * args.seq:(i + 1) * args.seq]
+            seq = ctx.new_sequence()
+            try:
+                if hasattr(ctx, "prefill_logprobs"):
+                    lp = np.asarray(ctx.prefill_logprobs(
+                        seq, chunk, chunk[1:] + [0]))[:-1]
+                    logits = np.asarray(ctx.prefill(seq, chunk,
+                                                    all_logits=True))                         if False else None
+                else:
+                    lp = None
+            finally:
+                ctx.kv.seq_rm(seq)
+            # logits for top-1 agreement (byte vocab: tiny readback)
+            seq = ctx.new_sequence()
+            try:
+                lg = np.asarray(ctx.prefill(seq, chunk))
+            finally:
+                ctx.kv.seq_rm(seq)
+            if lp is None:
+                tgt = np.asarray(chunk[1:])
+                lsm = lg[:-1] - lg[:-1].max(-1, keepdims=True)
+                lsm = lsm - np.log(np.exp(lsm).sum(-1, keepdims=True))
+                lp = lsm[np.arange(len(tgt)), tgt]
+            nlls.append(float(-lp.mean()))
+            picks.append(lg[:-1].argmax(-1))
+        chunk_nll[label] = np.asarray(nlls)
+        top1[label] = np.concatenate(picks)
+        results[label] = round(float(np.exp(np.mean(nlls))), 4)
+        log(f"  {label:14s} PPL {results[label]:.4f} over {n_eval} tokens")
 
-    log(f"evaluating on {n_eval} held-out byte tokens")
-    ppl_of("f32", cfg, weights)
+    log(f"evaluating on {n_eval} held-out byte tokens "
+        f"({n_eval // args.seq} chunks)")
+    eval_model("f32", cfg, weights)
     for label, path in variants.items():
         c2, w2, _ = load_model(path)
-        ppl_of(label, c2, w2)
+        eval_model(label, c2, w2)
 
-    # q8_0 can tie f32 within noise; the load-bearing claims are
-    # reorder < no-reorder (README.md:44-45) and 8-bit ~ f32 < 4-bit
+    # paired per-chunk statistics vs f32: gap, std error, gap/sigma,
+    # plus top-1 agreement (test-quantize-stats-style evidence)
+    stats = {}
+    base_nll = chunk_nll["f32"]
+    for label in variants:
+        d = chunk_nll[label] - base_nll
+        se = float(d.std(ddof=1) / np.sqrt(len(d))) if len(d) > 1 else 0.0
+        agree = float((top1[label] == top1["f32"]).mean())
+        stats[label] = {
+            "dnll": round(float(d.mean()), 6),
+            "se": round(se, 6),
+            "sigmas": round(float(d.mean() / se), 1) if se else None,
+            "top1_agree_f32": round(agree, 4),
+        }
+        log(f"  {label:14s} dNLL {d.mean():+.5f} +- {se:.5f} "
+            f"({stats[label]['sigmas']} sigma), top1 {agree:.2%}")
+
+    # the load-bearing orderings: reorder < no-reorder (README.md:44-45),
+    # 8-bit ~ f32 < 4-bit, and the K-quant bit ladder
     ordering_ok = (results["q8_0"] <= results["f32"] * 1.001
-                   and results["f32"] <= results["q4_k"]
+                   and results["f32"] <= results["q4_k_m"]
+                   and results["q6_k"] <= results["q4_k_m"]
+                   and results["q4_k_m"] <= results["q3_k_m"]
                    and results["tcq4_reorder"] <= results["tcq4"])
     print(json.dumps({
         "metric": "trained_model_quantization_ppl",
         "final_train_loss": round(losses[-1], 4),
+        "n_eval_tokens": n_eval,
         **results,
+        "paired_stats_vs_f32": stats,
         "reorder_improves": results["tcq4_reorder"] <= results["tcq4"],
         "ordering_ok": bool(ordering_ok),
     }))

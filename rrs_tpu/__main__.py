@@ -47,6 +47,14 @@ def main(argv=None):
     pp.add_argument("--file", "-f", default=None)
     pp.add_argument("--n-ctx", type=int, default=512)
     pp.add_argument("--max-chunks", type=int, default=0)
+    pp.add_argument("--hellaswag", default=None, metavar="FILE",
+                    help="HellaSwag datafile (6 lines/task; "
+                         "perplexity.cpp hellaswag_score format)")
+    pp.add_argument("--hellaswag-tasks", type=int, default=400)
+    pp.add_argument("--winogrande", default=None, metavar="CSV",
+                    help="Winogrande CSV (index,sentence,choice1,"
+                         "choice2,answer)")
+    pp.add_argument("--winogrande-tasks", type=int, default=0)
     pp.add_argument("--multiple-choice", default=None, metavar="JSON",
                     help="JSON file of {prompt, choices, answer} tasks "
                          "(hellaswag/MMLU-style accuracy)")
@@ -81,6 +89,21 @@ def main(argv=None):
                    help="imatrix GGUF: per-block channel reordering for "
                         "--type tcq4, importance-weighted encoders for "
                         "the K-quant/IQ4 ftypes")
+
+    ch = sub.add_parser("chat", help="interactive chat REPL "
+                        "(tools/cli/cli.cpp analog: a terminal loop on the "
+                        "serving engine with the model's chat template)")
+    ch.add_argument("--model", "-m", required=True)
+    ch.add_argument("--system", default=None, help="system prompt")
+    ch.add_argument("--temp", type=float, default=0.8)
+    ch.add_argument("--top-k", type=int, default=40)
+    ch.add_argument("--top-p", type=float, default=0.95)
+    ch.add_argument("--seed", type=int, default=42)
+    ch.add_argument("--ctx", type=int, default=2048)
+    ch.add_argument("--n-predict", "-n", type=int, default=512,
+                    help="max tokens per reply")
+    ch.add_argument("--cache-type", default="none",
+                    choices=("none", "q8", "q4"))
 
     qs2 = sub.add_parser("quantize-stats",
                          help="per-tensor RMSE + matvec error per format "
@@ -207,6 +230,8 @@ def main(argv=None):
         cmd_quantize(args)
     elif args.cmd == "imatrix":
         cmd_imatrix(args)
+    elif args.cmd == "chat":
+        cmd_chat(args)
     elif args.cmd == "quantize-stats":
         from rrs_tpu.tools.quantize_stats import run as qs_run
         qs_run(args)
@@ -418,8 +443,33 @@ def cmd_perplexity(args):
     cfg, vocab, ctx = _load(args.model, max_seq=args.n_ctx,
                             overrides=parse_kv_overrides(
                                 getattr(args, "override_kv", None)))
+    if getattr(args, "hellaswag", None):
+        from rrs_tpu.tools.perplexity import hellaswag_score, load_hellaswag
+
+        tasks = load_hellaswag(open(args.hellaswag, encoding="utf-8").read())
+        acc = hellaswag_score(ctx, vocab, tasks,
+                              n_tasks=args.hellaswag_tasks, progress=True)
+        n = min(args.hellaswag_tasks or len(tasks), len(tasks))
+        print(f"hellaswag acc_norm = {100 * acc:.4f}% over {n} tasks")
+        return
+    if getattr(args, "winogrande", None):
+        from rrs_tpu.tools.perplexity import load_winogrande, winogrande_score
+
+        tasks = load_winogrande(open(args.winogrande, encoding="utf-8").read())
+        acc = winogrande_score(ctx, vocab, tasks,
+                               n_tasks=args.winogrande_tasks, progress=True)
+        n = min(args.winogrande_tasks or len(tasks), len(tasks))
+        print(f"winogrande accuracy = {100 * acc:.4f}% over {n} tasks")
+        return
     if args.multiple_choice:
-        tasks = json.load(open(args.multiple_choice))
+        if args.multiple_choice.endswith(".bin"):
+            # the reference's serialized task format (MMLU etc.)
+            from rrs_tpu.tools.perplexity import load_multiple_choice_bin
+
+            tasks = load_multiple_choice_bin(
+                open(args.multiple_choice, "rb").read())
+        else:
+            tasks = json.load(open(args.multiple_choice))
         acc, picks = multiple_choice_score(ctx, vocab, tasks)
         print(f"multiple-choice accuracy = {acc:.4f} over {len(tasks)} tasks")
         return
@@ -448,6 +498,90 @@ def cmd_perplexity(args):
         return
     res = compute_perplexity(ctx, tokens, n_ctx=args.n_ctx, progress=True)
     print(f"Final PPL = {res.ppl:.4f} over {res.n_tokens} tokens")
+
+
+def cmd_chat(args):
+    """Interactive multi-turn chat REPL on the serving engine (the
+    tools/cli/cli.cpp analog — reference cli.cpp:6-7 runs a terminal UI on
+    an embedded server context). Multi-turn prompts reuse the engine's
+    retained prompt cache, so each turn re-prefills only the new suffix.
+
+    Commands: /exit | /quit, /clear (drop history), /system <text>."""
+    import sys
+    import threading
+
+    from rrs_tpu.runtime.sampler import SamplerParams
+    from rrs_tpu.serving.chat import build_prompt, detect_template
+    from rrs_tpu.serving.engine import Engine, GenRequest
+
+    from rrs_tpu.models.loader import load_model
+    from rrs_tpu.models.vocab import Vocab
+    from rrs_tpu.runtime.recurrent import make_context
+
+    cfg, weights, md = load_model(args.model)
+    vocab = Vocab.from_gguf(md)
+    ctx = make_context(cfg, weights, n_lanes=1, max_seq=args.ctx,
+                       kv_quant=args.cache_type)
+    # template sources: GGUF jinja template preferred, family fallback
+    template = str(md.get("tokenizer.chat_template", "") or "")
+    fallback = detect_template(md)
+    eng = Engine(ctx)
+    eng.start()
+    params = SamplerParams(temperature=args.temp, top_k=args.top_k,
+                           top_p=args.top_p, seed=args.seed)
+    stop_ids = tuple(t for t in (vocab.eos_id,) if t is not None and t >= 0)
+
+    messages = []
+    if args.system:
+        messages.append({"role": "system", "content": args.system})
+    print(f"chat: {args.model} (template: {fallback or 'jinja'}; "
+          "/exit to quit, /clear to reset)", file=sys.stderr)
+    try:
+        while True:
+            try:
+                line = input("> ")
+            except EOFError:
+                break
+            line = line.strip()
+            if not line:
+                continue
+            if line in ("/exit", "/quit"):
+                break
+            if line == "/clear":
+                messages = ([{"role": "system", "content": args.system}]
+                            if args.system else [])
+                print("(history cleared)", file=sys.stderr)
+                continue
+            if line.startswith("/system "):
+                messages = [m for m in messages if m["role"] != "system"]
+                messages.insert(0, {"role": "system",
+                                    "content": line[len("/system "):]})
+                print("(system prompt set)", file=sys.stderr)
+                continue
+            messages.append({"role": "user", "content": line})
+            prompt, stops = build_prompt(template, fallback, messages)
+            tokens = vocab.encode(prompt, add_special=False)
+            done = threading.Event()
+            reply = []
+
+            def on_token(tok, piece, finished, reason,
+                         _done=done, _reply=reply):
+                if piece:
+                    _reply.append(piece)
+                    print(piece, end="", flush=True)
+                if finished:
+                    _done.set()
+
+            eng.submit(GenRequest(
+                prompt_tokens=tokens, max_tokens=args.n_predict,
+                params=params, stop_tokens=stop_ids, stop_strings=stops,
+                decode_fn=vocab.decode, on_token=on_token))
+            done.wait()
+            print()
+            messages.append({"role": "assistant",
+                             "content": "".join(reply)})
+    finally:
+        eng.stop()
 
 
 def cmd_quantize(args):

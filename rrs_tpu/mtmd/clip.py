@@ -4,9 +4,12 @@ CLIP/SigLIP-style ViT: patch embedding (expressed as one matmul over
 flattened patches — the TPU-native form of the conv2d stem), learned
 position embeddings, pre-LN transformer blocks (GELU MLP), then an
 LLaVA-style 2-layer MLP projector (``mm.0`` / ``mm.2``) mapping patch
-features into the language model's embedding space. The resulting
-[n_patches, n_embd_llm] chunk is injected into decode as raw input
-embeddings (the llama_batch.embd path, tools/mtmd/mtmd.h:110-210).
+features into the language model's embedding space, OR the gemma3
+projector (models/siglip.cpp PROJECTOR_TYPE_GEMMA3: avg-pool the patch
+grid by n_merge per side, RMSNorm with mm.soft_emb_norm, project with
+mm.input_projection). The resulting [n_tokens, n_embd_llm] chunk is
+injected into decode as raw input embeddings (the llama_batch.embd
+path, tools/mtmd/mtmd.h:110-210).
 
 GGUF layout follows clip-impl.h conventions: KVs ``clip.vision.*``,
 tensors ``v.patch_embd.weight``, ``v.position_embd.weight``,
@@ -39,10 +42,18 @@ class ClipConfig:
     image_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
     image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
     use_gelu: bool = True            # quick-gelu vs gelu: use tanh approx
+    projector_type: str = "mlp"      # "mlp" (LLaVA) | "gemma3"
+    n_merge: int = 4                 # gemma3: patches-per-side pool factor
 
     @property
     def n_patches(self) -> int:
         return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def n_output_tokens(self) -> int:
+        if self.projector_type == "gemma3":
+            return (self.image_size // self.patch_size // self.n_merge) ** 2
+        return self.n_patches
 
     @staticmethod
     def from_gguf(md: dict) -> "ClipConfig":
@@ -62,6 +73,8 @@ class ClipConfig:
             image_mean=tuple(mean) if mean is not None else
             ClipConfig.image_mean,
             image_std=tuple(std) if std is not None else ClipConfig.image_std,
+            projector_type=str(md.get("clip.projector_type", "mlp")),
+            n_merge=int(md.get("clip.vision.projector.scale_factor", 4)),
         )
 
 
@@ -93,7 +106,8 @@ class ClipLayer:
 @partial(jax.tree_util.register_dataclass,
          data_fields=["patch_w", "patch_b", "pos_embd", "pre_ln_w",
                       "pre_ln_b", "post_ln_w", "post_ln_b", "layers",
-                      "mm0_w", "mm0_b", "mm2_w", "mm2_b"],
+                      "mm0_w", "mm0_b", "mm2_w", "mm2_b",
+                      "mm_input_proj", "mm_soft_emb_norm"],
          meta_fields=[])
 @dataclasses.dataclass
 class ClipWeights:
@@ -105,10 +119,13 @@ class ClipWeights:
     post_ln_w: Optional[jnp.ndarray]
     post_ln_b: Optional[jnp.ndarray]
     layers: list
-    mm0_w: jnp.ndarray          # [E, mm_hidden]
-    mm0_b: jnp.ndarray
-    mm2_w: jnp.ndarray          # [mm_hidden, n_embd_llm]
-    mm2_b: jnp.ndarray
+    mm0_w: Optional[jnp.ndarray]          # [E, mm_hidden] (LLaVA mlp)
+    mm0_b: Optional[jnp.ndarray]
+    mm2_w: Optional[jnp.ndarray]          # [mm_hidden, n_embd_llm]
+    mm2_b: Optional[jnp.ndarray]
+    # gemma3 projector (mm.input_projection / mm.soft_emb_norm)
+    mm_input_proj: Optional[jnp.ndarray] = None   # [E, n_embd_llm]
+    mm_soft_emb_norm: Optional[jnp.ndarray] = None  # [E]
 
 
 def _layer_norm(x, w, b, eps):
@@ -173,6 +190,18 @@ def encode_image(cfg: ClipConfig, weights: ClipWeights,
         x = x + (y @ lw.w_down + lw.b_down)
     if weights.post_ln_w is not None:
         x = _layer_norm(x, weights.post_ln_w, weights.post_ln_b, cfg.eps)
+    if cfg.projector_type == "gemma3":
+        # gemma3 projector (models/siglip.cpp PROJECTOR_TYPE_GEMMA3):
+        # avg-pool the square patch grid by n_merge per side, RMSNorm
+        # scaled by mm.soft_emb_norm, project with mm.input_projection
+        ppi = cfg.image_size // cfg.patch_size
+        m_ = cfg.n_merge
+        grid = x.reshape(ppi // m_, m_, ppi // m_, m_, e)
+        pooled = grid.mean(axis=(1, 3)).reshape(-1, e)     # [tokens, E]
+        var = (pooled ** 2).mean(-1, keepdims=True)
+        normed = pooled * jax.lax.rsqrt(var + cfg.eps) \
+            * weights.mm_soft_emb_norm
+        return normed @ weights.mm_input_proj
     # LLaVA MLP projector: mm.0 -> GELU -> mm.2
     x = jax.nn.gelu(x @ weights.mm0_w + weights.mm0_b, approximate=True)
     return x @ weights.mm2_w + weights.mm2_b
@@ -220,8 +249,20 @@ def load_mmproj(path: str | Path):
                 ln2_w=t(f"{p}.ln2.weight"), ln2_b=t(f"{p}.ln2.bias"),
                 w_up=wu, b_up=bu, w_down=wd, b_down=bd,
             ))
-        mm0w, mm0b = lin("mm.0")
-        mm2w, mm2b = lin("mm.2")
+        if cfg.projector_type == "gemma3":
+            mm0w = mm0b = mm2w = mm2b = None
+            # HF stores mm_input_projection as [vision_dim, text_dim];
+            # orient for x @ W by matching the vision dim
+            ip = np.asarray(g.tensor("mm.input_projection.weight"),
+                            np.float32)
+            if ip.shape[0] != cfg.n_embd:
+                ip = ip.T
+            mm_ip = jnp.asarray(ip)
+            mm_sen = t("mm.soft_emb_norm.weight")
+        else:
+            mm0w, mm0b = lin("mm.0")
+            mm2w, mm2b = lin("mm.2")
+            mm_ip = mm_sen = None
         pos = t("v.position_embd.weight")
         weights = ClipWeights(
             patch_w=patch_w,
@@ -233,6 +274,7 @@ def load_mmproj(path: str | Path):
             post_ln_b=t("v.post_ln.bias", required=False),
             layers=layers,
             mm0_w=mm0w, mm0_b=mm0b, mm2_w=mm2w, mm2_b=mm2b,
+            mm_input_proj=mm_ip, mm_soft_emb_norm=mm_sen,
         )
     return cfg, weights
 
@@ -256,6 +298,7 @@ def random_clip_weights(cfg: ClipConfig, seed: int = 0,
         ln2_w=jnp.ones((e,), jnp.float32), ln2_b=b(e),
         w_up=m(e, f), b_up=b(f), w_down=m(f, e), b_down=b(e),
     ) for _ in range(cfg.n_layers)]
+    gemma3 = cfg.projector_type == "gemma3"
     return ClipWeights(
         patch_w=m(3 * cfg.patch_size ** 2, e),
         patch_b=b(e),
@@ -263,6 +306,10 @@ def random_clip_weights(cfg: ClipConfig, seed: int = 0,
         pre_ln_w=jnp.ones((e,), jnp.float32), pre_ln_b=b(e),
         post_ln_w=jnp.ones((e,), jnp.float32), post_ln_b=b(e),
         layers=layers,
-        mm0_w=m(e, mm_hidden), mm0_b=b(mm_hidden),
-        mm2_w=m(mm_hidden, cfg.n_embd_llm), mm2_b=b(cfg.n_embd_llm),
+        mm0_w=None if gemma3 else m(e, mm_hidden),
+        mm0_b=None if gemma3 else b(mm_hidden),
+        mm2_w=None if gemma3 else m(mm_hidden, cfg.n_embd_llm),
+        mm2_b=None if gemma3 else b(cfg.n_embd_llm),
+        mm_input_proj=m(e, cfg.n_embd_llm) if gemma3 else None,
+        mm_soft_emb_norm=jnp.ones((e,), jnp.float32) if gemma3 else None,
     )

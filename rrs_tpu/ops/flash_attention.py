@@ -43,8 +43,17 @@ def _tile_mask(pos, tq: int, bs: int, s0, s_total: int, window: int):
 
 def _flash_inner(pos, q, k, v, acc_ref, m_ref, l_ref, out_ref, *,
                  tq, g, d, bs, s_total, scale, softcap, window,
-                 sink_ref=None):
-    """One S-tile of online softmax. q [TQ*G, D] f32; k/v [BS, D] f32."""
+                 sink_ref=None, k_colscale=None, v_colscale=None):
+    """One S-tile of online softmax. q [TQ*G, D] f32; k/v [BS, D] f32.
+
+    ``k_colscale``/``v_colscale`` ([BS] f32): per-KV-row dequant scales
+    applied in the EPILOGUE — to the [TQ*G, BS] scores and to e before
+    the PV dot — instead of per K/V element. The element-wise
+    ``k8.astype(f32) * ksc[:, None]`` form (a sublane-broadcast multiply
+    over [BS, D]) hit a pathological Mosaic schedule: the q8 kernel ran
+    105.3 us/step at S=8192 decode vs 40.7 with the epilogue form
+    (2.6x), despite identical math — scale rows factor out of the dot
+    linearly."""
     si = pl.program_id(3)
     sink = None
     if sink_ref is not None:
@@ -70,6 +79,8 @@ def _flash_inner(pos, q, k, v, acc_ref, m_ref, l_ref, out_ref, *,
     scores = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale          # [TQ*G, BS]
+    if k_colscale is not None:
+        scores = scores * k_colscale[None, :]
     if softcap:
         scores = jnp.tanh(scores / softcap) * softcap
     mask = _tile_mask(pos, tq, bs, si * bs, s_total, window)
@@ -83,8 +94,9 @@ def _flash_inner(pos, q, k, v, acc_ref, m_ref, l_ref, out_ref, *,
     e = jnp.where(mask, jnp.exp(scores - m_new), 0.0)
     corr = jnp.exp(m_prev - m_new)
     l_ref[...] = l_ref[...] * corr + e.sum(axis=-1, keepdims=True)
+    e_v = e if v_colscale is None else e * v_colscale[None, :]
     acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
-        e, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        e_v, v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     m_ref[...] = m_new
 
@@ -126,12 +138,13 @@ def _kernel_q8(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref,
                softcap, window):
     ksc = ks_ref[0, 0, 0, :]                                 # [BS] f32
     vsc = vs_ref[0, 0, 0, :]
-    k = k_ref[0, 0, :, :].astype(jnp.float32) * ksc[:, None]
-    v = v_ref[0, 0, :, :].astype(jnp.float32) * vsc[:, None]
+    k = k_ref[0, 0, :, :].astype(jnp.float32)    # scales go in the epilogue
+    v = v_ref[0, 0, :, :].astype(jnp.float32)
     q = q_ref[0, 0, :, :, :].reshape(tq * g, d).astype(jnp.float32)
     _flash_inner(pos_ref[0, 0, :], q, k, v, acc_ref, m_ref, l_ref, out_ref,
                  tq=tq, g=g, d=d, bs=bs, s_total=s_total, scale=scale,
-                 softcap=softcap, window=window)
+                 softcap=softcap, window=window,
+                 k_colscale=ksc, v_colscale=vsc)
 
 
 def _unpack_kv4(raw):
@@ -148,12 +161,13 @@ def _kernel_q4(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref,
                softcap, window):
     ksc = ks_ref[0, 0, 0, :]                                 # [BS] f32
     vsc = vs_ref[0, 0, 0, :]
-    k = _unpack_kv4(k_ref[0, 0, :, :]) * ksc[:, None]
-    v = _unpack_kv4(v_ref[0, 0, :, :]) * vsc[:, None]
+    k = _unpack_kv4(k_ref[0, 0, :, :])           # scales go in the epilogue
+    v = _unpack_kv4(v_ref[0, 0, :, :])
     q = q_ref[0, 0, :, :, :].reshape(tq * g, d).astype(jnp.float32)
     _flash_inner(pos_ref[0, 0, :], q, k, v, acc_ref, m_ref, l_ref, out_ref,
                  tq=tq, g=g, d=d, bs=bs, s_total=s_total, scale=scale,
-                 softcap=softcap, window=window)
+                 softcap=softcap, window=window,
+                 k_colscale=ksc, v_colscale=vsc)
 
 
 def _kernel_q4_sink(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, sink_ref,
@@ -161,12 +175,13 @@ def _kernel_q4_sink(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, sink_ref,
                     scale, softcap, window):
     ksc = ks_ref[0, 0, 0, :]
     vsc = vs_ref[0, 0, 0, :]
-    k = _unpack_kv4(k_ref[0, 0, :, :]) * ksc[:, None]
-    v = _unpack_kv4(v_ref[0, 0, :, :]) * vsc[:, None]
+    k = _unpack_kv4(k_ref[0, 0, :, :])
+    v = _unpack_kv4(v_ref[0, 0, :, :])
     q = q_ref[0, 0, :, :, :].reshape(tq * g, d).astype(jnp.float32)
     _flash_inner(pos_ref[0, 0, :], q, k, v, acc_ref, m_ref, l_ref, out_ref,
                  tq=tq, g=g, d=d, bs=bs, s_total=s_total, scale=scale,
-                 softcap=softcap, window=window, sink_ref=sink_ref)
+                 softcap=softcap, window=window, sink_ref=sink_ref,
+                 k_colscale=ksc, v_colscale=vsc)
 
 
 def _kernel_q8_sink(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, sink_ref,
@@ -174,12 +189,13 @@ def _kernel_q8_sink(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, sink_ref,
                     scale, softcap, window):
     ksc = ks_ref[0, 0, 0, :]
     vsc = vs_ref[0, 0, 0, :]
-    k = k_ref[0, 0, :, :].astype(jnp.float32) * ksc[:, None]
-    v = v_ref[0, 0, :, :].astype(jnp.float32) * vsc[:, None]
+    k = k_ref[0, 0, :, :].astype(jnp.float32)
+    v = v_ref[0, 0, :, :].astype(jnp.float32)
     q = q_ref[0, 0, :, :, :].reshape(tq * g, d).astype(jnp.float32)
     _flash_inner(pos_ref[0, 0, :], q, k, v, acc_ref, m_ref, l_ref, out_ref,
                  tq=tq, g=g, d=d, bs=bs, s_total=s_total, scale=scale,
-                 softcap=softcap, window=window, sink_ref=sink_ref)
+                 softcap=softcap, window=window, sink_ref=sink_ref,
+                 k_colscale=ksc, v_colscale=vsc)
 
 
 def _pick_bs(s: int, limit: int = 1024) -> int:

@@ -856,7 +856,8 @@ def serve(args):
 
             state.clip_cfg, state.clip_weights = load_mmproj(args.mmproj)
             print(f"loaded multimodal projector {args.mmproj} "
-                  f"({state.clip_cfg.n_patches} patches/img)")
+                  f"({state.clip_cfg.projector_type}: "
+                  f"{state.clip_cfg.n_output_tokens} tokens/img)")
         if "a.conv1d.1.weight" in names:
             from rrs_tpu.mtmd.audio import load_audio_mmproj
 

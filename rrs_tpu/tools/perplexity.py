@@ -202,3 +202,143 @@ def kl_divergence(ctx, base_logits_per_pos: "np.ndarray", tokens: list[int],
         same_top += int(p.argmax() == q.argmax())
     return {"mean_kl": float(np.mean(kls)), "max_kl": float(np.max(kls)),
             "same_top_rate": same_top / max(n, 1), "n_pos": n}
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-task loaders (tools/perplexity/perplexity.cpp dataset formats)
+# ---------------------------------------------------------------------------
+
+def load_hellaswag(text: str) -> list[dict]:
+    """HellaSwag datafile (perplexity.cpp:741 hellaswag_score layout):
+    6 lines per task — context, gold ending index, 4 endings. Returns
+    generic multiple-choice tasks (endings joined with a leading space,
+    the lm-eval preprocessing the reference mirrors)."""
+    lines = [ln for ln in text.split("\n")]
+    while lines and not lines[-1].strip():
+        lines.pop()
+    if len(lines) % 6:
+        raise ValueError(f"hellaswag file: {len(lines)} lines, not a "
+                         "multiple of 6")
+    tasks = []
+    for i in range(0, len(lines), 6):
+        tasks.append({
+            "prompt": lines[i],
+            "answer": int(lines[i + 1]),
+            "choices": [" " + lines[i + 2 + j] for j in range(4)],
+        })
+    return tasks
+
+
+def hellaswag_score(ctx, vocab, tasks: list[dict], n_tasks: int = 0,
+                    progress: bool = False):
+    """acc_norm over (a deterministic random subset of) HellaSwag tasks —
+    length-normalized ending logprob, argmax vs gold
+    (perplexity.cpp:741+)."""
+    if n_tasks and n_tasks < len(tasks):
+        rng = np.random.default_rng(1)
+        idx = rng.permutation(len(tasks))[:n_tasks]
+        tasks = [tasks[i] for i in idx]
+    n_correct = 0
+    for ti, task in enumerate(tasks):
+        acc, picks = multiple_choice_score(ctx, vocab, [task])
+        n_correct += int(acc > 0.5)
+        if progress:
+            import sys
+
+            print(f"[{ti + 1}/{len(tasks)}] hellaswag acc so far: "
+                  f"{n_correct / (ti + 1):.4f}", file=sys.stderr,
+                  flush=True)
+    return n_correct / max(len(tasks), 1)
+
+
+def load_winogrande(csv_text: str) -> list[dict]:
+    """Winogrande CSV (perplexity.cpp load_winogrande_from_csv):
+    index,sentence,choice1,choice2,answer — sentence holds a '_' blank,
+    answer is 1 or 2. Quoted sentences are unquoted."""
+    import csv as _csv
+    import io
+
+    out = []
+    for row in _csv.reader(io.StringIO(csv_text)):
+        if len(row) < 5:
+            continue
+        _, sentence, c1, c2, answer = row[:5]
+        if "_" not in sentence:
+            continue
+        out.append({"sentence": sentence, "choices": [c1, c2],
+                    "answer": int(answer)})
+    return out
+
+
+def winogrande_score(ctx, vocab, tasks: list[dict], n_tasks: int = 0,
+                     progress: bool = False) -> float:
+    """Winogrande scoring (perplexity.cpp:1098): fill the blank with each
+    choice and compare the log-likelihood of the TRAILING context given
+    the filled prefix (the trailing tokens are identical for both
+    choices, so no length normalization is needed)."""
+    if n_tasks and n_tasks < len(tasks):
+        rng = np.random.default_rng(1)
+        idx = rng.permutation(len(tasks))[:n_tasks]
+        tasks = [tasks[i] for i in idx]
+    n_correct = 0
+    for ti, task in enumerate(tasks):
+        pre, post = task["sentence"].split("_", 1)
+        scores = []
+        for choice in task["choices"]:
+            prefix = vocab.encode(pre + choice, add_special=True)
+            tail = vocab.encode(post, add_special=False)
+            if not tail:
+                tail = vocab.encode(".", add_special=False)
+            scores.append(score_choice(ctx, prefix, tail))
+        pick = 1 if scores[0] >= scores[1] else 2
+        n_correct += int(pick == task["answer"])
+        if progress:
+            import sys
+
+            print(f"[{ti + 1}/{len(tasks)}] winogrande acc so far: "
+                  f"{n_correct / (ti + 1):.4f}", file=sys.stderr,
+                  flush=True)
+    return n_correct / max(len(tasks), 1)
+
+
+def load_multiple_choice_bin(data: bytes) -> list[dict]:
+    """The reference's serialized multiple-choice format (MMLU etc.;
+    perplexity.cpp multiple_choice_task::deserialize): u32 n_task, u32
+    task_pos[n_task], then per task question + mc1 {u32 n, n strings,
+    n i32 labels} + mc2 (same, unused). Strings are u32-length-prefixed
+    UTF-8."""
+    import struct
+
+    off = 0
+
+    def u32():
+        nonlocal off
+        (v,) = struct.unpack_from("<I", data, off)
+        off += 4
+        return v
+
+    def s():
+        nonlocal off
+        n = u32()
+        v = data[off:off + n].decode("utf-8", errors="replace")
+        off += n
+        return v
+
+    n_task = u32()
+    off += 4 * n_task                      # task_pos (sequential read)
+    tasks = []
+    for _ in range(n_task):
+        question = s()
+        out = {"prompt": question}
+        for which in ("mc1", "mc2"):
+            n = u32()
+            answers = [s() for _ in range(n)]
+            labels = list(struct.unpack_from(f"<{n}i", data, off))
+            off += 4 * n
+            out[which] = (answers, labels)
+        answers, labels = out["mc1"]
+        gold = labels.index(1) if 1 in labels else 0
+        tasks.append({"prompt": question,
+                      "choices": [" " + a for a in answers],
+                      "answer": gold})
+    return tasks
