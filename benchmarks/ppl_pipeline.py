@@ -97,9 +97,17 @@ def main():
 
     corpus = build_corpus()
     log(f"corpus {len(corpus)/1e6:.2f} MB")
-    split = int(len(corpus) * 0.95)
-    train_toks = list(corpus[:split])
-    eval_toks = list(corpus[split:])
+    # interleaved held-out split (every 20th seq-block), NOT the corpus
+    # tail: the tail is whole different FILES (the glob order ends in
+    # reference C++), and on an out-of-distribution eval quantization
+    # noise acts as regularization and inverts every ordering (observed:
+    # q4_k_m "beating" f32 by 0.23 PPL). In-distribution held-out blocks
+    # measure what the orderings claim: fidelity to the learned model.
+    blk = args.seq
+    blocks = [corpus[i:i + blk] for i in range(0, len(corpus) - blk, blk)]
+    train_toks, eval_toks = [], []
+    for i, b in enumerate(blocks):
+        (eval_toks if i % 20 == 19 else train_toks).extend(b)
 
     weights = lm.random_weights(cfg, seed=0, dtype=jnp.bfloat16)
     batches = make_dataset(train_toks, args.seq, batch=args.batch)
