@@ -177,8 +177,6 @@ def main():
                 if hasattr(ctx, "prefill_logprobs"):
                     lp = np.asarray(ctx.prefill_logprobs(
                         seq, chunk, chunk[1:] + [0]))[:-1]
-                    logits = np.asarray(ctx.prefill(seq, chunk,
-                                                    all_logits=True))                         if False else None
                 else:
                     lp = None
             finally:

@@ -252,12 +252,14 @@ def _make_qx_quants(xb: np.ndarray, nmax: int,
 
 def _qkx_search(xb: np.ndarray, wgt: np.ndarray, nmax: int,
                 rmin: float = -1.0, rdelta: float = 0.1,
-                nstep: int = 20):
+                nstep: int = 20, use_mad: bool = False):
     """make_qkx2_quants-style asymmetric (scale, min) search, vectorized
     over sub-blocks [M, G]: sweep nstep+1 candidate inverse scales, solve
     the weighted normal equations for (d, m) at each, keep the best.
-    Returns (scale [M], neg_min [M] >= 0). Shared by Q4_K (its historical
-    twin lives inline in quantize_q4_k), Q5_K and Q2_K."""
+    ``use_mad`` scores candidates by weighted |err| instead of err^2
+    (the Q2_K objective, ggml-quants.c:735). Returns (scale [M],
+    neg_min [M] >= 0). Shared by Q4_K (its historical twin lives inline
+    in quantize_q4_k), Q5_K and Q2_K."""
     mn = np.minimum(xb.min(1), 0.0)
     mx = xb.max(1)
     flat = mx == mn
@@ -271,7 +273,8 @@ def _qkx_search(xb: np.ndarray, wgt: np.ndarray, nmax: int,
 
     def err_of(scale, mins, L):
         diff = scale[:, None] * L + mins[:, None] - xb
-        return (wgt * diff * diff).sum(1)
+        pen = np.abs(diff) if use_mad else diff * diff
+        return (wgt * pen).sum(1)
 
     iscale0 = nmax / rng
     L_best = quant_L(iscale0, mn)
@@ -371,7 +374,9 @@ def quantize_q5_k(x: np.ndarray, qw=None) -> np.ndarray:
     nb = x.size // 256
     xb = x.reshape(nb * 8, 32)
     wgt = _default_wgt(xb, qw)
-    scale_b, min_b = _qkx_search(xb, wgt, 31)
+    # quantize_row_q5_K search params (ggml-quants.c:1775): rmin=-0.5,
+    # 15 steps (not the Q4_K -1.0/20 defaults).
+    scale_b, min_b = _qkx_search(xb, wgt, 31, rmin=-0.5, nstep=15)
     scales = scale_b.reshape(nb, 8)
     mins = min_b.reshape(nb, 8)
 
@@ -482,9 +487,12 @@ def quantize_q2_k(x: np.ndarray, qw=None) -> np.ndarray:
     assert x.size % 256 == 0, x.size
     nb = x.size // 256
     xb = x.reshape(nb * 16, 16)
-    wgt = _default_wgt(xb, qw)
+    # quantize_row_q2_K (ggml-quants.c:734-736): plain |x| weights (not
+    # the sigma-regularized default) and a MAD objective (use_mad=true).
+    wgt = (np.asarray(qw, np.float32).reshape(xb.shape) if qw is not None
+           else np.abs(xb))
     scale_b, min_b = _qkx_search(xb, wgt, 3, rmin=-0.5, rdelta=0.1,
-                                 nstep=15)
+                                 nstep=15, use_mad=True)
     scales = scale_b.reshape(nb, 16)
     mins = min_b.reshape(nb, 16)
 

@@ -641,8 +641,21 @@ class InferenceContext:
 
     @staticmethod
     def _penalties_active(p) -> bool:
-        return (p.penalty_repeat != 1.0 or p.penalty_freq != 0.0
-                or p.penalty_present != 0.0)
+        # penalty_last_n == 0 disables penalties outright
+        # (llama-sampling.cpp:2777 is_empty).
+        return (p.penalty_last_n != 0
+                and (p.penalty_repeat != 1.0 or p.penalty_freq != 0.0
+                     or p.penalty_present != 0.0))
+
+    @staticmethod
+    def _pen_window(hist, last_n: int):
+        """llama.cpp penalty_last_n sentinels (arg.cpp:1639): 0 disables
+        (empty window), <= -1 means the whole history."""
+        if last_n == 0:
+            return []
+        if last_n < 0:
+            return hist
+        return hist[-last_n:]
 
     def _penalty_operands(self, lanes, params, histories):
         """[B] rep/frq/prs + [B, V] counts/bias for a fresh dispatch. The
@@ -673,7 +686,7 @@ class InferenceContext:
                 frq[lane] = p.penalty_freq
                 prs[lane] = p.penalty_present
                 hist = (histories or {}).get(seq_id, [])
-                for t in hist[-p.penalty_last_n:]:
+                for t in self._pen_window(hist, p.penalty_last_n):
                     if 0 <= t < v:
                         counts[lane, t] += 1
             for tid, bval in p.logit_bias:
@@ -687,7 +700,8 @@ class InferenceContext:
         each sampled step (-1 = none). ``offset`` is the number of
         device-sampled tokens the host history does not yet include
         (chained runs: the previous, still-unread run's n)."""
-        any_pen = any(self._penalties_active(p) for p in params.values())             if params else False
+        any_pen = (any(self._penalties_active(p) for p in params.values())
+                   if params else False)
         if not any_pen or not histories:
             if not hasattr(self, "_evict_none"):
                 self._evict_none = {}
@@ -701,6 +715,8 @@ class InferenceContext:
             p = params.get(seq_id)
             if p is None or not self._penalties_active(p):
                 continue
+            if p.penalty_last_n < 0:          # whole-history window: no
+                continue                      # token ever leaves it
             lane = lanes[seq_id]
             true_len = len(hist) + offset
             for i in range(n_steps):

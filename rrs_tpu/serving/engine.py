@@ -438,7 +438,7 @@ class Engine:
         counts = None
         if p.penalty_repeat != 1.0 or p.penalty_freq or p.penalty_present:
             v = logits.shape[-1]
-            window = slot.generated[-p.penalty_last_n :]
+            window = self.ctx._pen_window(slot.generated, p.penalty_last_n)
             c = np.zeros((1, v), np.float32)
             for t in window:
                 c[0, t] += 1
@@ -744,7 +744,10 @@ class Engine:
         p = s.req.params
         n = self.ctx.DECODE_RUN_STEPS
         kv = self.ctx.kv
-        if self.ctx._penalties_active(p) and p.penalty_last_n < 2 * n:
+        if (self.ctx._penalties_active(p)
+                and 0 <= p.penalty_last_n < 2 * n):
+            # (negative last_n = whole-history window, which never evicts
+            # and is always fast-path safe)
             # chained runs schedule window evictions from host history,
             # which must not reach into a still-unread run's tokens
             return False
