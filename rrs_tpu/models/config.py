@@ -82,6 +82,7 @@ class ModelConfig:
     ssm_dt_rank: int = 0
     ssm_dt_b_c_rms: bool = False     # falcon-mamba RMS on dt/B/C
     no_rope: bool = False            # jamba attention layers skip RoPE
+    f_max_alibi_bias: float = 0.0    # ALiBi (MPT/BLOOM/jina); >0 enables
     # RWKV6 hparams (wkv_head_size etc., llama-hparams.h)
     rwkv_head_size: int = 0
     rwkv_tm_extra: int = 0           # time_mix_extra_dim

@@ -363,6 +363,7 @@ def attention(
     scale = cfg.attn_scale if cfg.attn_scale > 0 else 1.0 / np.sqrt(d)
     softcap = cfg.attn_softcap
     sinks = lw.attn_sinks
+    alibi = cfg.f_max_alibi_bias     # llama-graph.cpp:1506,1566
     if isinstance(k_cache, tuple):
         if jax.default_backend() == "cpu" or cfg.ref_attention:
             from rrs_tpu.runtime import kv_codec
@@ -370,25 +371,28 @@ def attention(
             kd = kv_codec.dequantize(*k_cache)
             vd = kv_codec.dequantize(*v_cache)
             ctx = fa.attention_ref(q, kd, vd, mask_positions, scale,
-                                   softcap=softcap, window=window, sinks=sinks)
+                                   softcap=softcap, window=window,
+                                   sinks=sinks, alibi=alibi)
         elif k_cache[0].dtype == jnp.uint8:
             ctx = fa.flash_attention_q4(
                 q, k_cache[0], k_cache[1], v_cache[0], v_cache[1],
                 mask_positions, scale, softcap=softcap, window=window,
-                sinks=sinks,
+                sinks=sinks, alibi=alibi,
             )
         else:
             ctx = fa.flash_attention_q8(
                 q, k_cache[0], k_cache[1], v_cache[0], v_cache[1],
                 mask_positions, scale, softcap=softcap, window=window,
-                sinks=sinks,
+                sinks=sinks, alibi=alibi,
             )
     elif jax.default_backend() == "cpu" or cfg.ref_attention:
         ctx = fa.attention_ref(q, k_cache, v_cache, mask_positions, scale,
-                               softcap=softcap, window=window, sinks=sinks)
+                               softcap=softcap, window=window, sinks=sinks,
+                               alibi=alibi)
     else:
         ctx = fa.flash_attention(q, k_cache, v_cache, mask_positions, scale,
-                                 softcap=softcap, window=window, sinks=sinks)
+                                 softcap=softcap, window=window, sinks=sinks,
+                                 alibi=alibi)
     ctx = ctx.reshape(b, t, cfg.n_heads * d).astype(x.dtype)
 
     _capture(cap, li, "attn_output.weight", ctx)

@@ -42,8 +42,13 @@ class ClipConfig:
     image_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
     image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
     use_gelu: bool = True            # quick-gelu vs gelu: use tanh approx
-    projector_type: str = "mlp"      # "mlp" (LLaVA) | "gemma3"
+    projector_type: str = "mlp"      # "mlp" | "gemma3" | "qwen2vl_merger"
     n_merge: int = 4                 # gemma3: patches-per-side pool factor
+    # qwen2vl (clip.cpp PROJECTOR_TYPE_QWEN2VL / models/qwen2vl.cpp)
+    spatial_merge: int = 2           # merger pools 2x2 patch blocks
+    temporal_patch: int = 2          # conv3d temporal depth (image = 2 frames)
+    ffn_act: str = "gelu"            # "gelu" | "quick_gelu" (qwen2vl ViT)
+    rope_theta: float = 10000.0      # 2D vision rotary base
 
     @property
     def n_patches(self) -> int:
@@ -53,6 +58,8 @@ class ClipConfig:
     def n_output_tokens(self) -> int:
         if self.projector_type == "gemma3":
             return (self.image_size // self.patch_size // self.n_merge) ** 2
+        if self.projector_type == "qwen2vl_merger":
+            return self.n_patches // self.spatial_merge ** 2
         return self.n_patches
 
     @staticmethod
@@ -75,6 +82,12 @@ class ClipConfig:
             image_std=tuple(std) if std is not None else ClipConfig.image_std,
             projector_type=str(md.get("clip.projector_type", "mlp")),
             n_merge=int(md.get("clip.vision.projector.scale_factor", 4)),
+            spatial_merge=int(g("spatial_merge_size", 2)),
+            # qwen2-VL's ViT uses quick-gelu (HF hidden_act; qwen2.5-VL
+            # moves to gated silu and window attention — not yet covered)
+            ffn_act=("quick_gelu"
+                     if md.get("clip.projector_type") == "qwen2vl_merger"
+                     else "gelu"),
         )
 
 
@@ -207,6 +220,117 @@ def encode_image(cfg: ClipConfig, weights: ClipWeights,
     return x @ weights.mm2_w + weights.mm2_b
 
 
+def qwen2vl_block_order(gh: int, gw: int, m: int = 2) -> np.ndarray:
+    """Token order of the qwen2vl ViT: raster patches regrouped so every
+    consecutive m*m tokens form one spatial merge block (the in-graph
+    permute chain of models/qwen2vl.cpp:29-41 / the HF image processor's
+    patch rearrangement)."""
+    idx = np.arange(gh * gw).reshape(gh // m, m, gw // m, m)
+    return idx.transpose(0, 2, 1, 3).reshape(-1)
+
+
+def _vision_rope_2d(cfg: ClipConfig, hpos, wpos, d: int):
+    """[T] h/w patch coords -> (cos, sin) [T, d] for the qwen2vl ViT's
+    2D rotary (HF VisionRotaryEmbedding / ggml_rope_multi
+    GGML_ROPE_TYPE_VISION, models/qwen2vl.cpp:110-115): the d/2 angle
+    vector is [h * invf | w * invf] with d/4 inverse frequencies, applied
+    neox-style over the full head dim."""
+    invf = 1.0 / (cfg.rope_theta ** (np.arange(0, d // 2, 2,
+                                               dtype=np.float32) / (d // 2)))
+    ang_h = hpos[:, None].astype(np.float32) * invf[None, :]   # [T, d/4]
+    ang_w = wpos[:, None].astype(np.float32) * invf[None, :]
+    ang = np.concatenate([ang_h, ang_w], axis=1)               # [T, d/2]
+    ang = np.concatenate([ang, ang], axis=1)                   # [T, d]
+    return jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang))
+
+
+def _rotate_half(x):
+    h = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
+
+
+def preprocess_image_qwen2vl(img, cfg: ClipConfig,
+                             max_pixels: int = 1024 * 1024):
+    """PIL image / HWC array -> (patches [gh*gw, 3*p*p] f32 raster order,
+    (gh, gw)). Dynamic resolution: the image resizes (preserving aspect)
+    to H/W multiples of patch_size * spatial_merge
+    (clip.cpp:2833-2845 calc_size_preserved_ratio)."""
+    unit = cfg.patch_size * cfg.spatial_merge
+    try:
+        from PIL import Image
+
+        if isinstance(img, Image.Image):
+            w0, h0 = img.size
+            scale = min(1.0, (max_pixels / (w0 * h0)) ** 0.5)
+            w1 = max(unit, int(round(w0 * scale / unit)) * unit)
+            h1 = max(unit, int(round(h0 * scale / unit)) * unit)
+            img = img.convert("RGB").resize((w1, h1), Image.BICUBIC)
+            arr = np.asarray(img, np.float32) / 255.0
+        else:
+            arr = np.asarray(img, np.float32)
+            if arr.max() > 2.0:
+                arr = arr / 255.0
+    except ImportError:
+        arr = np.asarray(img, np.float32)
+    hh, ww = arr.shape[:2]
+    if hh % unit or ww % unit:
+        raise ValueError(f"qwen2vl image dims must be multiples of {unit}, "
+                         f"got {arr.shape} (PIL required for resize)")
+    arr = (arr - np.asarray(cfg.image_mean)) / np.asarray(cfg.image_std)
+    p = cfg.patch_size
+    gh, gw = hh // p, ww // p
+    patches = arr.reshape(gh, p, gw, p, 3).transpose(0, 2, 4, 1, 3)
+    return patches.reshape(gh * gw, 3 * p * p).astype(np.float32), (gh, gw)
+
+
+def encode_image_qwen2vl(cfg: ClipConfig, weights: ClipWeights,
+                         patches: jnp.ndarray, grid_hw) -> jnp.ndarray:
+    """Qwen2-VL ViT + 2x2 merger (models/qwen2vl.cpp build graph):
+    dual-temporal conv stem (both slices see the same frame, summed at
+    load into patch_w), NO learned positions — 2D rotary over each
+    patch's (h, w) in every attention — quick-gelu FFN, post-LN, then
+    the merger MLP on concatenated 2x2 blocks (mm.0 -> GELU -> mm.2).
+    patches arrive raster-order; the block reorder happens here."""
+    gh, gw = grid_hw
+    order = qwen2vl_block_order(gh, gw, cfg.spatial_merge)
+    hpos = (np.arange(gh * gw) // gw)[order]
+    wpos = (np.arange(gh * gw) % gw)[order]
+
+    x = (patches @ weights.patch_w).astype(jnp.float32)[order]
+    if weights.patch_b is not None:
+        x = x + weights.patch_b
+    if weights.pre_ln_w is not None:
+        x = _layer_norm(x, weights.pre_ln_w, weights.pre_ln_b, cfg.eps)
+    n, e = x.shape
+    h, d = cfg.n_heads, cfg.n_embd // cfg.n_heads
+    cos, sin = _vision_rope_2d(cfg, hpos, wpos, d)
+    cos, sin = cos[:, None, :], sin[:, None, :]        # [T, 1, d]
+    for lw in weights.layers:
+        y = _layer_norm(x, lw.ln1_w, lw.ln1_b, cfg.eps)
+        q = (y @ lw.wq + lw.bq).reshape(n, h, d)
+        k = (y @ lw.wk + lw.bk).reshape(n, h, d)
+        v = (y @ lw.wv + lw.bv).reshape(n, h, d)
+        q = q * cos + _rotate_half(q) * sin
+        k = k * cos + _rotate_half(k) * sin
+        att = jnp.einsum("qhd,khd->hqk", q, k) / np.sqrt(d)
+        att = jax.nn.softmax(att, axis=-1)
+        ctx = jnp.einsum("hqk,khd->qhd", att, v).reshape(n, e)
+        x = x + (ctx @ lw.wo + lw.bo)
+        y = _layer_norm(x, lw.ln2_w, lw.ln2_b, cfg.eps)
+        y = y @ lw.w_up + lw.b_up
+        if cfg.ffn_act == "quick_gelu":
+            y = y * jax.nn.sigmoid(1.702 * y)
+        else:
+            y = jax.nn.gelu(y, approximate=cfg.use_gelu)
+        x = x + (y @ lw.w_down + lw.b_down)
+    if weights.post_ln_w is not None:
+        x = _layer_norm(x, weights.post_ln_w, weights.post_ln_b, cfg.eps)
+    m2 = cfg.spatial_merge ** 2
+    x = x.reshape(n // m2, m2 * e)                     # 2x2 block concat
+    x = jax.nn.gelu(x @ weights.mm0_w + weights.mm0_b, approximate=False)
+    return x @ weights.mm2_w + weights.mm2_b
+
+
 def load_mmproj(path: str | Path):
     """Load a multimodal projector GGUF (mmproj-*.gguf, clip.cpp format).
     Returns (ClipConfig, ClipWeights)."""
@@ -230,9 +354,15 @@ def load_mmproj(path: str | Path):
                          if f"{name}.bias" in g.tensors
                          else jnp.zeros((w.shape[0],), jnp.float32))
 
-        # conv stem [E, 3, p, p] -> [3*p*p, E]
+        # conv stem [E, 3, p, p] -> [3*p*p, E]. qwen2vl ships TWO temporal
+        # conv slices (v.patch_embd.weight + .weight.1, conv3d over the
+        # duplicated frame — models/qwen2vl.cpp:20-28); both see the same
+        # pixels for still images, so they fold into one summed matmul.
         pw = g.tensor("v.patch_embd.weight").astype(np.float32)
         e = pw.shape[0]
+        if "v.patch_embd.weight.1" in g.tensors:
+            pw = pw.reshape(e, -1) + g.tensor(
+                "v.patch_embd.weight.1").astype(np.float32).reshape(e, -1)
         patch_w = jnp.asarray(pw.reshape(e, -1).T)
         layers = []
         for i in range(cfg.n_layers):
@@ -263,11 +393,12 @@ def load_mmproj(path: str | Path):
             mm0w, mm0b = lin("mm.0")
             mm2w, mm2b = lin("mm.2")
             mm_ip = mm_sen = None
-        pos = t("v.position_embd.weight")
+        pos = t("v.position_embd.weight", required=cfg.projector_type
+                != "qwen2vl_merger")            # qwen2vl: rotary, no table
         weights = ClipWeights(
             patch_w=patch_w,
             patch_b=t("v.patch_embd.bias", required=False),
-            pos_embd=pos[-cfg.n_patches:],      # drop class token slot if any
+            pos_embd=None if pos is None else pos[-cfg.n_patches:],
             pre_ln_w=t("v.pre_ln.weight", required=False),
             pre_ln_b=t("v.pre_ln.bias", required=False),
             post_ln_w=t("v.post_ln.weight", required=False),

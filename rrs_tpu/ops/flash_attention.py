@@ -20,6 +20,7 @@ automatic double-buffering.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +28,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def alibi_slopes_np(n_heads: int, max_bias: float):
+    """Per-head ALiBi slopes (ggml_get_alibi_slope / soft_max CPU impl,
+    ggml-cpu/ops.cpp:5257-5276): m0^(h+1) for the first 2^floor(log2(H))
+    heads, then m1^(2(h-2^floor(log2 H))+1)."""
+    import numpy as np
+
+    nhl2 = 2 ** math.floor(math.log2(n_heads))
+    m0 = 2.0 ** (-max_bias / nhl2)
+    m1 = 2.0 ** (-max_bias / 2.0 / nhl2)
+    hs = np.arange(n_heads)
+    return np.where(hs < nhl2, m0 ** (hs + 1),
+                    m1 ** (2 * (hs - nhl2) + 1)).astype(np.float32)
 
 
 def _tile_mask(pos, tq: int, bs: int, s0, s_total: int, window: int):
@@ -41,9 +56,21 @@ def _tile_mask(pos, tq: int, bs: int, s0, s_total: int, window: int):
     return (kv_slot <= pos[:, None]) & (pos[:, None] >= 0)
 
 
+def _tile_real(pos, tq: int, bs: int, s0, s_total: int, window: int):
+    """[TQ, BS] REAL token position of each KV slot (= the slot index for
+    linear caches; un-rolled for ring caches) — the ALiBi distance base."""
+    kv_slot = s0 + jax.lax.broadcasted_iota(jnp.int32, (tq, bs), 1)
+    if window > 0:
+        off = jax.lax.rem(pos[:, None] - kv_slot, s_total)
+        off = jnp.where(off < 0, off + s_total, off)
+        return pos[:, None] - off
+    return kv_slot
+
+
 def _flash_inner(pos, q, k, v, acc_ref, m_ref, l_ref, out_ref, *,
                  tq, g, d, bs, s_total, scale, softcap, window,
-                 sink_ref=None, k_colscale=None, v_colscale=None):
+                 sink_ref=None, k_colscale=None, v_colscale=None,
+                 alibi: float = 0.0, n_heads: int = 0):
     """One S-tile of online softmax. q [TQ*G, D] f32; k/v [BS, D] f32.
 
     ``k_colscale``/``v_colscale`` ([BS] f32): per-KV-row dequant scales
@@ -83,6 +110,26 @@ def _flash_inner(pos, q, k, v, acc_ref, m_ref, l_ref, out_ref, *,
         scores = scores * k_colscale[None, :]
     if softcap:
         scores = jnp.tanh(scores / softcap) * softcap
+    if alibi:
+        # ALiBi: scores += slope(q_head) * -(q_pos - kv_pos) — the mask
+        # value the reference feeds when use_alibi
+        # (llama-kv-cache.cpp:1317), applied post-softcap like
+        # soft_max_ext (f_max_alibi_bias: llama-graph.cpp:1506,1566).
+        # Row r of the [TQ*G, BS] score tile belongs to q head
+        # h_kv * g + (r % g); slopes per ggml_get_alibi_slope.
+        h = pl.program_id(1)
+        gi = jax.lax.rem(
+            jax.lax.broadcasted_iota(jnp.int32, (tq * g, 1), 0), g)
+        qh = (h * g + gi).astype(jnp.float32)
+        nhl2 = float(2 ** math.floor(math.log2(n_heads)))
+        e1 = -(qh + 1.0) * (alibi / nhl2)
+        e2 = -(2.0 * (qh - nhl2) + 1.0) * (alibi / (2.0 * nhl2))
+        slope = jnp.exp2(jnp.where(qh < nhl2, e1, e2))     # [TQ*G, 1]
+        real = _tile_real(pos, tq, bs, si * bs, s_total, window)
+        dist = (real - pos[:, None]).astype(jnp.float32)   # <= 0 causal
+        dist = jnp.broadcast_to(dist[:, None, :], (tq, g, bs)
+                                ).reshape(tq * g, bs)
+        scores = scores + slope * dist
     mask = _tile_mask(pos, tq, bs, si * bs, s_total, window)
     mask = jnp.broadcast_to(mask[:, None, :], (tq, g, bs)).reshape(tq * g, bs)
     scores = jnp.where(mask, scores, NEG_INF)
@@ -113,29 +160,31 @@ def _flash_inner(pos, q, k, v, acc_ref, m_ref, l_ref, out_ref, *,
 
 
 def _kernel(pos_ref, q_ref, k_ref, v_ref, out_ref, acc_ref, m_ref, l_ref,
-            *, tq, g, d, bs, s_total, scale, softcap, window):
+            *, tq, g, d, bs, s_total, scale, softcap, window, alibi=0.0, n_heads=0):
     q = q_ref[0, 0, :, :, :].reshape(tq * g, d).astype(jnp.float32)
     k = k_ref[0, 0, :, :].astype(jnp.float32)                # [BS, D]
     v = v_ref[0, 0, :, :].astype(jnp.float32)
     _flash_inner(pos_ref[0, 0, :], q, k, v, acc_ref, m_ref, l_ref, out_ref,
                  tq=tq, g=g, d=d, bs=bs, s_total=s_total, scale=scale,
-                 softcap=softcap, window=window)
+                 softcap=softcap, window=window, alibi=alibi,
+                 n_heads=n_heads)
 
 
 def _kernel_sink(pos_ref, q_ref, k_ref, v_ref, sink_ref, out_ref,
                  acc_ref, m_ref, l_ref,
-                 *, tq, g, d, bs, s_total, scale, softcap, window):
+                 *, tq, g, d, bs, s_total, scale, softcap, window, alibi=0.0, n_heads=0):
     q = q_ref[0, 0, :, :, :].reshape(tq * g, d).astype(jnp.float32)
     k = k_ref[0, 0, :, :].astype(jnp.float32)
     v = v_ref[0, 0, :, :].astype(jnp.float32)
     _flash_inner(pos_ref[0, 0, :], q, k, v, acc_ref, m_ref, l_ref, out_ref,
                  tq=tq, g=g, d=d, bs=bs, s_total=s_total, scale=scale,
-                 softcap=softcap, window=window, sink_ref=sink_ref)
+                 softcap=softcap, window=window, sink_ref=sink_ref,
+                 alibi=alibi, n_heads=n_heads)
 
 
 def _kernel_q8(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref,
                acc_ref, m_ref, l_ref, *, tq, g, d, bs, s_total, scale,
-               softcap, window):
+               softcap, window, alibi=0.0, n_heads=0):
     ksc = ks_ref[0, 0, 0, :]                                 # [BS] f32
     vsc = vs_ref[0, 0, 0, :]
     k = k_ref[0, 0, :, :].astype(jnp.float32)    # scales go in the epilogue
@@ -143,8 +192,8 @@ def _kernel_q8(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref,
     q = q_ref[0, 0, :, :, :].reshape(tq * g, d).astype(jnp.float32)
     _flash_inner(pos_ref[0, 0, :], q, k, v, acc_ref, m_ref, l_ref, out_ref,
                  tq=tq, g=g, d=d, bs=bs, s_total=s_total, scale=scale,
-                 softcap=softcap, window=window,
-                 k_colscale=ksc, v_colscale=vsc)
+                 softcap=softcap, window=window, alibi=alibi,
+                 n_heads=n_heads, k_colscale=ksc, v_colscale=vsc)
 
 
 def _unpack_kv4(raw):
@@ -158,7 +207,7 @@ def _unpack_kv4(raw):
 
 def _kernel_q4(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref,
                acc_ref, m_ref, l_ref, *, tq, g, d, bs, s_total, scale,
-               softcap, window):
+               softcap, window, alibi=0.0, n_heads=0):
     ksc = ks_ref[0, 0, 0, :]                                 # [BS] f32
     vsc = vs_ref[0, 0, 0, :]
     k = _unpack_kv4(k_ref[0, 0, :, :])           # scales go in the epilogue
@@ -166,13 +215,13 @@ def _kernel_q4(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref,
     q = q_ref[0, 0, :, :, :].reshape(tq * g, d).astype(jnp.float32)
     _flash_inner(pos_ref[0, 0, :], q, k, v, acc_ref, m_ref, l_ref, out_ref,
                  tq=tq, g=g, d=d, bs=bs, s_total=s_total, scale=scale,
-                 softcap=softcap, window=window,
-                 k_colscale=ksc, v_colscale=vsc)
+                 softcap=softcap, window=window, alibi=alibi,
+                 n_heads=n_heads, k_colscale=ksc, v_colscale=vsc)
 
 
 def _kernel_q4_sink(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, sink_ref,
                     out_ref, acc_ref, m_ref, l_ref, *, tq, g, d, bs, s_total,
-                    scale, softcap, window):
+                    scale, softcap, window, alibi=0.0, n_heads=0):
     ksc = ks_ref[0, 0, 0, :]
     vsc = vs_ref[0, 0, 0, :]
     k = _unpack_kv4(k_ref[0, 0, :, :])
@@ -181,12 +230,12 @@ def _kernel_q4_sink(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, sink_ref,
     _flash_inner(pos_ref[0, 0, :], q, k, v, acc_ref, m_ref, l_ref, out_ref,
                  tq=tq, g=g, d=d, bs=bs, s_total=s_total, scale=scale,
                  softcap=softcap, window=window, sink_ref=sink_ref,
-                 k_colscale=ksc, v_colscale=vsc)
+                 alibi=alibi, n_heads=n_heads, k_colscale=ksc, v_colscale=vsc)
 
 
 def _kernel_q8_sink(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, sink_ref,
                     out_ref, acc_ref, m_ref, l_ref, *, tq, g, d, bs, s_total,
-                    scale, softcap, window):
+                    scale, softcap, window, alibi=0.0, n_heads=0):
     ksc = ks_ref[0, 0, 0, :]
     vsc = vs_ref[0, 0, 0, :]
     k = k_ref[0, 0, :, :].astype(jnp.float32)
@@ -195,7 +244,7 @@ def _kernel_q8_sink(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, sink_ref,
     _flash_inner(pos_ref[0, 0, :], q, k, v, acc_ref, m_ref, l_ref, out_ref,
                  tq=tq, g=g, d=d, bs=bs, s_total=s_total, scale=scale,
                  softcap=softcap, window=window, sink_ref=sink_ref,
-                 k_colscale=ksc, v_colscale=vsc)
+                 alibi=alibi, n_heads=n_heads, k_colscale=ksc, v_colscale=vsc)
 
 
 def _pick_bs(s: int, limit: int = 1024) -> int:
@@ -233,7 +282,8 @@ def _scratch(tq, g, d):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "softcap", "tq", "interpret", "window")
+    jax.jit, static_argnames=("scale", "softcap", "tq", "interpret", "window",
+                              "alibi")
 )
 def flash_attention(
     q: jnp.ndarray,          # [B, T, H, D]
@@ -246,6 +296,7 @@ def flash_attention(
     interpret: bool = False,
     window: int = 0,         # >0: sliding window over a ring cache (iSWA)
     sinks=None,              # [H] per-head attention-sink logits (gpt-oss)
+    alibi: float = 0.0,      # f_max_alibi_bias (0 = off)
 ) -> jnp.ndarray:
     hkv, s = k_cache.shape[1], k_cache.shape[2]
     q5, pos3, b, t, t_pad, g, d, tq = _common(q, positions, hkv, s, tq)
@@ -270,7 +321,8 @@ def flash_attention(
     out = pl.pallas_call(
         functools.partial(
             kern, tq=tq, g=g, d=d, bs=bs, s_total=s, scale=scale,
-            softcap=softcap, window=window,
+            softcap=softcap, window=window, alibi=alibi,
+            n_heads=q.shape[2],
         ),
         grid=grid,
         in_specs=in_specs,
@@ -285,7 +337,8 @@ def flash_attention(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "softcap", "tq", "interpret", "window")
+    jax.jit, static_argnames=("scale", "softcap", "tq", "interpret", "window",
+                              "alibi")
 )
 def flash_attention_q8(
     q: jnp.ndarray,          # [B, T, H, D]
@@ -300,6 +353,7 @@ def flash_attention_q8(
     interpret: bool = False,
     window: int = 0,
     sinks=None,              # [H] per-head attention-sink logits (gpt-oss)
+    alibi: float = 0.0,
 ) -> jnp.ndarray:
     """Attention over an int8-quantized KV cache; dequantization in VMEM."""
     hkv, s = k_q.shape[1], k_q.shape[2]
@@ -326,7 +380,8 @@ def flash_attention_q8(
     out = pl.pallas_call(
         functools.partial(
             kern, tq=tq, g=g, d=d, bs=bs, s_total=s, scale=scale,
-            softcap=softcap, window=window,
+            softcap=softcap, window=window, alibi=alibi,
+            n_heads=q.shape[2],
         ),
         grid=grid,
         in_specs=in_specs,
@@ -341,7 +396,8 @@ def flash_attention_q8(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "softcap", "tq", "interpret", "window")
+    jax.jit, static_argnames=("scale", "softcap", "tq", "interpret", "window",
+                              "alibi")
 )
 def flash_attention_q4(
     q: jnp.ndarray,          # [B, T, H, D]
@@ -356,6 +412,7 @@ def flash_attention_q4(
     interpret: bool = False,
     window: int = 0,
     sinks=None,
+    alibi: float = 0.0,
 ) -> jnp.ndarray:
     """Attention over a packed-int4 KV cache (Q4_0-class -ctk/-ctv analog);
     nibble unpack + dequantization in VMEM — half the q8 cache's HBM
@@ -385,7 +442,8 @@ def flash_attention_q4(
     out = pl.pallas_call(
         functools.partial(
             kern, tq=tq, g=g, d=d, bs=bs, s_total=s, scale=scale,
-            softcap=softcap, window=window,
+            softcap=softcap, window=window, alibi=alibi,
+            n_heads=q.shape[2],
         ),
         grid=grid,
         in_specs=in_specs,
@@ -400,7 +458,7 @@ def flash_attention_q4(
 
 
 def attention_ref(q, k_cache, v_cache, positions, scale, softcap=0.0,
-                  window: int = 0, sinks=None):
+                  window: int = 0, sinks=None, alibi: float = 0.0):
     """jnp oracle with identical semantics (the naive build_attn_mha path).
     Caches are [B, Hkv, S, D]."""
     b, t, h, d = q.shape
@@ -418,7 +476,14 @@ def attention_ref(q, k_cache, v_cache, positions, scale, softcap=0.0,
         real = positions[:, :, None] - off
         mask = (real >= 0) & (real > positions[:, :, None] - window)
     else:
+        real = jnp.broadcast_to(kv_pos[None, None, :],
+                                (b, positions.shape[1], s))
         mask = kv_pos[None, None, :] <= positions[:, :, None]   # [B, T, S]
+    if alibi:
+        slopes = jnp.asarray(alibi_slopes_np(h, alibi)).reshape(1, hkv, g,
+                                                                1, 1)
+        dist = (real - positions[:, :, None]).astype(jnp.float32)
+        scores = scores + slopes * dist[:, None, None, :, :]
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
     m = scores.max(axis=-1, keepdims=True)
     e = jnp.exp(scores - m)

@@ -322,6 +322,186 @@ def tcq4_matmul_gx(
 
 
 # ---------------------------------------------------------------------------
+# Paired-bias dequant kernel (round 4): decode BOTH nibbles of a byte into a
+# PAIR of bf16 bit patterns in one i32 lane — the TCQ4 analog of the MXFP4
+# paired-i32 decode that took gpt-oss past the DGX baseline.
+#
+# TCQ4's group scales are arbitrary f32 (not powers of two), so the MXFP4
+# exponent-add trick can't fold them into the bit pattern. Instead the
+# kernel constructs the BIASED value q + 24 — the 16 int4 values land in
+# the single binade [16, 31], whose bf16 bit pattern is just
+# 0x4180 | ((q + 8) << 3) — multiplies by the group scale in bf16 (2
+# elements per lane), and cancels the bias with one extra G-deep MXU dot:
+#
+#     C = a_gi @ (bf16(q + 24) * e_exp)  -  (24 * Ag) @ e
+#
+# where Ag[m, g] is the per-group activation sum. Bit recipe per byte
+# (6 i32 lane ops per PAIR vs ~11 full-width ops per element in the
+# unpack+convert+scale path):
+#
+#     t = (q32 | q32 << 12) & 0x000F000F     # lo nibble at 0-3, hi at 16-19
+#     t = ((t ^ 0x00080008) << 3) | 0x41804180
+#     wb = pltpu.bitcast(t, bf16)            # [bk, bn], value q + 24
+#
+# The group-scale broadcast needs NO 3D reshape (the Mosaic pathology):
+# the weights are stored GROUP-INTERLEAVED (layout "gi": device row
+# k_new = j * G + g holds original element k = g * 32 + j, G = K/32), so
+# row r's group is just r % G and the expansion is one native
+# ``pltpu.repeat(e, bk // G)`` tile. Activations are permuted to match
+# (a cheap XLA transpose on [M, K], fused into the dequant producer).
+#
+# Accuracy: ws = bf16((q+24) * e) rounds at 2^-9 * 31e <= 0.06e per
+# element — 2x the production kernel's MXU-truncated q*e products and
+# 8x under the e/2 quantization step (validated vs the integer oracle in
+# tests/test_tcq4_matmul.py).
+# ---------------------------------------------------------------------------
+
+
+def pack_gi_np(qs):
+    """Repack host-side sb-layout qs (uint8 [K//2, N], nibbles hold k and
+    k+128 per superblock) into the group-interleaved pb layout: byte row r
+    holds k_new = 2r (lo) and 2r + 1 (hi), k_new = j * G + g."""
+    import numpy as np
+    from rrs_tpu.formats.tcq4 import unpack_nibbles
+
+    k2, n = qs.shape
+    k = 2 * k2
+    g = k // GROUP_SIZE
+    codes = (unpack_nibbles(np.asarray(qs)).astype(np.int16) & 0xF
+             ).astype(np.uint8)                       # [K, N] original order
+    cg = codes.reshape(g, GROUP_SIZE, n).transpose(1, 0, 2).reshape(k, n)
+    return np.ascontiguousarray(cg[0::2] | (cg[1::2] << 4))
+
+
+def pack_gi_jnp(qs: jnp.ndarray) -> jnp.ndarray:
+    """Device-side twin of pack_gi_np (one-time XLA transform at load)."""
+    k2, n = qs.shape
+    k = 2 * k2
+    g = k // GROUP_SIZE
+    b = qs.reshape(k // TILE_K, TILE_K // 2, n)
+    codes = jnp.concatenate([b & 15, b >> 4], axis=1).reshape(k, n)
+    cg = codes.reshape(g, GROUP_SIZE, n).swapaxes(0, 1).reshape(k, n)
+    return (cg[0::2] | (cg[1::2] << 4)).astype(jnp.uint8)
+
+
+def pb_prepare(a: jnp.ndarray):
+    """[M, K] f32 rotated-dequantized activations -> (a_gi bf16 [M, K] in
+    k_new order, ag24 bf16 [M, 2G]: hi/lo split of 24 * per-group sums).
+    ag24 is computed from the bf16-ROUNDED activations so the bias
+    cancellation sees the same values the main dot does; the hi/lo split
+    keeps the large 24*Ag coefficients at ~f32 precision through the bf16
+    MXU (a single bf16 cast of 24*Ag measured 2x the kernel's total error
+    vs the integer oracle)."""
+    m, k = a.shape
+    g = k // GROUP_SIZE
+    av = a.reshape(m, g, GROUP_SIZE).astype(jnp.bfloat16)
+    a_gi = jnp.swapaxes(av, 1, 2).reshape(m, k)
+    ag24 = av.astype(jnp.float32).sum(-1) * 24.0
+    hi = ag24.astype(jnp.bfloat16)
+    lo = (ag24 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return a_gi, jnp.concatenate([hi, lo], axis=-1)
+
+
+def _kernel_pb(a_ref, ag_ref, qs_ref, eff_ref, out_ref, *, bm, bn, bk, k):
+    g_total = k // GROUP_SIZE
+    q32 = qs_ref[...].astype(jnp.int32)                  # [bk/2, bn]
+    t = (q32 | (q32 << 12)) & jnp.int32(0x000F000F)
+    t = ((t ^ jnp.int32(0x00080008)) << 3) | jnp.int32(0x41804180)
+    wb = pltpu.bitcast(t, jnp.bfloat16)                  # [bk, bn] = q + 24
+    e = eff_ref[...]                                     # bf16 [G, bn]
+    ws = wb * pltpu.repeat(e, bk // g_total, axis=0)     # row r: e[r % G]
+    kc = pl.program_id(2)
+    a_chunk = a_ref[:, pl.ds(kc * bk, bk)]
+    acc = jax.lax.dot_general(
+        a_chunk, ws,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kc == 0)
+    def _():
+        # bias cancellation: one 2G-deep dot while e is resident (the
+        # hi/lo columns of ag both multiply the same e rows)
+        out_ref[...] = -jax.lax.dot_general(
+            ag_ref[...], jnp.concatenate([e, e], axis=0),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    out_ref[...] += acc
+
+
+def _pick_bk_pb(k: int, bn: int, budget: int = 640 * 1024) -> int:
+    """K-chunk: a multiple q of G rows with q | 32, bounded so the i32
+    decode intermediates ([bk/2, bn] x 4B x ~2 live) stay well under
+    VMEM. Returns q * G."""
+    g = k // GROUP_SIZE
+    best = g
+    for q in (1, 2, 4, 8, 16, 32):
+        if q * g * bn // 2 * 4 <= budget * 4:
+            best = q * g
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "bm", "bk", "interpret"))
+def tcq4_matmul_pb(
+    a_gi: jnp.ndarray,      # bf16 [M, K] activations in k_new = j*G+g order
+    ag24: jnp.ndarray,      # bf16 [M, 2G] hi/lo 24 * per-group sums
+    qs_gi: jnp.ndarray,     # uint8 [K//2, N] group-interleaved pack
+    eff: jnp.ndarray,       # bf16 [K//32, N] effective group scales
+    *,
+    bn: int = 0,
+    bm: int = 128,
+    bk: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """C = a @ dequant(w) via the paired-bias decode. f32 [M, N]."""
+    m, k = a_gi.shape
+    n = qs_gi.shape[1]
+    g = k // GROUP_SIZE
+    assert k % TILE_K == 0 and qs_gi.shape[0] == k // 2, (a_gi.shape,
+                                                          qs_gi.shape)
+    assert ag24.shape == (m, 2 * g), (ag24.shape, m, g)
+    if bn == 0:
+        bn = _pick_bn(n, limit=256)
+    bn = min(bn, n)
+    assert n % bn == 0, (n, bn)
+    bm = m if m < 8 else min(bm, _round_up(m, 8))
+    if bk == 0:
+        bk = _pick_bk_pb(k, bn)
+    assert bk % g == 0 and k % bk == 0, (k, bk, g)
+
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        a_gi = jnp.pad(a_gi, ((0, m_pad - m), (0, 0)))
+        ag24 = jnp.pad(ag24, ((0, m_pad - m), (0, 0)))
+
+    grid = (n // bn, m_pad // bm, k // bk)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"))
+    out = pl.pallas_call(
+        functools.partial(_kernel_pb, bm=bm, bn=bn, bk=bk, k=k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j, s: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 2 * g), lambda i, j, s: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda i, j, s: (s, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bn), lambda i, j, s: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, s: (j, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(a_gi, ag24, qs_gi, eff)
+    return out[:m]
+
+
+# ---------------------------------------------------------------------------
 # Expert-gathered matmul (the ggml_mul_mat_id analog): expert ids arrive as
 # a scalar-prefetch operand and drive the weight BlockSpec index maps, so
 # only the selected experts' packed tiles stream from HBM — no dequantized
@@ -723,6 +903,13 @@ def tcq4_matmul(
     # (hundreds of tiny non-fusible HLO ops per step otherwise)
     bm = m if m < 8 else min(bm, _round_up(m, 8))
     if bk == 0:
+        if m <= 8 and k >= 8192:
+            # fat-K decode (down K=9728): two K-chunks beat one whole-K
+            # block — 26.4 vs 28.8 us/call measured in the round-4 bn/bk
+            # sweep (benchmarks/bench_dequant_variants.py harness); the
+            # smaller double-buffered blocks overlap DMA better at the
+            # few-n-steps grid these shapes produce
+            vmem_budget = min(vmem_budget, 3 * 1024 * 1024 // 2)
         bk = _pick_bk(k, bn, vmem_budget)
     assert bk % TILE_K == 0 and k % bk == 0, (k, bk)
 

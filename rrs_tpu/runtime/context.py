@@ -161,11 +161,16 @@ class InferenceContext:
 
     @staticmethod
     def _step(cfg, weights, tokens, start_pos, lengths, k_caches, v_caches,
-              last_only: bool = False, last_idx=None):
+              last_only: bool = False, last_idx=None, pos_row=None):
         """tokens [B, T]; start_pos/lengths [B]. Computes causal mask, runs
         forward, returns (logits, caches). Padded token slots (token == -1)
         are masked out of the cache write by pointing their slot at position
-        max_seq-1... they are instead handled by never advancing lengths."""
+        max_seq-1... they are instead handled by never advancing lengths.
+
+        ``pos_row`` ([B, T] int32): absolute ROPE positions when they
+        diverge from slot indices (after llama_memory_seq_div /
+        self-extend); masking and cache slots stay slot-based (division
+        is monotone, so slot order == position order)."""
         b, t = tokens.shape
         # the largest per-layer cache = the non-SWA (full) size; SWA layers
         # hold smaller rings and mod the slot indices themselves (attention())
@@ -188,7 +193,9 @@ class InferenceContext:
             # lm_head so the chunk x vocab head matmul isn't computed at all
             last_idx = jnp.full((b,), t - 1, jnp.int32)
         logits, nk, nv = llama_model.forward(
-            cfg, weights, safe_tokens, pos, k_caches, v_caches, mask_pos,
+            cfg, weights, safe_tokens,
+            pos if pos_row is None else pos_row,
+            k_caches, v_caches, mask_pos,
             safe_slots, last_idx=last_idx,
         )
         return logits, nk, nv
@@ -207,6 +214,17 @@ class InferenceContext:
     def _run(self, tokens_np: np.ndarray, start_pos_np: np.ndarray,
              last_only: bool = False):
         fn = self._step_last_fn if last_only else self._step_fn
+        kwargs = {}
+        if self.kv.slot_pos and self.mesh is None:
+            # seq_div remapped some lane's positions: feed absolute rope
+            # positions per row (slots/masks stay derived from start_pos)
+            b, t = tokens_np.shape
+            rows = np.zeros((b, t), np.int32)
+            for lane in range(b):
+                st = int(start_pos_np[lane])
+                if st >= 0:
+                    rows[lane] = self.kv.positions_row(lane, st, t)
+            kwargs["pos_row"] = jnp.asarray(rows)
         logits, nk, nv = fn(
             self.weights,
             jnp.asarray(tokens_np, jnp.int32),
@@ -214,6 +232,7 @@ class InferenceContext:
             self.kv.lengths_array(),
             self.kv.k,
             self.kv.v,
+            **kwargs,
         )
         self.kv.k = nk
         self.kv.v = nv
@@ -460,7 +479,8 @@ class InferenceContext:
     # rewound (bounded waste)
     DECODE_RUN_STEPS = 16
 
-    def _decode_run_fn(self, n_steps: int):
+    def _decode_run_fn(self, n_steps: int, xtc: bool = False,
+                       mir: bool = False):
         """Build (and cache) the jitted n_steps-token decode+sample scan —
         the serving analog of CUDA-graph decode capture (ggml-cuda.cu:
         2881-2930): one dispatch per n_steps tokens instead of one per
@@ -468,8 +488,15 @@ class InferenceContext:
         repetition/frequency/presence penalties and dense logit bias
         (llama_sampler_penalties on device: the counts vector rides the
         scan carry; the sliding-window eviction schedule is precomputed
-        on host — see decode_run_start)."""
-        from rrs_tpu.runtime.sampler import device_penalties, device_sample
+        on host — see decode_run_start).
+
+        ``xtc``/``mir`` are static trace variants: when any lane in the
+        run uses XTC or mirostat v2, the full-V device transforms
+        (device_xtc / device_mirostat) are traced in; otherwise the base
+        scan compiles without them (and keeps its original RNG stream)."""
+        from rrs_tpu.runtime.sampler import (device_mirostat,
+                                             device_penalties, device_sample,
+                                             device_xtc)
 
         cfg = self.cfg
         mesh = self.mesh
@@ -481,13 +508,14 @@ class InferenceContext:
             run_cfg = cfg
 
         def body(weights, token, start, keys, temp, top_k, top_p, min_p,
-                 rep, frq, prs, counts, bias, evict, k_caches, v_caches):
+                 rep, frq, prs, xtc_p, xtc_t, mir_eta, mir_tau, mu0,
+                 counts, bias, evict, k_caches, v_caches):
             s = max((c[0] if isinstance(c, tuple) else c).shape[2]
                     for c in k_caches)
             v_ids = jnp.arange(counts.shape[-1], dtype=jnp.int32)[None, :]
 
             def step(carry, ev):
-                tok, pos, ks, vs, kk, cnt = carry
+                tok, pos, ks, vs, kk, cnt, mu = carry
                 mask_pos = jnp.where(pos[:, None] < 0, -1, pos[:, None])
                 safe_slots = jnp.where(pos[:, None] < 0, s - 1,
                                        jnp.clip(pos[:, None], 0, s - 1))
@@ -499,9 +527,22 @@ class InferenceContext:
                     l = jax.lax.all_gather(l, "tp", axis=-1, tiled=True)
                     l = l[..., : cfg.vocab_size]
                 l = device_penalties(l, cnt, rep, frq, prs, bias)
-                nk2 = jax.vmap(jax.random.split)(kk)
-                sub, kk = nk2[:, 0], nk2[:, 1]
+                if xtc or mir:
+                    nk4 = jax.vmap(lambda k_: jax.random.split(k_, 4))(kk)
+                    sub, kx, km, kk = (nk4[:, 0], nk4[:, 1], nk4[:, 2],
+                                       nk4[:, 3])
+                else:
+                    nk2 = jax.vmap(jax.random.split)(kk)
+                    sub, kk = nk2[:, 0], nk2[:, 1]
+                if xtc:
+                    l = device_xtc(l, kx, temp, xtc_p, xtc_t)
                 nxt = device_sample(l, sub, temp, top_k, top_p, min_p)
+                if mir:
+                    mtok, mu2 = device_mirostat(l, km, temp, mu, mir_eta,
+                                                mir_tau)
+                    mir_on = mir_eta > 0
+                    nxt = jnp.where(mir_on, mtok, nxt)
+                    mu = jnp.where(mir_on & (pos >= 0), mu2, mu)
                 nxt = jnp.where(pos < 0, tok, nxt)
                 # slide the penalty window: count the sampled token in and
                 # the host-scheduled evictee (-1 = none) out. Dense one-hot
@@ -510,12 +551,12 @@ class InferenceContext:
                 cnt = cnt + (v_ids == nxt[:, None]).astype(cnt.dtype) \
                     - (v_ids == ev[:, None]).astype(cnt.dtype)
                 npos = jnp.where(pos < 0, pos, pos + 1)
-                return (nxt, npos, nk, nv, kk, cnt), nxt
+                return (nxt, npos, nk, nv, kk, cnt, mu), nxt
 
-            (tok, pos, ks, vs, kk, cnt), out = jax.lax.scan(
-                step, (token, start, k_caches, v_caches, keys, counts),
+            (tok, pos, ks, vs, kk, cnt, mu), out = jax.lax.scan(
+                step, (token, start, k_caches, v_caches, keys, counts, mu0),
                 jnp.moveaxis(evict, 1, 0), length=n_steps)
-            return jnp.moveaxis(out, 0, 1), ks, vs, kk, cnt  # [B, n_steps]
+            return jnp.moveaxis(out, 0, 1), ks, vs, kk, cnt, mu
 
         if mesh is None:
             return jax.jit(body)
@@ -530,10 +571,11 @@ class InferenceContext:
             body, mesh=mesh,
             in_specs=(wspecs, P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
                       P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+                      P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
                       P("dp", None), P("dp", None), P("dp", None),
                       kv_specs, kv_specs),
             out_specs=(P("dp", None), kv_specs, kv_specs, P("dp"),
-                       P("dp", None)),
+                       P("dp", None), P("dp")),
             check_vma=False)
         return jax.jit(fn)
 
@@ -545,6 +587,7 @@ class InferenceContext:
         n_steps: int = 0,
         chain: Optional[dict] = None,
         histories: Optional[dict] = None,
+        mus: Optional[dict] = None,
     ) -> dict:
         """Dispatch (without waiting) an n_steps decode+sample run. Feeds
         each sequence's pending token and samples n_steps tokens per lane
@@ -564,13 +607,22 @@ class InferenceContext:
         penalty window on device. Callers must keep penalty_last_n >=
         2*n_steps for chained runs (the engine gates this), or the
         evictees could be tokens sampled in the still-unread previous run,
-        which the host cannot know."""
+        which the host cannot know.
+
+        ``mus``: per-seq running mirostat-v2 mu (slot state) for mirostat
+        lanes; the updated values come back in the handle's ``mu``."""
         n_steps = n_steps or self.DECODE_RUN_STEPS
+        if chain is not None:
+            feats = chain["feats"]
+        else:
+            feats = (any(p.xtc_probability > 0 for p in params.values()),
+                     any(p.mirostat for p in params.values()))
         if not hasattr(self, "_run_fns"):
             self._run_fns = {}
-        if n_steps not in self._run_fns:
-            self._run_fns[n_steps] = self._decode_run_fn(n_steps)
-        fn = self._run_fns[n_steps]
+        key3 = (n_steps,) + feats
+        if key3 not in self._run_fns:
+            self._run_fns[key3] = self._decode_run_fn(n_steps, *feats)
+        fn = self._run_fns[key3]
 
         b = self.kv.n_lanes
         if chain is not None:
@@ -586,6 +638,8 @@ class InferenceContext:
             top_pv, min_pv = chain["top_p"], chain["min_p"]
             repv, frqv, prsv = chain["rep"], chain["frq"], chain["prs"]
             countsv, biasv = chain["counts"], chain["bias"]
+            xtcpv, xtctv = chain["xtc_p"], chain["xtc_t"]
+            etav, tauv, muv = chain["eta"], chain["tau"], chain["mu"]
             lanes = dict(chain["lanes"])
             evictv = self._evict_schedule(histories, lanes, chain.get(
                 "params", {}), n_steps, offset=chain["n"])
@@ -595,6 +649,11 @@ class InferenceContext:
             top_k = np.ones((b,), np.int32)
             top_p = np.ones((b,), np.float32)
             min_p = np.zeros((b,), np.float32)
+            xtcp = np.zeros((b,), np.float32)
+            xtct = np.full((b,), 1.0, np.float32)
+            eta = np.zeros((b,), np.float32)
+            tau = np.zeros((b,), np.float32)
+            mu = np.zeros((b,), np.float32)
             tok = np.zeros((b,), np.int32)
             key_rows = [jax.random.PRNGKey(0)] * b
             lanes = {}
@@ -607,6 +666,14 @@ class InferenceContext:
                 top_k[lane] = min(p.top_k, 128) if p.top_k > 0 else 128
                 top_p[lane] = p.top_p
                 min_p[lane] = p.min_p
+                if p.xtc_probability > 0:
+                    xtcp[lane] = p.xtc_probability
+                    xtct[lane] = p.xtc_threshold
+                if p.mirostat:
+                    eta[lane] = p.mirostat_eta
+                    tau[lane] = p.mirostat_tau
+                    mu[lane] = ((mus or {}).get(seq_id)
+                                or 2.0 * p.mirostat_tau)
                 tok[lane] = token
                 key_rows[lane] = keys[seq_id]
             tokv = jnp.asarray(tok)
@@ -616,6 +683,9 @@ class InferenceContext:
             top_kv = jnp.asarray(top_k)
             top_pv = jnp.asarray(top_p)
             min_pv = jnp.asarray(min_p)
+            xtcpv, xtctv = jnp.asarray(xtcp), jnp.asarray(xtct)
+            etav, tauv, muv = (jnp.asarray(eta), jnp.asarray(tau),
+                               jnp.asarray(mu))
             repv, frqv, prsv, countsv, biasv = self._penalty_operands(
                 lanes, params, histories)
             evictv = self._evict_schedule(histories, lanes, params,
@@ -624,10 +694,10 @@ class InferenceContext:
         import time as _time
 
         t0 = _time.perf_counter()
-        toks, nk, nv, nkeys, ncounts = fn(
+        toks, nk, nv, nkeys, ncounts, nmu = fn(
             self.weights, tokv, startv, keyv, tempv, top_kv, top_pv, min_pv,
-            repv, frqv, prsv, countsv, biasv, evictv,
-            self.kv.k, self.kv.v)
+            repv, frqv, prsv, xtcpv, xtctv, etav, tauv, muv,
+            countsv, biasv, evictv, self.kv.k, self.kv.v)
         self.kv.k, self.kv.v = nk, nv
         for seq_id, lane in lanes.items():
             self.kv.lengths[lane] += n_steps
@@ -637,6 +707,8 @@ class InferenceContext:
                 "start": startv, "temp": tempv, "top_k": top_kv,
                 "top_p": top_pv, "min_p": min_pv,
                 "rep": repv, "frq": frqv, "prs": prsv,
+                "xtc_p": xtcpv, "xtc_t": xtctv,
+                "eta": etav, "tau": tauv, "mu": nmu, "feats": feats,
                 "counts": ncounts, "bias": biasv, "params": dict(params)}
 
     @staticmethod

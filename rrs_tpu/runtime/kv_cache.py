@@ -36,6 +36,10 @@ class KVCache:
     # seq_id -> retention timestamp: lanes kept alive as prompt caches but
     # evictable LRU when a new sequence needs a lane (server prompt-cache)
     retained: dict = dataclasses.field(default_factory=dict)
+    # lane -> np.ndarray [max_seq] slot->position map; None = identity
+    # (positions == slots, the fast default). Only llama_memory_seq_div
+    # (self-extend) makes this non-trivial.
+    slot_pos: dict = dataclasses.field(default_factory=dict)
 
     @property
     def n_lanes(self) -> int:
@@ -111,6 +115,7 @@ class KVCache:
             raise RuntimeError("KV cache: no free lane")
         self.seq_ids[lane] = seq_id
         self.lengths[lane] = 0
+        self.slot_pos.pop(lane, None)
         return lane
 
     def mark_retained(self, seq_id: int) -> None:
@@ -133,6 +138,7 @@ class KVCache:
             self.seq_ids[lane] = None
             self.lengths[lane] = 0
             self.retained.pop(seq_id, None)
+            self.slot_pos.pop(lane, None)
         else:
             self.lengths[lane] = min(self.lengths[lane], p0)
 
@@ -155,6 +161,8 @@ class KVCache:
             self.k[li] = cp(self.k[li])
             self.v[li] = cp(self.v[li])
         self.lengths[dst] = n
+        if src in self.slot_pos:
+            self.slot_pos[dst] = self.slot_pos[src].copy()
 
     def seq_keep(self, seq_id: int) -> None:
         for s in list(self.seq_ids):
@@ -259,3 +267,109 @@ class KVCache:
 
         self.k, self.v = shift(self.k, self.v)
         self.lengths[lane] = n - n_discard
+    def positions_row(self, lane: int, start: int, t: int):
+        """Rope positions for t new tokens written at slots
+        [start, start+t) — identity unless seq_div remapped the lane."""
+        import numpy as np
+
+        sp = self.slot_pos.get(lane)
+        if sp is None:
+            return np.arange(start, start + t, dtype=np.int32)
+        return sp[start:start + t].copy()
+
+    def pos_offset(self, lane: int) -> int:
+        """position - slot for the lane's NEXT token (0 unless seq_div
+        compressed the cached positions; constant for all future slots)."""
+        sp = self.slot_pos.get(lane)
+        if sp is None:
+            return 0
+        n = self.lengths[lane]
+        return int(sp[min(n, self.max_seq - 1)]) - n
+
+    def seq_div(self, cfg, seq_id: int, p0: int, p1: int, d: int) -> None:
+        """llama_memory_seq_div (llama.h:740; the main.cpp self-extend /
+        grouped-attention loop): divide the POSITIONS of this sequence's
+        cached cells whose position lies in [p0, p1) by d. Cells stay in
+        their slots — floor division is monotone, so the slot-ordered
+        causal mask stays valid — and the cached K is re-rotated by each
+        slot's position delta (RoPE is additive in position, the
+        build_rope_shift trick). Future tokens continue at
+        max(new positions) + 1; the slot->position map rides
+        ``slot_pos``/``pos_offset`` into the runtime's rope positions."""
+        import numpy as np
+
+        from rrs_tpu.models.llama import rope_params
+        from rrs_tpu.ops.basic import apply_rope
+
+        if d <= 1:
+            return
+        if cfg.any_swa:
+            raise RuntimeError("seq_div is not supported for SWA models")
+        lane = self.lane_of(seq_id)
+        n = self.lengths[lane]
+        if n == 0:
+            return
+        pos = self.slot_pos.get(lane)
+        pos = (np.arange(self.max_seq, dtype=np.int32) if pos is None
+               else pos.copy())
+        if p0 < 0:
+            p0 = 0
+        if p1 < 0:
+            p1 = np.iinfo(np.int32).max
+        sel = (pos[:n] >= p0) & (pos[:n] < p1)
+        if not sel.any():
+            return
+        new_prefix = pos[:n].copy()
+        new_prefix[sel] //= d
+        delta_np = np.zeros((self.max_seq,), np.int32)
+        delta_np[:n] = new_prefix - pos[:n]
+        pos[:n] = new_prefix
+        nxt = int(new_prefix.max()) + 1
+        pos[n:] = nxt + np.arange(self.max_seq - n, dtype=np.int32)
+        self.slot_pos[lane] = pos
+        if not delta_np.any():
+            return
+
+        if cfg.is_mla:
+            import dataclasses as _dc
+
+            from rrs_tpu.models.llama import mla_rope_params
+
+            rp = _dc.replace(mla_rope_params(cfg), head_dim=cfg.kv_k_dim,
+                             rot_dim=cfg.qk_rope_dim)
+        else:
+            rp = rope_params(cfg)
+        delta = jnp.asarray(delta_np)[None, :]          # [1, S]
+
+        @jax.jit
+        def div_rotate(ks):
+            out_k = []
+            for k in ks:
+                if isinstance(k, tuple):
+                    from rrs_tpu.runtime import kv_codec
+
+                    arr, sc = k
+                    scl = sc[lane][:, 0, :][:, :, None]
+                    if arr.dtype == jnp.uint8:
+                        lk = kv_codec.unpack4(arr[lane]).astype(
+                            jnp.float32) * scl
+                    else:
+                        lk = arr[lane].astype(jnp.float32) * scl
+                    rk = apply_rope(
+                        lk.transpose(1, 0, 2)[None], delta, rp,
+                    )[0].transpose(1, 0, 2)
+                    q, s_new = kv_codec.quantize_rows(
+                        rk, kv_codec.kv_qmax(arr))
+                    if arr.dtype == jnp.uint8:
+                        q = kv_codec.pack4(q)
+                    out_k.append((arr.at[lane].set(q),
+                                  sc.at[lane, :, 0, :].set(s_new)))
+                    continue
+                rk = apply_rope(
+                    k[lane].astype(jnp.float32).transpose(1, 0, 2)[None],
+                    delta, rp,
+                )[0].transpose(1, 0, 2).astype(k.dtype)
+                out_k.append(k.at[lane].set(rk))
+            return out_k
+
+        self.k = div_rotate(self.k)

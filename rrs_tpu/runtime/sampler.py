@@ -221,6 +221,59 @@ def device_penalties(
     return logits + bias
 
 
+def device_xtc(
+    logits: jnp.ndarray,            # [B, V] f32 (post-penalties)
+    keys: jnp.ndarray,              # [B] PRNG keys
+    temp: jnp.ndarray,              # [B] f32
+    xtc_p: jnp.ndarray,             # [B] f32 probability (0 = off)
+    xtc_t: jnp.ndarray,             # [B] f32 threshold
+) -> jnp.ndarray:
+    """Jit-friendly per-lane XTC for device decode runs (apply_xtc's
+    batched twin; llama_sampler_xtc semantics): with probability xtc_p,
+    drop every token whose prob (on the temperature-scaled distribution)
+    exceeds the threshold except the least likely of them. Lanes with
+    xtc_p = 0 pass through (the gate never fires)."""
+    t = jnp.where(temp > 0, temp, 1.0)[:, None]
+    probs = jax.nn.softmax(logits / t, axis=-1)
+    over = probs >= xtc_t[:, None]
+    n_over = over.sum(-1, keepdims=True)
+    min_over = jnp.min(jnp.where(over, probs, jnp.inf), axis=-1,
+                       keepdims=True)
+    drop = over & (probs > min_over) & (n_over >= 2)
+    gate = jax.vmap(lambda k: jax.random.uniform(k))(keys) < xtc_p
+    return jnp.where(drop & gate[:, None], NEG_INF, logits)
+
+
+_LN2 = 0.6931471805599453
+
+
+def device_mirostat(
+    logits: jnp.ndarray,            # [B, V] f32 (post-penalties)
+    keys: jnp.ndarray,              # [B] PRNG keys
+    temp: jnp.ndarray,              # [B] f32
+    mu: jnp.ndarray,                # [B] f32 running surprise bound
+    eta: jnp.ndarray,               # [B] f32 learning rate
+    tau: jnp.ndarray,               # [B] f32 target surprise
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mirostat v2 on device (mirostat_v2_sample's batched twin,
+    llama_sampler_mirostat_v2 semantics): truncate tokens whose surprise
+    exceeds mu, sample from the rest (gumbel-max == renormalized
+    categorical), then move mu toward the target. Returns (token [B] i32,
+    mu' [B])."""
+    t = jnp.where(temp > 0, temp, 1.0)[:, None]
+    lp = jax.nn.log_softmax(logits / t, axis=-1)
+    surprise = -lp / _LN2
+    keep = surprise <= mu[:, None]
+    best = jnp.argmax(lp, axis=-1)
+    keep = keep | (jnp.arange(lp.shape[-1], dtype=jnp.int32)[None, :]
+                   == best[:, None])
+    masked = jnp.where(keep, lp, NEG_INF)
+    g = jax.vmap(lambda k: jax.random.gumbel(k, masked.shape[-1:]))(keys)
+    tok = jnp.argmax(masked + g, axis=-1)
+    obs = jnp.take_along_axis(surprise, tok[:, None], axis=-1)[:, 0]
+    return tok.astype(jnp.int32), mu - eta * (obs - tau)
+
+
 def device_sample(
     logits: jnp.ndarray,            # [B, V] f32
     keys: jnp.ndarray,              # [B] PRNG keys (uint32 [B, 2] typed key)

@@ -733,17 +733,20 @@ class Engine:
     def _fast_eligible(self, s: Slot) -> bool:
         """Slot can decode via the device-side multi-token run:
         temperature/top-k/top-p/min-p sampling, repetition/frequency/
-        presence penalties and logit bias run ON DEVICE; grammar slots
-        ride the fast path optimistically (tokens validated against the
-        host PDA at flush, violations rewound + resampled — see
-        _flush_fast). DRY, mirostat, XTC, top-n-sigma, typical, infill
-        and logprobs fall back to the host chain; no draft model; cache
-        headroom for the whole run."""
+        presence penalties, logit bias, XTC and mirostat v2 run ON
+        DEVICE (XTC/mirostat as static trace variants — see
+        _decode_run_fn); grammar slots ride the fast path optimistically
+        (tokens validated against the host PDA at flush, violations
+        rewound + resampled — see _flush_fast). DRY, top-n-sigma,
+        typical, infill and logprobs fall back to the host chain; no
+        draft model; cache headroom for the whole run."""
         if not hasattr(self.ctx, "decode_run"):   # recurrent/hybrid contexts
             return False
         p = s.req.params
         n = self.ctx.DECODE_RUN_STEPS
         kv = self.ctx.kv
+        if kv.slot_pos.get(kv.lane_of(s.seq_id)) is not None:
+            return False     # seq_div'd lane: rope positions != slots
         if (self.ctx._penalties_active(p)
                 and 0 <= p.penalty_last_n < 2 * n):
             # (negative last_n = whole-history window, which never evicts
@@ -753,10 +756,11 @@ class Engine:
             return False
         if s.grammar is not None and not s.req.token_pieces:
             return False              # can't validate without pieces
+        if p.mirostat and p.mirostat != 2:
+            return False               # only v2 has a device twin
         return (s.req.n_probs == 0
                 and s.draft_seq < 0 and not s.req.infill
                 and not p.dry_multiplier
-                and not p.mirostat and not p.xtc_probability
                 and not p.top_n_sigma
                 and p.typical_p >= 1.0
                 and (p.top_k <= 0 or p.top_k <= 128)
@@ -776,6 +780,8 @@ class Engine:
             {s.seq_id: s.req.params for s in gen},
             chain=chain,
             histories={s.seq_id: s.generated for s in gen},
+            mus={s.seq_id: s.mirostat_mu for s in gen
+                 if s.req.params.mirostat},
         )
         # keyed by (seq_id, request id): a released lane retains its seq_id
         # as a prompt cache, so a later request on the same lane must NOT

@@ -70,3 +70,63 @@ def test_engine_survives_overflow():
         assert len(toks) == 40          # generation crossed the shift boundary
     finally:
         eng.stop()
+
+
+def test_seq_div_self_extend():
+    """llama_memory_seq_div (round 4; llama.h:740, self-extend): after
+    dividing cached positions by d, the next decode step must match a
+    from-scratch forward fed the divided rope positions directly (cells
+    keep their slots; cached K is re-rotated by the position delta).
+
+    One layer, like test_shift_matches_reprefill_single_layer: deeper
+    models intentionally keep hidden states computed at the ORIGINAL
+    positions (the reference's seq_div rotates cached K only, it never
+    recomputes upper layers), so exact equality holds only at layer 0.
+    Tolerance covers the bf16 activation rounding baked into the cached
+    K before the f32 delta-rotation."""
+    import jax.numpy as jnp
+
+    from rrs_tpu.models import llama as lm
+
+    cfg = dataclasses.replace(PRESETS["tiny"], n_layers=1)
+    w = random_weights(cfg, seed=3)
+    ctx = InferenceContext(cfg, w, n_lanes=1, max_seq=64,
+                           kv_dtype=jnp.float32)
+    seq = ctx.new_sequence()
+    toks = [3, 1, 4, 1, 5, 9, 2, 6]
+    ctx.prefill(seq, toks, all_logits=False)
+    ctx.kv.seq_div(cfg, seq, 0, 1 << 30, 2)
+    # positions 0..7 -> 0,0,1,1,2,2,3,3; next token decodes at position 4
+    assert ctx.kv.pos_offset(0) == 4 - 8
+    got = ctx.decode({seq: 7})[seq]
+
+    # oracle: fresh caches, prefill with the divided positions, slot mask
+    k, v = lm.scratch_caches(cfg, 1, 64, dtype=jnp.float32)
+    slots = jnp.arange(8, dtype=jnp.int32)[None, :]
+    pos_div = jnp.asarray([[0, 0, 1, 1, 2, 2, 3, 3]], jnp.int32)
+    _, k, v = lm.forward(cfg, w, jnp.asarray([toks], jnp.int32), pos_div,
+                         k, v, slots, slots)
+    logits, _, _ = lm.forward(
+        cfg, w, jnp.asarray([[7]], jnp.int32),
+        jnp.asarray([[4]], jnp.int32), k, v,
+        jnp.asarray([[8]], jnp.int32), jnp.asarray([[8]], jnp.int32))
+    want = np.asarray(logits[0, 0])
+    assert int(got.argmax()) == int(want.argmax())
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_seq_div_range_and_identity():
+    """d=1 and out-of-range [p0, p1) are no-ops; an in-range division
+    only touches cells whose POSITION falls in the range."""
+    cfg = PRESETS["tiny"]
+    w = random_weights(cfg, seed=4)
+    ctx = InferenceContext(cfg, w, n_lanes=1, max_seq=64)
+    seq = ctx.new_sequence()
+    ctx.prefill(seq, [5, 6, 7, 8], all_logits=False)
+    ctx.kv.seq_div(cfg, seq, 0, 100, 1)        # d=1: no-op
+    assert 0 not in ctx.kv.slot_pos
+    ctx.kv.seq_div(cfg, seq, 100, 200, 4)      # empty range: no-op
+    assert 0 not in ctx.kv.slot_pos
+    ctx.kv.seq_div(cfg, seq, 2, 100, 2)        # only positions 2,3 divided
+    np.testing.assert_array_equal(ctx.kv.slot_pos[0][:4], [0, 1, 1, 1])
+    assert ctx.kv.positions_row(0, 4, 2).tolist() == [2, 3]

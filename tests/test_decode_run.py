@@ -220,3 +220,63 @@ def test_fast_path_grammar_optimistic():
     eng_host._fast_eligible = lambda s: False
     out_host = run(eng_host)
     assert out_fast == out_host
+
+
+def test_fast_path_mirostat_and_xtc_on_device():
+    """Mirostat v2 and XTC ride the device fast path (round 4): requests
+    with those params must decode via decode_run (not collapse to the
+    per-token host path), produce valid tokens, and keep the slot's
+    running mu updated from the device."""
+    cfg = PRESETS["tiny"]
+    w = random_weights(cfg, seed=0)
+
+    ctx = InferenceContext(cfg, w, n_lanes=1, max_seq=96)
+    eng = Engine(ctx)
+    calls = {"fast": 0}
+    orig = eng._dispatch_fast
+
+    def counting(gen, chain=None):
+        calls["fast"] += 1
+        return orig(gen, chain)
+
+    eng._dispatch_fast = counting
+    out, r = _run(eng, [5, 6, 7], 20, temperature=0.8,
+                  mirostat=2, mirostat_tau=4.0, mirostat_eta=0.2)
+    assert len(out) == 20 and r == "length"
+    assert calls["fast"] >= 1, "mirostat request fell off the fast path"
+    assert all(0 <= t < cfg.vocab_size for t in out)
+    # the device variant key must include the mirostat flag
+    assert any(k[2] for k in ctx._run_fns), ctx._run_fns.keys()
+
+    out2, r2 = _run(eng, [5, 6, 7], 20, temperature=0.8,
+                    xtc_probability=0.7, xtc_threshold=0.05)
+    assert len(out2) == 20 and r2 == "length"
+    assert any(k[1] for k in ctx._run_fns), ctx._run_fns.keys()
+
+
+def test_device_mirostat_mu_tracks_host_semantics():
+    """device_mirostat's mu update must follow the v2 rule:
+    mu' = mu - eta * (surprise(token) - tau), with the sampled token's
+    surprise <= mu (or the argmax when nothing qualifies)."""
+    import jax
+    import jax.numpy as jnp
+    from rrs_tpu.runtime.sampler import device_mirostat
+
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.standard_normal((2, 64)) * 3.0, jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(1), 2)
+    temp = jnp.asarray([1.0, 0.7])
+    mu = jnp.asarray([6.0, 1e-4])      # lane 1: nothing qualifies -> argmax
+    eta = jnp.asarray([0.1, 0.1])
+    tau = jnp.asarray([5.0, 5.0])
+    tok, mu2 = device_mirostat(logits, keys, temp, mu, eta, tau)
+    lp = np.asarray(jax.nn.log_softmax(np.asarray(logits) /
+                                       np.asarray(temp)[:, None], axis=-1))
+    surprise = -lp / np.log(2.0)
+    t0, t1 = int(tok[0]), int(tok[1])
+    assert surprise[0, t0] <= float(mu[0]) + 1e-4
+    assert t1 == int(np.argmax(lp[1]))          # forced argmax lane
+    exp_mu0 = float(mu[0]) - 0.1 * (surprise[0, t0] - 5.0)
+    exp_mu1 = float(mu[1]) - 0.1 * (surprise[1, t1] - 5.0)
+    np.testing.assert_allclose(np.asarray(mu2), [exp_mu0, exp_mu1],
+                               rtol=1e-5)

@@ -175,3 +175,69 @@ def test_attention_sinks_q8_kv():
     ref = fa.attention_ref(q, k, v, pos, 0.125, sinks=sinks)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=0.05, atol=0.05)
+
+
+def test_alibi_matches_manual_softmax():
+    """ALiBi (round 4): the kernel's in-epilogue slope bias must match a
+    hand-rolled softmax with ggml_get_alibi_slope slopes and the
+    -(q_pos - kv_pos) mask values the reference feeds when use_alibi
+    (llama-kv-cache.cpp:1317). Non-power-of-2 head count exercises the
+    m1 branch."""
+    import jax
+    from rrs_tpu.ops.flash_attention import alibi_slopes_np
+
+    b, t, h, hkv, d, s = 1, 3, 6, 3, 64, 128
+    max_bias = 8.0
+    q, k, v = _case(b, t, h, hkv, d, s, seed=9)
+    pos = jnp.asarray(np.array([[5, 40, 99]], np.int32))
+    scale = 1.0 / np.sqrt(d)
+
+    slopes = alibi_slopes_np(h, max_bias)
+    # h=6, nhl2=4: heads 0-3 use m0^(h+1), heads 4-5 use m1^(2(h-4)+1)
+    nhl2 = 4
+    m0, m1 = 2.0 ** (-max_bias / nhl2), 2.0 ** (-max_bias / 2 / nhl2)
+    np.testing.assert_allclose(slopes[:4], [m0, m0**2, m0**3, m0**4],
+                               rtol=1e-6)
+    np.testing.assert_allclose(slopes[4:], [m1, m1**3], rtol=1e-6)
+
+    qf = np.asarray(q, np.float64)
+    kf = np.asarray(k, np.float64)
+    vf = np.asarray(v, np.float64)
+    g = h // hkv
+    want = np.zeros((b, t, h, d))
+    for ti in range(t):
+        p = int(pos[0, ti])
+        for hh in range(h):
+            kv = kf[0, hh // g]
+            sc = (qf[0, ti, hh] @ kv.T) * scale
+            dist = np.arange(s) - p
+            sc = sc + slopes[hh] * dist
+            sc[np.arange(s) > p] = -np.inf
+            e = np.exp(sc - sc.max())
+            want[0, ti, hh] = (e / e.sum()) @ vf[0, hh // g]
+
+    ref = np.asarray(attention_ref(q, k, v, pos, scale, alibi=max_bias))
+    got = np.asarray(flash_attention(q, k, v, pos, scale, alibi=max_bias,
+                                     interpret=True))
+    np.testing.assert_allclose(ref, want, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_alibi_q8_kv():
+    """ALiBi composes with the quantized-KV kernels."""
+    from rrs_tpu.runtime import kv_codec
+    from rrs_tpu.ops.flash_attention import flash_attention_q8
+
+    b, t, h, hkv, d, s = 1, 2, 4, 2, 64, 128
+    q, k, v = _case(b, t, h, hkv, d, s, seed=10)
+    pos = jnp.asarray(np.array([[30, 90]], np.int32))
+    scale = 1.0 / np.sqrt(d)
+    kq, ksr = kv_codec.quantize_rows(k, 127.0)
+    vq, vsr = kv_codec.quantize_rows(v, 127.0)
+    ks = ksr[:, :, None, :]                    # [B, H, 1, S]
+    vs = vsr[:, :, None, :]
+    kd, vd = kv_codec.dequantize(kq, ks), kv_codec.dequantize(vq, vs)
+    ref = np.asarray(attention_ref(q, kd, vd, pos, scale, alibi=4.0))
+    got = np.asarray(flash_attention_q8(q, kq, ks, vq, vs, pos, scale,
+                                        alibi=4.0, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

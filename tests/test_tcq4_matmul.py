@@ -203,3 +203,56 @@ def test_gx_viable_gate():
     assert gx_viable(1, 4096, 2560)       # o-shape: moderate K wins
     assert not gx_viable(8, 9728)         # a_exp VMEM blowup
     assert not gx_viable(32, 2560)        # MXU cost exceeds the DMA floor
+
+
+def test_tcq4_matmul_pb_matches_oracle():
+    """Paired-bias decode kernel (round 4): gi repack + biased bf16 bit
+    construction + bias-cancel dot must track the integer oracle within
+    the bf16 product-rounding bound (2^-9 * 31e per weight), across
+    decode and prefill M and multiple K-chunks."""
+    from rrs_tpu.formats.tcq4 import (quantize_tcq4, effective_scales,
+                                      unpack_nibbles)
+    from rrs_tpu.ops.tcq4_matmul import (
+        tcq4_matmul_pb, tcq4_matmul_ref, pack_gi_np, pack_gi_jnp,
+        pb_prepare)
+
+    rng = np.random.default_rng(11)
+    k, n = 1024, 256
+    w = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
+    t = quantize_tcq4(w)
+    eff32 = effective_scales(t).astype(np.float32)
+    qs_gi = pack_gi_np(t.qs)
+    # device repack must agree byte-for-byte with the host repack
+    np.testing.assert_array_equal(
+        np.asarray(pack_gi_jnp(jnp.asarray(t.qs))), qs_gi)
+    # gi layout must be a pure permutation: unpacking through the k_new
+    # map recovers the original codes
+    g = k // 32
+    lo = (qs_gi.astype(np.int8) << 4) >> 4
+    hi = qs_gi.astype(np.int8) >> 4
+    codes_new = np.stack([lo, hi], 1).reshape(k, n)      # k_new order
+    # k_new = j * G + g  <->  k_orig = g * 32 + j
+    j = np.arange(k) // g
+    gg = np.arange(k) % g
+    np.testing.assert_array_equal(codes_new[np.argsort(gg * 32 + j)],
+                                  unpack_nibbles(t.qs))
+
+    for m in (1, 4, 16):
+        a_q = rng.integers(-7, 8, (m, k)).astype(np.int8)
+        a_s = (rng.random((m, k // 256)) + 0.5).astype(np.float32)
+        from rrs_tpu.formats.tcq4 import dequantize_activations_rrs
+        a = dequantize_activations_rrs(jnp.asarray(a_q), jnp.asarray(a_s))
+        a_gi, ag24 = pb_prepare(a)
+        got = np.asarray(tcq4_matmul_pb(
+            a_gi, ag24, jnp.asarray(qs_gi),
+            jnp.asarray(eff32, jnp.bfloat16), bn=128, bk=2 * g,
+            interpret=True))
+        effb = np.asarray(jnp.asarray(eff32, jnp.bfloat16), np.float32)
+        ref = tcq4_matmul_ref(a_q, a_s, np.asarray(t.qs), effb)
+        denom = np.abs(ref).max() + 1e-9
+        rel = np.abs(got - ref) / denom
+        # bf16 rounding of (q+24)*e products + bf16 a. The m>1 bound is
+        # looser: the interpret-mode bf16 GEMM at bm>1 rounds differently
+        # from the bm=1 path (verified not to be cross-row contamination —
+        # identical batched rows produce identical outputs).
+        assert rel.max() < (3e-3 if m == 1 else 2e-2), (m, rel.max())
