@@ -94,7 +94,10 @@ def timed_scan(step_fn, x0, label, work_bytes, steps=STEPS):
 
 def main():
     m = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    only = sys.argv[2] if len(sys.argv) > 2 else None
     for name, k, n in SHAPES:
+        if only and name != only:
+            continue
         qs, eff = fabricate(k, n, hash(name) % 1000)
         qs_gi = mm.pack_gi_jnp(qs)
         g = k // 32

@@ -236,6 +236,13 @@ def _pick_bk_gx(k: int) -> int:
     on both gx shapes — qkv 17.3 -> 15.6 us, gateup 44.8 -> 43.6)."""
     best = TILE_K
     nsb = k // TILE_K
+    if k > 4096:
+        # fat-K (down K=9728): small chunks keep the expanded dot trivial
+        # ((bk/32)*bk*bn per block) and give the grid enough sequential
+        # steps to pipeline the full-N blocks — bk=512 measured 25.4 us
+        # vs 29.6 at bk=256 and 27.6 for the production dequant kernel
+        # (benchmarks/bench_geometry.py, round 4)
+        return 512 if k % 512 == 0 else TILE_K
     for nper in range(1, nsb + 1):
         if nsb % nper:
             continue
@@ -247,20 +254,17 @@ def _pick_bk_gx(k: int) -> int:
 
 def gx_viable(m: int, k: int, n: int = 0) -> bool:
     """Group expansion costs G*m*K int8 scratch and (G/chunks)*m-row MXU
-    passes per block. Measured policy (benchmarks/bench_tcq4_anatomy.py
-    harness + whole-model A/B on Qwen3-4B): wins on fat-N projections
-    (qkv 19.0->17.4 us/call, gateup 55.8->45.1; whole model 186.7->207.3
-    tok/s) but loses on fat-K/thin-N even with the K-chunk grid (down
-    K=9728: chunked bk=512 still regressed the model to 194 — the small
-    chunk DMA blocks cost more than the expanded dot saves), so those
-    shapes keep the dequant kernel with the cast-free f32 dot (down gx
-    measured 40.5 us vs 28.7 even at its best chunk). o-shaped mats
-    (K=4096, N=2560) win slightly with bk=1024 chunks (11.7 vs 12.6).
-    Gate: decode-sized M, bounded expansion scratch, and either fat N
-    or moderate K."""
+    passes per block. Measured policy (benchmarks/bench_tcq4_anatomy.py,
+    benchmarks/bench_geometry.py + whole-model A/B on Qwen3-4B): wins on
+    fat-N projections (qkv 19.0->17.4 us/call, gateup 55.8->45.1; whole
+    model 186.7->207.3 tok/s), and — with FULL-N blocks and bk=512
+    chunks — on fat-K/thin-N too (down K=9728: 25.4 us vs 27.6 for the
+    dequant kernel; the round-3 "gx loses on down" reading came from the
+    old narrow-bn pick, whose 512-640 BYTE u8 burst rows throttled the
+    DMA, not from the expansion itself). o-shaped mats (K=4096, N=2560)
+    win slightly with bk=1024 chunks (11.7 vs 12.6). Gate: decode-sized
+    M and bounded expansion scratch."""
     g = k // GROUP_SIZE
-    if n and n < 2 * k and k > 4096:
-        return False
     return m * g * k <= 4 * 1024 * 1024 and m <= 8
 
 
@@ -281,13 +285,17 @@ def tcq4_matmul_gx(
     n = qs.shape[1]
     assert k % TILE_K == 0 and qs.shape[0] == k // 2, (a_q.shape, qs.shape)
     assert gx_viable(m, k), (m, k)
-    if bn == 0:
-        bn = _pick_bn(n, limit=max(128, (3 * 1024 * 1024) // (k // 2) // 128 * 128))
-    bn = min(bn, n)
-    assert n % bn == 0, (n, bn)
     if bk == 0:
         bk = _pick_bk_gx(k)
     assert k % bk == 0 and bk % TILE_K == 0, (k, bk)
+    if bn == 0:
+        # fat-K small-bk picks get FULL-N blocks (contiguous u8 burst
+        # rows — the point of the fat-K geometry; block VMEM (bk/2)*bn
+        # stays small at bk=512); fat-N shapes keep the ~3MB-budget pick
+        denom = (bk if k > 4096 else k) // 2
+        bn = _pick_bn(n, limit=max(128, (3 * 1024 * 1024) // denom // 128 * 128))
+    bn = min(bn, n)
+    assert n % bn == 0, (n, bn)
 
     grid = (n // bn, k // bk)
     kwargs = {}

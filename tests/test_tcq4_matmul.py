@@ -193,13 +193,30 @@ def test_tcq4_matmul_gx_integer_exact():
         rel = np.abs(got - ref) / (np.abs(ref).max() + 1e-9)
         assert rel.max() < 1e-5, (m, rel.max())
 
+    # fat-K route (down-shaped, round 4): auto-pick must take bk=512 +
+    # full-N blocks and stay integer-exact
+    k, n = 5120, 128
+    w = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
+    t = quantize_tcq4(w)
+    eff32 = effective_scales(t).astype(np.float32)
+    assert gx_viable(1, k, n)
+    a_q = rng.integers(-7, 8, (1, k)).astype(np.int8)
+    a_s = (rng.random((1, k // 256)) + 0.5).astype(np.float32)
+    got = np.asarray(tcq4_matmul_gx(
+        jnp.asarray(a_q), jnp.asarray(a_s), jnp.asarray(t.qs),
+        jnp.asarray(eff32, jnp.bfloat16), interpret=True))
+    effb = np.asarray(jnp.asarray(eff32, jnp.bfloat16), np.float32)
+    ref = tcq4_matmul_ref(a_q, a_s, np.asarray(t.qs), effb)
+    rel = np.abs(got - ref) / (np.abs(ref).max() + 1e-9)
+    assert rel.max() < 1e-5, rel.max()
+
 
 def test_gx_viable_gate():
     from rrs_tpu.ops.tcq4_matmul import gx_viable
 
     assert gx_viable(1, 2560) and gx_viable(4, 2560)
     assert gx_viable(1, 2560, 6144) and gx_viable(1, 2560, 19456)
-    assert not gx_viable(1, 9728, 2560)   # fat-K/thin-N loses (measured)
+    assert gx_viable(1, 9728, 2560)       # fat-K wins with full-N blocks (r4)
     assert gx_viable(1, 4096, 2560)       # o-shape: moderate K wins
     assert not gx_viable(8, 9728)         # a_exp VMEM blowup
     assert not gx_viable(32, 2560)        # MXU cost exceeds the DMA floor
