@@ -124,11 +124,27 @@ def main(argv=None):
     im.add_argument("--max-chunks", type=int, default=20)
 
     b = sub.add_parser("bench", help="pp/tg throughput sweeps")
-    b.add_argument("--model", "-m", default=None)
-    b.add_argument("--preset", default="qwen3-4b")
-    b.add_argument("--pp", type=int, nargs="*", default=[512])
-    b.add_argument("--tg", type=int, nargs="*", default=[128])
-    b.add_argument("--json", action="store_true")
+    b.add_argument("--model", "-m", nargs="*", default=None)
+    b.add_argument("--preset", nargs="*", default=["qwen3-4b"])
+    b.add_argument("--pp", "-p", type=int, nargs="*", default=[512])
+    b.add_argument("--tg", "-n", type=int, nargs="*", default=[128])
+    b.add_argument("--pg", nargs="*", default=[], metavar="PP,TG",
+                   help="combined prefill+decode tests, e.g. 512,128")
+    b.add_argument("--depth", "-d", type=int, nargs="*", default=[0],
+                   help="prior KV depth for each test")
+    b.add_argument("--batch", "-b", type=int, nargs="*", default=[1],
+                   help="parallel decode lanes")
+    b.add_argument("--ctk", nargs="*", default=["bf16"],
+                   choices=["bf16", "f16", "q8_0", "q4_0"],
+                   help="KV cache K type(s)")
+    b.add_argument("--ctv", default=None,
+                   choices=["bf16", "f16", "q8_0", "q4_0"],
+                   help="KV cache V type (default: same as --ctk)")
+    b.add_argument("--reps", "-r", type=int, default=3)
+    b.add_argument("--output-format", "-o", default="md",
+                   choices=["md", "csv", "json", "jsonl", "sql"])
+    b.add_argument("--json", action="store_true",
+                   help="shorthand for -o jsonl")
     add_parallel_args(b)
 
     bb = sub.add_parser("batched-bench", help="parallel decode throughput grid")

@@ -326,3 +326,53 @@ def make_sharded_step(cfg: ModelConfig, mesh: Mesh):
         return jax.jit(fn)
 
     return make
+
+
+def make_sharded_scan(cfg: ModelConfig, mesh: Mesh, n_steps: int):
+    """Build the jitted SPMD greedy-decode SCAN over (dp, tp).
+
+    The multi-chip twin of llama_model.decode_scan (what bench.py times on
+    one chip): n_steps device-side greedy steps per dispatch, so the
+    measured number is the model + collectives, not host dispatch. Used by
+    benchmarks/bench_scaling.py to measure scaling efficiency, and by the
+    HLO-inspection test that pins the collective schedule (2 psums/layer +
+    1 logits all_gather per step, nothing else).
+
+    Returns make(weights) -> jitted (weights, first [B], pos0 [B], kc, vc)
+    -> (tokens [B, n_steps], last [B]); B sharded over dp, heads/ffn over tp.
+    """
+    tp = mesh.shape["tp"]
+    lcfg = _local_cfg(cfg, tp)
+
+    def scan_fn(weights, first, pos0, k_caches, v_caches):
+        fixup = None
+        if tp > 1:
+            def fixup(logits):
+                out = jax.lax.all_gather(logits, "tp", axis=-1, tiled=True)
+                return out[..., : cfg.vocab_size]
+        toks, last, _, _ = llama_model.decode_scan(
+            lcfg, weights, first, pos0, k_caches, v_caches, n_steps,
+            logits_fixup=fixup,
+        )
+        return toks, last
+
+    def make(weights):
+        wspecs = weight_pspecs(weights)
+        kv_spec = P("dp", None, None, None) if cfg.is_mla \
+            else P("dp", "tp", None, None)
+        fn = shard_map(
+            scan_fn,
+            mesh=mesh,
+            in_specs=(
+                wspecs,
+                P("dp"),                # first token
+                P("dp"),                # start_pos
+                [kv_spec] * cfg.n_layers,
+                [kv_spec] * cfg.n_layers,
+            ),
+            out_specs=(P("dp", None), P("dp")),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    return make
