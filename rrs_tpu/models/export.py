@@ -23,6 +23,9 @@ def export_random_gguf(
     dtype=np.float32,
     vocab_tokens: list[str] | None = None,
     expert_ggml_type=None,
+    vocab_model: str = "gpt2",
+    vocab_scores: list[float] | None = None,
+    vocab_types: list[int] | None = None,
 ):
     """Write a random-weight GGUF model matching ``cfg``.
 
@@ -78,8 +81,14 @@ def export_random_gguf(
                 w.add_uint32(f"{a}.expert_group_count", cfg.n_expert_groups)
                 w.add_uint32(f"{a}.expert_group_used_count", cfg.n_group_used)
     if vocab_tokens is not None:
-        w.add_string("tokenizer.ggml.model", "gpt2")
+        w.add_string("tokenizer.ggml.model", vocab_model)
         w.add_array("tokenizer.ggml.tokens", vocab_tokens)
+        if vocab_scores is not None:
+            w.add_array("tokenizer.ggml.scores",
+                        [float(s) for s in vocab_scores])
+        if vocab_types is not None:
+            w.add_array("tokenizer.ggml.token_type",
+                        [int(t) for t in vocab_types])
 
     def t(name, shape):
         arr = (rng.standard_normal(shape) * scale).astype(dtype)

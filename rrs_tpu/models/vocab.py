@@ -196,7 +196,7 @@ class Vocab:
             key=lambda p: len(p[0].encode("utf-8")), reverse=True,
         )
         self._byte_tokens: dict[int, int] = {}
-        if self.model == "llama":
+        if self.model in ("llama", "plamo2"):
             for b in range(256):
                 tid = self._token_to_id.get(f"<0x{b:02X}>")
                 if tid is not None:
@@ -293,6 +293,8 @@ class Vocab:
                 out.extend(self._encode_ugm(raw))
             elif self.model == "rwkv":
                 out.extend(self._encode_rwkv(frag))
+            elif self.model == "plamo2":
+                out.extend(self._encode_plamo2(frag))
             else:
                 raise NotImplementedError(f"tokenizer model {self.model!r}")
             is_first = False
@@ -433,6 +435,74 @@ class Vocab:
             else:
                 out.append(tid)
                 i = end
+        return out
+
+    def _encode_plamo2(self, text: str) -> list[int]:
+        """PLaMo-2 tokenizer (llm_tokenizer_plamo2,
+        llama-vocab.cpp:1242-1479): right-to-left Viterbi minimizing
+        sum(-round(score * 1e4)) over vocab pieces, with a heavily
+        penalized (UNKNOWN_SCORE = -1e7) single-codepoint fallback that
+        emits <0xXX> byte tokens for the codepoint's UTF-8 bytes. The
+        reference accelerates the per-position piece lookup with a
+        reversed-suffix automaton table; this computes the same optimum
+        with a direct bounded scan."""
+        import math
+
+        UNKNOWN = -10_000_000
+        if not hasattr(self, "_plamo2_pieces"):
+            pieces: dict[str, tuple[int, int]] = {}
+            maxlen = 1
+            for i, t in enumerate(self.tokens):
+                tt = (self.token_types[i] if self.token_types
+                      else TOKEN_TYPE_NORMAL)
+                if tt == TOKEN_TYPE_BYTE or not t:
+                    continue
+                sc = self.scores[i] if self.scores else 0.0
+                if not math.isfinite(sc):
+                    continue                      # INVALID_SCORE rows
+                pieces[t] = (i, int(round(sc * 1e4)))
+                maxlen = max(maxlen, len(t))
+            self._plamo2_pieces = pieces
+            self._plamo2_maxlen = maxlen
+        pieces, maxlen = self._plamo2_pieces, self._plamo2_maxlen
+
+        if text and text[0] == "﻿":          # BOM skip
+            text = text[1:]
+        n = len(text)
+        if n == 0:
+            return []
+        INF = 1 << 60
+        scores = [INF] * (n + 1)
+        scores[n] = 0
+        best: list[tuple[int, int]] = [(1, -1)] * n   # (cp_len, token_id)
+        for i in range(n - 1, -1, -1):
+            # longest-first, strict improvement = the reference's table
+            # order (prefix pieces in decreasing length, sentinel last)
+            s_best = INF
+            for ln in range(min(maxlen, n - i), 0, -1):
+                info = pieces.get(text[i:i + ln])
+                if info is None:
+                    continue
+                s = scores[i + ln] - info[1]
+                if s < s_best:
+                    s_best = s
+                    best[i] = (ln, info[0])
+            s_unk = scores[i + 1] - UNKNOWN
+            if s_unk < s_best:
+                s_best = s_unk
+                best[i] = (1, -1)
+            scores[i] = s_best
+
+        out: list[int] = []
+        pos = 0
+        while pos < n:
+            ln, tid = best[pos]
+            if tid >= 0:
+                out.append(tid)
+            else:
+                for b in text[pos].encode("utf-8"):
+                    out.append(self._byte_tokens[b])
+            pos += ln
         return out
 
     def _split_specials(self, text: str, parse_special: bool = True):
@@ -630,6 +700,13 @@ class Vocab:
                     parts.append(bytes([int(t[3:5], 16)]))
                 else:
                     parts.append(t.replace(SPIECE_UNDERLINE, " ").encode("utf-8"))
+            elif self.model == "plamo2":
+                # raw text pieces; <0xXX> byte tokens emit the byte
+                # (llama-vocab.cpp:3162-3178)
+                if ttype == TOKEN_TYPE_BYTE:
+                    parts.append(bytes([int(t[3:5], 16)]))
+                else:
+                    parts.append(t.encode("utf-8"))
             elif self.model == "gpt2":
                 if ttype in (TOKEN_TYPE_CONTROL, TOKEN_TYPE_USER_DEFINED):
                     parts.append(t.encode("utf-8"))

@@ -132,3 +132,35 @@ def test_ugm_tokenizer():
     # unknown chars collapse to one UNK
     enc2 = v.encode("hello ZZZ", add_special=False)
     assert enc2[0] == 2 and enc2[-1] == 0
+
+
+def test_plamo2_tokenizer():
+    """PLaMo-2 Viterbi + byte fallback (llm_tokenizer_plamo2,
+    llama-vocab.cpp:1242-1479): right-to-left DP maximizes the summed
+    round(score*1e4); unknown codepoints emit <0xXX> byte tokens for
+    their UTF-8 bytes."""
+    from rrs_tpu.models.vocab import Vocab
+
+    byte_toks = [f"<0x{b:02X}>" for b in range(256)]
+    # ids: 0..3 specials, 4..259 bytes, then pieces
+    toks = (["<|plamo:unk|>", "<|plamo:bos|>", "<|plamo:eos|>",
+             "<|plamo:pad|>"] + byte_toks
+            + ["hello", "hell", "o", " world", " wor", "ld", "h", "w"])
+    p0 = 4 + 256
+    scores = ([0.0] * 4 + [0.0] * 256
+              + [-1.0, -3.0, -2.5, -1.5, -3.0, -2.0, -4.0, -4.5])
+    ttypes = [3] * 4 + [6] * 256 + [1] * 8
+    v = Vocab(model="plamo2", tokens=toks, scores=scores,
+              token_types=ttypes, merges=None, unk_id=0, bos_id=1,
+              eos_id=2, add_bos=False, add_space_prefix=False)
+
+    # hello(-1.0)+ world(-1.5) = -2.5 beats hell+o+ wor+ld = -10.5
+    assert v.encode("hello world", add_special=False) == [p0, p0 + 3]
+    # unknown codepoint -> UTF-8 byte tokens ("Z" = 0x5A, "é" = C3 A9)
+    assert v.encode("Z", add_special=False) == [4 + 0x5A]
+    assert v.encode("é", add_special=False) == [4 + 0xC3, 4 + 0xA9]
+    # mixed: known pieces around a byte-fallback char
+    assert v.encode("helloZld", add_special=False) == [
+        p0, 4 + 0x5A, p0 + 5]
+    # decode round-trips text pieces and byte tokens
+    assert v.decode([p0, 4 + 0xC3, 4 + 0xA9, p0 + 3]) == "helloé world"
