@@ -165,7 +165,8 @@ def _store_cache(cache, new, cache_slots, mask_positions, window: int = 0):
         arr, sc = cache
         q, s_new = kv_codec.quantize_rows(new, kv_codec.kv_qmax(arr))
         if arr.dtype == jnp.uint8:                      # q4: packed nibbles
-            q = kv_codec.pack4(q)
+            q = kv_codec.pack_hp(q) if kv_codec.is_head_pair(arr, sc) \
+                else kv_codec.pack4(q)
         arr = store_arr(arr, q)
         sc = store_arr(sc.swapaxes(2, 3), s_new[..., None]).swapaxes(2, 3)
         return (arr, sc)
@@ -311,7 +312,7 @@ def attention(
     cfg: ModelConfig,
     lw: LayerWeights,
     x: jnp.ndarray,              # [B, T, E]
-    positions: jnp.ndarray,      # [B, T] int32 (rope)
+    positions: jnp.ndarray,      # [B, T] int32 (rope); [B, T, C] for M-RoPE
     k_cache: jnp.ndarray,        # [B, Hkv, S, D]
     v_cache: jnp.ndarray,        # [B, Hkv, S, D]
     mask_positions: jnp.ndarray, # [B, T] int32; row attends slots <= value, -1 = none
@@ -345,8 +346,17 @@ def attention(
         k = rms_norm(k, lw.k_norm, cfg.rms_eps)
 
     if not cfg.no_rope:
-        q = apply_rope(q, positions, rp, freq_factors=rope_factors)
-        k = apply_rope(k, positions, rp, freq_factors=rope_factors)
+        if cfg.rope_sections and positions.ndim == 3:
+            # M-RoPE (qwen2vl): positions carry (t, h, w[, e]) channels.
+            # 2D positions fall through to apply_rope — identical math
+            # when all channels are equal (pure-text qwen2vl).
+            from rrs_tpu.ops.basic import apply_mrope
+
+            q = apply_mrope(q, positions, rp, cfg.rope_sections)
+            k = apply_mrope(k, positions, rp, cfg.rope_sections)
+        else:
+            q = apply_rope(q, positions, rp, freq_factors=rope_factors)
+            k = apply_rope(k, positions, rp, freq_factors=rope_factors)
 
     # store new K/V into the kv-head-major cache (ggml_set_rows analog,
     # llama-graph.cpp:1736-1737); see _store_cache for the layout rules
@@ -374,7 +384,12 @@ def attention(
                                    softcap=softcap, window=window,
                                    sinks=sinks, alibi=alibi)
         elif k_cache[0].dtype == jnp.uint8:
-            ctx = fa.flash_attention_q4(
+            from rrs_tpu.runtime import kv_codec
+
+            q4_kern = (fa.flash_attention_q4hp
+                       if kv_codec.is_head_pair(*k_cache)
+                       else fa.flash_attention_q4)
+            ctx = q4_kern(
                 q, k_cache[0], k_cache[1], v_cache[0], v_cache[1],
                 mask_positions, scale, softcap=softcap, window=window,
                 sinks=sinks, alibi=alibi,

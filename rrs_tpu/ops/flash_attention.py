@@ -70,7 +70,8 @@ def _tile_real(pos, tq: int, bs: int, s0, s_total: int, window: int):
 def _flash_inner(pos, q, k, v, acc_ref, m_ref, l_ref, out_ref, *,
                  tq, g, d, bs, s_total, scale, softcap, window,
                  sink_ref=None, k_colscale=None, v_colscale=None,
-                 alibi: float = 0.0, n_heads: int = 0):
+                 alibi: float = 0.0, n_heads: int = 0,
+                 kv_bias: float = 0.0):
     """One S-tile of online softmax. q [TQ*G, D] f32; k/v [BS, D] f32.
 
     ``k_colscale``/``v_colscale`` ([BS] f32): per-KV-row dequant scales
@@ -80,7 +81,13 @@ def _flash_inner(pos, q, k, v, acc_ref, m_ref, l_ref, out_ref, *,
     over [BS, D]) hit a pathological Mosaic schedule: the q8 kernel ran
     105.3 us/step at S=8192 decode vs 40.7 with the epilogue form
     (2.6x), despite identical math — scale rows factor out of the dot
-    linearly."""
+    linearly.
+
+    ``kv_bias``: constant offset on every decoded K/V element (the q4
+    head-pair codec stores v+8 so the kernel's nibble extract needs no
+    sign handling); like the scales it factors out of both dots —
+    q.(k+c) = q.k + c*rowsum(q) and e_v.(v+c) = e_v.v + c*rowsum(e_v) —
+    so it too lands in the epilogue instead of per element."""
     si = pl.program_id(3)
     sink = None
     if sink_ref is not None:
@@ -105,7 +112,10 @@ def _flash_inner(pos, q, k, v, acc_ref, m_ref, l_ref, out_ref, *,
 
     scores = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale          # [TQ*G, BS]
+        preferred_element_type=jnp.float32)                  # [TQ*G, BS]
+    if kv_bias:
+        scores = scores - kv_bias * q.sum(axis=-1, keepdims=True)
+    scores = scores * scale
     if k_colscale is not None:
         scores = scores * k_colscale[None, :]
     if softcap:
@@ -142,9 +152,12 @@ def _flash_inner(pos, q, k, v, acc_ref, m_ref, l_ref, out_ref, *,
     corr = jnp.exp(m_prev - m_new)
     l_ref[...] = l_ref[...] * corr + e.sum(axis=-1, keepdims=True)
     e_v = e if v_colscale is None else e * v_colscale[None, :]
-    acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
+    pv = jax.lax.dot_general(
         e_v, v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    if kv_bias:
+        pv = pv - kv_bias * e_v.sum(axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * corr + pv
     m_ref[...] = m_new
 
     @pl.when(si == pl.num_programs(3) - 1)
@@ -231,6 +244,48 @@ def _kernel_q4_sink(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, sink_ref,
                  tq=tq, g=g, d=d, bs=bs, s_total=s_total, scale=scale,
                  softcap=softcap, window=window, sink_ref=sink_ref,
                  alibi=alibi, n_heads=n_heads, k_colscale=ksc, v_colscale=vsc)
+
+
+def _q4hp_kv(k_ref, v_ref, h):
+    """Head-pair nibble extract at FULL lane width: the [BS, D] u8 tile
+    holds TWO heads' packed elements; head h reads nibble h&1. 2 i32 ops
+    + one convert per element — vs the halves layout's 4 shifts at half
+    lane occupancy plus a lane-concat relayout (the round-3 q4 tax)."""
+    shift = (h & 1) * 4
+    k = ((k_ref[0, 0, :, :].astype(jnp.int32) >> shift) & 15
+         ).astype(jnp.float32)
+    v = ((v_ref[0, 0, :, :].astype(jnp.int32) >> shift) & 15
+         ).astype(jnp.float32)
+    return k, v
+
+
+def _kernel_q4hp(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref,
+                 acc_ref, m_ref, l_ref, *, tq, g, d, bs, s_total, scale,
+                 softcap, window, alibi=0.0, n_heads=0):
+    ksc = ks_ref[0, 0, 0, :]                                 # [BS] f32
+    vsc = vs_ref[0, 0, 0, :]
+    k, v = _q4hp_kv(k_ref, v_ref, pl.program_id(1))
+    q = q_ref[0, 0, :, :, :].reshape(tq * g, d).astype(jnp.float32)
+    _flash_inner(pos_ref[0, 0, :], q, k, v, acc_ref, m_ref, l_ref, out_ref,
+                 tq=tq, g=g, d=d, bs=bs, s_total=s_total, scale=scale,
+                 softcap=softcap, window=window, alibi=alibi,
+                 n_heads=n_heads, k_colscale=ksc, v_colscale=vsc,
+                 kv_bias=8.0)
+
+
+def _kernel_q4hp_sink(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
+                      sink_ref, out_ref, acc_ref, m_ref, l_ref, *, tq, g, d,
+                      bs, s_total, scale, softcap, window, alibi=0.0,
+                      n_heads=0):
+    ksc = ks_ref[0, 0, 0, :]
+    vsc = vs_ref[0, 0, 0, :]
+    k, v = _q4hp_kv(k_ref, v_ref, pl.program_id(1))
+    q = q_ref[0, 0, :, :, :].reshape(tq * g, d).astype(jnp.float32)
+    _flash_inner(pos_ref[0, 0, :], q, k, v, acc_ref, m_ref, l_ref, out_ref,
+                 tq=tq, g=g, d=d, bs=bs, s_total=s_total, scale=scale,
+                 softcap=softcap, window=window, sink_ref=sink_ref,
+                 alibi=alibi, n_heads=n_heads, k_colscale=ksc,
+                 v_colscale=vsc, kv_bias=8.0)
 
 
 def _kernel_q8_sink(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, sink_ref,
@@ -437,6 +492,69 @@ def flash_attention_q4(
     kern = _kernel_q4
     if sinks is not None:
         kern = _kernel_q4_sink
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(sinks, jnp.float32).reshape(hkv, g))
+    out = pl.pallas_call(
+        functools.partial(
+            kern, tq=tq, g=g, d=d, bs=bs, s_total=s, scale=scale,
+            softcap=softcap, window=window, alibi=alibi,
+            n_heads=q.shape[2],
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, tq, g, d),
+                               lambda b, h, i, si: (b, h, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, t_pad, g, d), q.dtype),
+        scratch_shapes=_scratch(tq, g, d),
+        interpret=interpret,
+    )(*args)
+    return out.transpose(0, 2, 1, 3, 4).reshape(b, t_pad, q.shape[2], d)[:, :t]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "softcap", "tq", "interpret", "window",
+                              "alibi")
+)
+def flash_attention_q4hp(
+    q: jnp.ndarray,          # [B, T, H, D]
+    k_q: jnp.ndarray,        # uint8 [B, Hkv/2, S, D] (head-pair, +8 biased)
+    k_s: jnp.ndarray,        # f32 [B, Hkv, 1, S]
+    v_q: jnp.ndarray,
+    v_s: jnp.ndarray,
+    positions: jnp.ndarray,  # [B, T] int32
+    scale: float,
+    softcap: float = 0.0,
+    tq: int = 0,
+    interpret: bool = False,
+    window: int = 0,
+    sinks=None,
+    alibi: float = 0.0,
+) -> jnp.ndarray:
+    """Attention over the head-pair packed-int4 KV cache (kv_codec.pack_hp
+    layout): half the q8 cache's HBM traffic AND full-lane decode tiles —
+    adjacent kv-head grid steps index the same packed block, so Mosaic's
+    pipeline fetches each byte once while both heads decode from it."""
+    hkv, s = k_s.shape[1], k_q.shape[2]
+    q5, pos3, b, t, t_pad, g, d, tq = _common(q, positions, hkv, s, tq)
+    bs = _pick_bs(s)
+    grid = (b, hkv, t_pad // tq, s // bs)
+    spec_kv = pl.BlockSpec((1, 1, bs, d),
+                           lambda b, h, i, si: (b, h // 2, si, 0),
+                           memory_space=pltpu.VMEM)
+    spec_sc = pl.BlockSpec((1, 1, 1, bs), lambda b, h, i, si: (b, h, 0, si),
+                           memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1, tq), lambda b, h, i, si: (b, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tq, g, d), lambda b, h, i, si: (b, h, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        spec_kv, spec_sc, spec_kv, spec_sc,
+    ]
+    args = [pos3, q5, k_q, k_s, v_q, v_s]
+    kern = _kernel_q4hp
+    if sinks is not None:
+        kern = _kernel_q4hp_sink
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(jnp.asarray(sinks, jnp.float32).reshape(hkv, g))
     out = pl.pallas_call(

@@ -40,6 +40,11 @@ class KVCache:
     # (positions == slots, the fast default). Only llama_memory_seq_div
     # (self-extend) makes this non-trivial.
     slot_pos: dict = dataclasses.field(default_factory=dict)
+    # lane -> int M-RoPE text-position delta (qwen2vl): after an image
+    # chunk, text positions resume at base + max(gh, gw), which trails the
+    # slot index — positions = slot + delta for all future text tokens
+    # (HF Qwen2VL get_rope_index / mtmd M-RoPE position tracking)
+    mrope_delta: dict = dataclasses.field(default_factory=dict)
 
     @property
     def n_lanes(self) -> int:
@@ -81,7 +86,13 @@ class KVCache:
                 return (jnp.zeros(shape, jnp.int8),
                         jnp.ones(sshape, jnp.float32))
             if quant == "q4":
-                # packed nibbles, halves layout (runtime/kv_codec.py)
+                # packed nibbles: head-pair layout (full-lane kernel
+                # tiles) for even head counts, halves fallback otherwise
+                # — see runtime/kv_codec.py
+                if cfg.kv_cache_heads % 2 == 0 and not cfg.is_mla:
+                    return (jnp.zeros((n_lanes, cfg.kv_cache_heads // 2,
+                                       sizes[li], dim), jnp.uint8),
+                            jnp.ones(sshape, jnp.float32))
                 return (jnp.zeros(shape[:-1] + (dim // 2,),
                                   jnp.uint8),
                         jnp.ones(sshape, jnp.float32))
@@ -116,6 +127,7 @@ class KVCache:
         self.seq_ids[lane] = seq_id
         self.lengths[lane] = 0
         self.slot_pos.pop(lane, None)
+        self.mrope_delta.pop(lane, None)
         return lane
 
     def mark_retained(self, seq_id: int) -> None:
@@ -139,6 +151,7 @@ class KVCache:
             self.lengths[lane] = 0
             self.retained.pop(seq_id, None)
             self.slot_pos.pop(lane, None)
+            self.mrope_delta.pop(lane, None)
         else:
             self.lengths[lane] = min(self.lengths[lane], p0)
 
@@ -163,6 +176,8 @@ class KVCache:
         self.lengths[dst] = n
         if src in self.slot_pos:
             self.slot_pos[dst] = self.slot_pos[src].copy()
+        if src in self.mrope_delta:
+            self.mrope_delta[dst] = self.mrope_delta[src]
 
     def seq_keep(self, seq_id: int) -> None:
         for s in list(self.seq_ids):
@@ -229,9 +244,14 @@ class KVCache:
                     from rrs_tpu.runtime import kv_codec
 
                     arr, sc = k
+                    hp = arr.dtype == jnp.uint8 \
+                        and kv_codec.is_head_pair(arr, sc)
                     # sc[lane]: [H, 1, S] -> per-(head, slot) scale column
                     scl = sc[lane][:, 0, :][:, :, None]
-                    if arr.dtype == jnp.uint8:
+                    if hp:
+                        lk = kv_codec.unpack_hp(arr[lane]).astype(
+                            jnp.float32) * scl
+                    elif arr.dtype == jnp.uint8:
                         lk = kv_codec.unpack4(arr[lane]).astype(
                             jnp.float32) * scl
                     else:
@@ -239,7 +259,9 @@ class KVCache:
                     new_k = rope_shift_k(lk)
                     q, s_new = kv_codec.quantize_rows(
                         new_k, kv_codec.kv_qmax(arr))
-                    if arr.dtype == jnp.uint8:
+                    if hp:
+                        q = kv_codec.pack_hp(q)
+                    elif arr.dtype == jnp.uint8:
                         q = kv_codec.pack4(q)
                     out_k.append((arr.at[lane].set(q),
                                   sc.at[lane, :, 0, :].set(s_new)))
@@ -269,22 +291,44 @@ class KVCache:
         self.lengths[lane] = n - n_discard
     def positions_row(self, lane: int, start: int, t: int):
         """Rope positions for t new tokens written at slots
-        [start, start+t) — identity unless seq_div remapped the lane."""
+        [start, start+t) — identity unless seq_div remapped the lane or
+        an M-RoPE image chunk (mrope_begin_image) introduced a delta."""
         import numpy as np
 
         sp = self.slot_pos.get(lane)
         if sp is None:
-            return np.arange(start, start + t, dtype=np.int32)
+            return np.arange(start, start + t, dtype=np.int32) \
+                + self.mrope_delta.get(lane, 0)
         return sp[start:start + t].copy()
 
     def pos_offset(self, lane: int) -> int:
         """position - slot for the lane's NEXT token (0 unless seq_div
-        compressed the cached positions; constant for all future slots)."""
+        compressed the cached positions or an M-RoPE image chunk trailed
+        them; constant for all future slots)."""
         sp = self.slot_pos.get(lane)
         if sp is None:
-            return 0
+            return self.mrope_delta.get(lane, 0)
         n = self.lengths[lane]
         return int(sp[min(n, self.max_seq - 1)]) - n
+
+    def mrope_begin_image(self, lane: int, gh: int, gw: int):
+        """Qwen2-VL M-RoPE positions for an image chunk of gh x gw MERGED
+        grid tokens about to be appended to this lane (HF Qwen2VL
+        get_rope_index / the mtmd helper's M-RoPE position tracking;
+        clip-impl.h:212 PROJECTOR_TYPE_QWEN2VL): channel t is frozen at
+        the chunk's base position while h/w walk the merged grid rows/
+        cols; subsequent text resumes at base + max(gh, gw). Returns the
+        chunk's [gh*gw, 3] (t, h, w) rope positions and records the
+        lane's future text-position delta."""
+        import numpy as np
+
+        base = self.lengths[lane] + self.mrope_delta.get(lane, 0)
+        r = np.arange(gh * gw, dtype=np.int32)
+        rows = np.stack([np.full(gh * gw, base, np.int32),
+                         base + r // gw, base + r % gw], axis=1)
+        self.mrope_delta[lane] = \
+            base + max(gh, gw) - (self.lengths[lane] + gh * gw)
+        return rows
 
     def seq_div(self, cfg, seq_id: int, p0: int, p1: int, d: int) -> None:
         """llama_memory_seq_div (llama.h:740; the main.cpp self-extend /
@@ -349,8 +393,13 @@ class KVCache:
                     from rrs_tpu.runtime import kv_codec
 
                     arr, sc = k
+                    hp = arr.dtype == jnp.uint8 \
+                        and kv_codec.is_head_pair(arr, sc)
                     scl = sc[lane][:, 0, :][:, :, None]
-                    if arr.dtype == jnp.uint8:
+                    if hp:
+                        lk = kv_codec.unpack_hp(arr[lane]).astype(
+                            jnp.float32) * scl
+                    elif arr.dtype == jnp.uint8:
                         lk = kv_codec.unpack4(arr[lane]).astype(
                             jnp.float32) * scl
                     else:
@@ -360,7 +409,9 @@ class KVCache:
                     )[0].transpose(1, 0, 2)
                     q, s_new = kv_codec.quantize_rows(
                         rk, kv_codec.kv_qmax(arr))
-                    if arr.dtype == jnp.uint8:
+                    if hp:
+                        q = kv_codec.pack_hp(q)
+                    elif arr.dtype == jnp.uint8:
                         q = kv_codec.pack4(q)
                     out_k.append((arr.at[lane].set(q),
                                   sc.at[lane, :, 0, :].set(s_new)))

@@ -43,20 +43,30 @@ def _check_header(meta: dict, cfg):
 
 
 def _np_dequant(arr: np.ndarray, sc: np.ndarray) -> np.ndarray:
-    """numpy mirror of runtime/kv_codec.dequantize (arr [..., S, D or D/2],
-    sc [..., S])."""
+    """numpy mirror of runtime/kv_codec.dequantize (arr [..., H?, S, D or
+    D/2], sc [..., H, S]); handles both q4 layouts (head-pair detected by
+    the halved head plane count)."""
     if arr.dtype == np.uint8:
         a32 = arr.astype(np.int32)
-        arr = np.concatenate([(a32 << 28) >> 28, (a32 << 24) >> 28], axis=-1)
+        if arr.ndim >= 3 and arr.shape[-3] * 2 == sc.shape[-2]:  # head-pair
+            st = np.stack([(a32 & 15) - 8, (a32 >> 4) - 8], axis=-3)
+            arr = st.reshape(st.shape[:-4] + (st.shape[-4] * 2,)
+                             + st.shape[-2:])
+        else:
+            arr = np.concatenate([(a32 << 28) >> 28, (a32 << 24) >> 28],
+                                 axis=-1)
     return arr.astype(np.float32) * sc[..., None]
 
 
-def _np_requant(data: np.ndarray, u8: bool):
-    """f32 [..., D] -> (stored values, scales [...])."""
+def _np_requant(data: np.ndarray, u8: bool, hp: bool = False):
+    """f32 [..., H, S, D] -> (stored values, scales [...])."""
     qmax = 7.0 if u8 else 127.0
     sc = np.maximum(np.abs(data).max(-1) / qmax, 1e-10)
     q = np.clip(np.rint(data / sc[..., None]), -qmax, qmax).astype(np.int8)
-    if u8:
+    if u8 and hp:
+        b = (q.astype(np.int32) + 8).astype(np.uint8)
+        q = b[..., 0::2, :, :] | (b[..., 1::2, :, :] << 4)
+    elif u8:
         d = q.shape[-1]
         q = ((q[..., : d // 2].astype(np.uint8) & 0xF)
              | ((q[..., d // 2:].astype(np.uint8) & 0xF) << 4))
@@ -119,7 +129,8 @@ def load_state(ctx, path: str | Path) -> None:
             if isinstance(c, tuple):
                 arr, sc = c
                 n = min(n, arr.shape[2])
-                q, s = _np_requant(data[:, :, :n], arr.dtype == jnp.uint8)
+                q, s = _np_requant(data[:, :, :n], arr.dtype == jnp.uint8,
+                                   hp=arr.shape[1] * 2 == sc.shape[1])
                 arr = arr.at[:, :, :n].set(jnp.asarray(q, arr.dtype))
                 sc = sc.at[:, :, 0, :n].set(jnp.asarray(s, jnp.float32))
                 return (arr, sc)
@@ -180,7 +191,8 @@ def load_sequence(ctx, path: str | Path):
             nl = data.shape[1]
             if isinstance(c, tuple):
                 arr, sc = c
-                q, s = _np_requant(data, arr.dtype == jnp.uint8)
+                q, s = _np_requant(data, arr.dtype == jnp.uint8,
+                                   hp=arr.shape[1] * 2 == sc.shape[1])
                 arr = arr.at[lane, :, :nl].set(jnp.asarray(q, arr.dtype))
                 sc = sc.at[lane, :, 0, :nl].set(jnp.asarray(s, jnp.float32))
                 return (arr, sc)

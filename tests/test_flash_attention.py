@@ -95,6 +95,37 @@ def test_q8_variant_matches_dequant_ref():
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
+def test_q4hp_variant_matches_dequant_ref():
+    """Head-pair packed-int4 kernel (full-lane decode + biased nibbles,
+    kv_bias epilogue) vs the dequantized oracle — with softcap, a
+    sliding window and sinks in the mix."""
+    from rrs_tpu.ops.flash_attention import flash_attention_q4hp
+    from rrs_tpu.runtime import kv_codec
+
+    b, t, h, hkv, d, s = 1, 2, 8, 4, 64, 128
+    rng = np.random.default_rng(12)
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    kf = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    kq, ks = kv_codec.quantize_rows(kf, 7.0)
+    vq, vs = kv_codec.quantize_rows(vf, 7.0)
+    khp, vhp = kv_codec.pack_hp(kq), kv_codec.pack_hp(vq)
+    ks4 = jnp.asarray(np.asarray(ks)[:, :, None, :])
+    vs4 = jnp.asarray(np.asarray(vs)[:, :, None, :])
+    pos = jnp.asarray(np.array([[64, 65]], np.int32))
+    scale = 0.125
+    kd = kv_codec.dequantize(khp, ks4)
+    vd = kv_codec.dequantize(vhp, vs4)
+    sinks = np.linspace(-1.0, 1.0, h).astype(np.float32)
+    for kw in ({}, {"softcap": 5.0}, {"window": 32},
+               {"sinks": jnp.asarray(sinks)}):
+        ref = np.asarray(attention_ref(q, kd, vd, pos, scale, **kw))
+        got = np.asarray(flash_attention_q4hp(
+            q, khp, ks4, vhp, vs4, pos, scale, interpret=True, **kw))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4,
+                                   err_msg=str(kw))
+
+
 def test_flash_s_tiling_matches_ref():
     """Online-softmax S-tiling (S=512, bs divides into multiple tiles) must
     match the naive oracle, including windowed rows whose early tiles are

@@ -58,9 +58,10 @@ def test_q4_kv_close_to_bf16(model):
 
     ctx_q = InferenceContext(cfg, w, n_lanes=1, max_seq=32, kv_quant="q4")
     sq = ctx_q.new_sequence()
-    # cache array really is half-width packed uint8
+    # even Hkv: head-pair layout — full-D u8 planes, half the head count
     arr = ctx_q.kv.k[0][0]
-    assert arr.dtype == np.uint8 and arr.shape[-1] == cfg.head_dim // 2
+    assert arr.dtype == np.uint8 and arr.shape[-1] == cfg.head_dim
+    assert arr.shape[1] == cfg.n_kv_heads // 2
     lq = ctx_q.prefill(sq, toks)
 
     np.testing.assert_allclose(lq, lf, rtol=2e-1, atol=2e-1)
@@ -111,3 +112,35 @@ def test_q4_codec_roundtrip():
     deq = np.asarray(back).astype(np.float32) * np.asarray(s)[..., None]
     rel = np.abs(deq - np.asarray(x)).max() / np.abs(np.asarray(x)).max()
     assert rel < 0.15
+
+
+def test_q4_head_pair_codec_roundtrip():
+    import jax.numpy as jnp
+
+    from rrs_tpu.runtime import kv_codec
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, 64)), jnp.float32)
+    q, s = kv_codec.quantize_rows(x, 7.0)
+    packed = kv_codec.pack_hp(q)
+    assert packed.dtype == jnp.uint8 and packed.shape == (2, 2, 8, 64)
+    back = kv_codec.unpack_hp(packed)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(q))
+    sc = jnp.asarray(np.asarray(s)[:, :, None, :])      # [B, H, 1, S]
+    assert kv_codec.is_head_pair(packed, sc)
+    deq = kv_codec.dequantize(packed, sc)
+    ref = np.asarray(q).astype(np.float32) * np.asarray(s)[..., None]
+    np.testing.assert_allclose(np.asarray(deq), ref, atol=1e-6)
+
+
+def test_q4_odd_heads_halves_fallback():
+    """Odd kv-head configs keep the halves layout (no head pairing)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(PRESETS["tiny"], n_kv_heads=1, n_heads=2)
+    w = random_weights(cfg, seed=1)
+    ctx = InferenceContext(cfg, w, n_lanes=1, max_seq=16, kv_quant="q4")
+    arr = ctx.kv.k[0][0]
+    assert arr.shape[1] == 1 and arr.shape[-1] == cfg.head_dim // 2
+    out = ctx.generate([1, 2, 3], 4)
+    assert len(out) == 4
