@@ -210,6 +210,9 @@ def main(argv=None):
     ch.add_argument("model_dir")
     ch.add_argument("out")
     ch.add_argument("--outtype", default="f32", choices=["f32", "f16"])
+    ch.add_argument("--mmproj", action="store_true",
+                    help="extract the VLM vision tower into an mmproj GGUF "
+                         "instead of converting the language model")
 
     s = sub.add_parser("serve", help="OpenAI-compatible HTTP server")
     s.add_argument("--model", "-m", required=True)
@@ -345,10 +348,11 @@ def main(argv=None):
               f"free={r.free_bytes/1e9:.2f}GB")
     elif args.cmd == "convert-hf":
         import numpy as np
-        from rrs_tpu.tools.convert_hf import convert_hf_to_gguf
-        out = convert_hf_to_gguf(
-            args.model_dir, args.out,
-            out_dtype=np.float16 if args.outtype == "f16" else np.float32)
+        from rrs_tpu.tools.convert_hf import (convert_hf_mmproj,
+                                              convert_hf_to_gguf)
+        fn = convert_hf_mmproj if args.mmproj else convert_hf_to_gguf
+        out = fn(args.model_dir, args.out,
+                 out_dtype=np.float16 if args.outtype == "f16" else np.float32)
         print(f"wrote {out}")
     elif args.cmd == "serve":
         from rrs_tpu.serving.server import serve

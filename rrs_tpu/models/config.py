@@ -75,6 +75,9 @@ class ModelConfig:
     sandwich_norm: bool = False      # gemma2/3 post-attn + post-ffn norms
     ffn_act: str = "silu"            # "silu" | "gelu"
     rope_rot_dim: int = 0            # partial rotary (phi3); 0 => head_dim
+    # M-RoPE (qwen2vl): per-channel freq-dim counts over rot/2 (t, h, w[, e]);
+    # () => standard rope ({arch}.rope.dimension_sections, ggml_rope_multi)
+    rope_sections: tuple = ()
     # recurrent (Mamba) hparams (llama-hparams.h:133-136)
     ssm_d_conv: int = 0
     ssm_d_inner: int = 0
@@ -203,6 +206,12 @@ class ModelConfig:
                 attn_scale=(1.0 / (n_embd / n_heads) ** 0.5) if n_layers == 62
                            else (1.0 / head_dim ** 0.5),
             )
+        elif arch == "qwen2vl":
+            # LLM_ARCH_QWEN2VL (llama-model.cpp load_hparams + qwen2vl.cpp):
+            # qwen2 body (qkv biases) + M-RoPE over 4 position sections
+            sect = md.get(f"{arch}.rope.dimension_sections")
+            if sect is not None:
+                extra.update(rope_sections=tuple(int(s) for s in sect))
         elif arch in ("mistral", "llama", "phi3", "qwen2", "qwen3",
                       "qwen2moe", "qwen3moe"):
             # generic sliding window: all layers SWA when the KV is present
@@ -294,7 +303,7 @@ class ModelConfig:
             # interleaved (NORM) rope; qwen/neox-style archs use split-half.
             rope_neox=arch not in ("llama",),
             qk_norm=arch in ("qwen3", "qwen3moe", "gemma3"),
-            attn_bias=arch in ("qwen2", "qwen2moe", "gpt-oss"),
+            attn_bias=arch in ("qwen2", "qwen2vl", "qwen2moe", "gpt-oss"),
             tie_embeddings=bool(md.get(f"{arch}.tie_word_embeddings", False)),
             n_experts=int(key("expert_count", 0) or 0),
             n_experts_used=int(key("expert_used_count", 0) or 0),

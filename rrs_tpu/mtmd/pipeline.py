@@ -11,7 +11,9 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from rrs_tpu.mtmd.clip import ClipConfig, ClipWeights, encode_image, preprocess_image
+from rrs_tpu.mtmd.clip import (ClipConfig, ClipWeights, encode_image,
+                               encode_image_qwen2vl, preprocess_image,
+                               preprocess_image_qwen2vl)
 
 IMAGE_MARKER = "<__image__>"     # mtmd's default media marker
 
@@ -57,12 +59,30 @@ def decode_audio_b64(data: str, fmt: str = "wav") -> np.ndarray:
 
 
 def embed_images(cfg: ClipConfig, weights: ClipWeights, images) -> list:
-    """Encode images -> list of [n_patches, n_embd_llm] numpy chunks."""
+    """Encode images -> list of [n_patches, n_embd_llm] numpy chunks.
+    qwen2vl_merger projectors return (chunk, (gh, gw)) tuples instead —
+    the MERGED llm grid rides along for M-RoPE positions."""
     out = []
     for img in images:
-        patches = jnp.asarray(preprocess_image(img, cfg))
-        out.append(np.asarray(encode_image(cfg, weights, patches)))
+        if cfg.projector_type == "qwen2vl_merger":
+            patches, (gh, gw) = preprocess_image_qwen2vl(img, cfg)
+            emb = encode_image_qwen2vl(cfg, weights, jnp.asarray(patches),
+                                       (gh, gw))
+            m = cfg.spatial_merge
+            out.append((np.asarray(emb), (gh // m, gw // m)))
+        else:
+            patches = jnp.asarray(preprocess_image(img, cfg))
+            out.append(np.asarray(encode_image(cfg, weights, patches)))
     return out
+
+
+def _prefill_chunk(ctx, seq_id: int, chunk):
+    """One image chunk -> prefill_embeds, with the M-RoPE grid when the
+    chunk carries one (qwen2vl)."""
+    if isinstance(chunk, tuple):
+        emb, grid = chunk
+        return ctx.prefill_embeds(seq_id, emb, mrope_grid=grid)
+    return ctx.prefill_embeds(seq_id, chunk)
 
 
 def multimodal_prefill(ctx, vocab, seq_id: int, prompt: str,
@@ -81,7 +101,7 @@ def multimodal_prefill(ctx, vocab, seq_id: int, prompt: str,
             if toks:
                 logits = ctx.prefill(seq_id, toks)
         if i < len(image_chunks):
-            logits = ctx.prefill_embeds(seq_id, image_chunks[i])
+            logits = _prefill_chunk(ctx, seq_id, image_chunks[i])
     if logits is None:
         raise ValueError("empty multimodal prompt")
     return logits[-1]

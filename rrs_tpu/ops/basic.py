@@ -138,11 +138,17 @@ def apply_rope(
                 1.0 + math.log(p.scale_factor) / math.log(p.orig_context))
 
     angles = positions[..., None].astype(jnp.float32) * inv_freq  # [..., T, rot//2]
+    return _rotate(x, angles, mscale, rot, p.neox).astype(dt)
+
+
+def _rotate(x, angles, mscale, rot: int, neox: bool):
+    """Apply the rotation given per-(position, freq-dim) angles
+    [..., T, rot//2]; x [..., T, H, D]. Returns f32."""
     cos = (jnp.cos(angles) * mscale)[..., None, :]                # [..., T, 1, rot//2]
     sin = (jnp.sin(angles) * mscale)[..., None, :]
 
     xr = x[..., :rot].astype(jnp.float32)
-    if p.neox:
+    if neox:
         x1 = xr[..., : rot // 2]
         x2 = xr[..., rot // 2 :]
         o1 = x1 * cos - x2 * sin
@@ -154,6 +160,37 @@ def apply_rope(
         o1 = x1 * cos - x2 * sin
         o2 = x2 * cos + x1 * sin
         out = jnp.stack([o1, o2], axis=-1).reshape(xr.shape)
-    if rot < p.head_dim:
+    if rot < x.shape[-1]:
         out = jnp.concatenate([out, x[..., rot:].astype(jnp.float32)], axis=-1)
-    return out.astype(dt)
+    return out
+
+
+def apply_mrope(
+    x: jnp.ndarray,            # [..., T, n_heads, head_dim]
+    positions: jnp.ndarray,    # [..., T, C] int32 multi-channel (t, h, w[, e])
+    p: RopeParams,
+    sections: tuple,           # per-channel freq-dim counts over rot//2
+) -> jnp.ndarray:
+    """Multimodal rotary (GGML_ROPE_TYPE_MROPE, ggml_rope_multi; HF Qwen2-VL
+    ``apply_multimodal_rotary_pos_emb``): frequency dim j < rot/2 takes its
+    angle from the position channel whose section contains j —
+    qwen2vl's sections (16, 24, 24) split head_dim 128's 64 freq dims
+    into temporal/height/width bands (clip-impl.h QWEN2VL M-RoPE;
+    {arch}.rope.dimension_sections). With all channels equal this equals
+    apply_rope exactly."""
+    dt = x.dtype
+    rot = p.rot_dim or p.head_dim
+    inv_freq = rope_frequencies(p)
+    parts = []
+    j = 0
+    for c, s in enumerate(sections):
+        if s <= 0:
+            continue
+        pc = positions[..., c].astype(jnp.float32)     # [..., T]
+        parts.append(pc[..., None] * inv_freq[j:j + s])
+        j += s
+    if j != rot // 2:
+        raise ValueError(f"rope sections {sections} sum to {j}, "
+                         f"need rot/2 = {rot // 2}")
+    angles = jnp.concatenate(parts, axis=-1)           # [..., T, rot//2]
+    return _rotate(x, angles, p.attn_factor, rot, p.neox).astype(dt)

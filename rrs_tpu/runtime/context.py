@@ -10,6 +10,7 @@ compiled executable, zero re-trace.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -215,9 +216,10 @@ class InferenceContext:
              last_only: bool = False):
         fn = self._step_last_fn if last_only else self._step_fn
         kwargs = {}
-        if self.kv.slot_pos and self.mesh is None:
-            # seq_div remapped some lane's positions: feed absolute rope
-            # positions per row (slots/masks stay derived from start_pos)
+        if (self.kv.slot_pos or self.kv.mrope_delta) and self.mesh is None:
+            # seq_div remapped some lane's positions (or an M-RoPE image
+            # chunk trailed them): feed absolute rope positions per row
+            # (slots/masks stay derived from start_pos)
             b, t = tokens_np.shape
             rows = np.zeros((b, t), np.int32)
             for lane in range(b):
@@ -392,9 +394,15 @@ class InferenceContext:
         self.t_prefill_s += _time.perf_counter() - t0
         return out
 
-    def prefill_embeds(self, seq_id: int, embeds: np.ndarray) -> np.ndarray:
+    def prefill_embeds(self, seq_id: int, embeds: np.ndarray,
+                       mrope_grid=None) -> np.ndarray:
         """Feed raw input embeddings [T, E] (multimodal image chunks; the
-        llama_batch.embd path). Returns logits [T, V]."""
+        llama_batch.embd path). Returns logits [T, V].
+
+        ``mrope_grid`` ((gh, gw) MERGED llm grid): qwen2vl image chunks
+        carry 3-channel (t, h, w) M-RoPE positions for the grid and leave
+        the lane's future text positions trailing the slot index
+        (kv_cache.mrope_begin_image)."""
         lane = self.kv.lane_of(seq_id)
         b = self.kv.n_lanes
         if not hasattr(self, "_embd_step"):
@@ -405,7 +413,8 @@ class InferenceContext:
 
                 cfg = _sh._local_cfg(cfg, mesh.shape["tp"])
 
-            def step(weights, emb, start_pos, k_caches, v_caches):
+            def step(weights, emb, start_pos, k_caches, v_caches,
+                     pos_row=None):
                 bb, t, _ = emb.shape
                 s = max((c[0] if isinstance(c, tuple) else c).shape[2]
                         for c in k_caches)
@@ -414,7 +423,8 @@ class InferenceContext:
                 safe_slots = jnp.where(start_pos[:, None] < 0, s - t,
                                        jnp.clip(pos, 0, s - 1))
                 logits, nk, nv = llama_model.forward(
-                    cfg, weights, jnp.zeros((bb, t), jnp.int32), pos,
+                    cfg, weights, jnp.zeros((bb, t), jnp.int32),
+                    pos if pos_row is None else pos_row,
                     k_caches, v_caches, mask_pos, safe_slots, embeds=emb)
                 if mesh is not None:
                     logits = jax.lax.all_gather(logits, "tp", axis=-1,
@@ -441,9 +451,24 @@ class InferenceContext:
         start = np.full((b,), -1, np.int32)
         emb[lane] = embeds
         start[lane] = self.kv.lengths[lane]
+        kwargs = {}
+        if mrope_grid is not None:
+            if self.mesh is not None:
+                raise NotImplementedError("M-RoPE image chunks under a mesh")
+            gh, gw = mrope_grid
+            assert gh * gw == t, (mrope_grid, t)
+            rows = np.zeros((b, t, 3), np.int32)
+            rows[lane] = self.kv.mrope_begin_image(lane, gh, gw)
+            kwargs["pos_row"] = jnp.asarray(rows)
+        elif self.mesh is None and (
+                self.kv.mrope_delta.get(lane)
+                or self.kv.slot_pos.get(lane) is not None):
+            rows = np.zeros((b, t), np.int32)
+            rows[lane] = self.kv.positions_row(lane, self.kv.lengths[lane], t)
+            kwargs["pos_row"] = jnp.asarray(rows)
         logits, nk, nv = self._embd_step(
             self.weights, jnp.asarray(emb, jnp.bfloat16),
-            jnp.asarray(start, jnp.int32), self.kv.k, self.kv.v)
+            jnp.asarray(start, jnp.int32), self.kv.k, self.kv.v, **kwargs)
         self.kv.k, self.kv.v = nk, nv
         self.kv.lengths[lane] += t
         self.n_prefill_tokens += t
@@ -474,10 +499,14 @@ class InferenceContext:
 
     # -- device-side multi-token decode (serving fast path) ----------------
 
-    # 16 tokens/dispatch puts served decode within ~1.3x of the benched
-    # scan through the ~30ms relay dispatch cost; overshoot past a stop is
-    # rewound (bounded waste)
-    DECODE_RUN_STEPS = 16
+    # tokens/dispatch for the serving fast path; overshoot past a stop is
+    # rewound (bounded waste). Measured (bench_served, real v5e): the
+    # pipelined engine still pays ~26 ms of relay dispatch per run, so
+    # per-token overhead scales 1/n: 16 -> 163.6 tok/s, 24 -> ~180.
+    # 24 (not 32) keeps slots with the default penalty_last_n=64 window
+    # on the fast path (the eviction schedule needs last_n >= 2n — see
+    # _fast_eligible) and keeps streaming bursts under ~150 ms.
+    DECODE_RUN_STEPS = int(os.environ.get("RRS_DECODE_RUN_STEPS", "24"))
 
     def _decode_run_fn(self, n_steps: int, xtc: bool = False,
                        mir: bool = False):

@@ -636,6 +636,11 @@ class Engine:
             if kind == "embeds":
                 logits = self.ctx.prefill_embeds(s.seq_id, payload)
                 self.n_prompt_tokens += payload.shape[0]
+            elif kind == "embeds_mrope":
+                emb, grid = payload        # qwen2vl (emb, merged llm grid)
+                logits = self.ctx.prefill_embeds(s.seq_id, emb,
+                                                 mrope_grid=grid)
+                self.n_prompt_tokens += emb.shape[0]
             else:
                 logits = self.ctx.prefill(s.seq_id, list(payload) or [0],
                                           all_logits=False)
@@ -747,6 +752,8 @@ class Engine:
         kv = self.ctx.kv
         if kv.slot_pos.get(kv.lane_of(s.seq_id)) is not None:
             return False     # seq_div'd lane: rope positions != slots
+        if kv.mrope_delta.get(kv.lane_of(s.seq_id)):
+            return False     # M-RoPE image lane: positions trail slots
         if (self.ctx._penalties_active(p)
                 and 0 <= p.penalty_last_n < 2 * n):
             # (negative last_n = whole-history window, which never evicts

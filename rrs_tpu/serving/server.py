@@ -660,7 +660,12 @@ def make_handler(state: ServerState):
                             segments.append(("tokens", self.st.vocab.encode(
                                 piece, add_special=False)))
                         if i < len(chunks):
-                            segments.append(("embeds", chunks[i]))
+                            # qwen2vl chunks are (emb, merged grid) — the
+                            # grid drives M-RoPE positions at prefill
+                            kind = ("embeds_mrope"
+                                    if isinstance(chunks[i], tuple)
+                                    else "embeds")
+                            segments.append((kind, chunks[i]))
                 try:
                     gen = self._run_request(
                         toks, body, stop_strings=chat_stops,

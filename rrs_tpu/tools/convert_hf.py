@@ -78,6 +78,7 @@ _ARCH_MAP = {
     "DeepseekV3ForCausalLM": "deepseek2",
     "GptOssForCausalLM": "gpt-oss",
     "Phi3ForCausalLM": "phi3",
+    "Qwen2VLForConditionalGeneration": "qwen2vl",
 }
 
 
@@ -149,6 +150,11 @@ def convert_hf_to_gguf(model_dir: str | Path, out_path: str | Path,
     if cfg.get("model_type") == "gemma3" and "text_config" in cfg:
         arch_list = cfg.get("architectures", [])
         cfg = {**cfg["text_config"], "architectures": arch_list}
+    elif "text_config" in cfg:
+        # VLM configs (qwen2_vl): LLM params live top-level AND nested;
+        # pull up anything only present in text_config (e.g. rope_theta)
+        cfg = {**cfg, **{k: v for k, v in cfg["text_config"].items()
+                         if k not in cfg}}
     arch_name = (cfg.get("architectures") or ["?"])[0]
     if arch_name not in _ARCH_MAP:
         raise ValueError(f"unsupported architecture {arch_name}; "
@@ -277,6 +283,14 @@ def convert_hf_to_gguf(model_dir: str | Path, out_path: str | Path,
                           cfg.get("attn_logit_softcapping", 50.0))
             w.add_float32(f"{a}.final_logit_softcapping",
                           cfg.get("final_logit_softcapping", 30.0))
+        if a == "qwen2vl":
+            # M-RoPE sections (Qwen2VLModel.set_gguf_parameters in the
+            # reference converter: rope_scaling.mrope_section padded to 4)
+            rs = cfg.get("rope_scaling") or {}
+            sect = list(rs.get("mrope_section") or [])
+            if sect:
+                sect = (sect + [0] * 4)[:4]
+                w.add_array(f"{a}.rope.dimension_sections", sect)
         rs = cfg.get("rope_scaling") or {}
         if rs.get("rope_type") == "llama3" or rs.get("type") == "llama3":
             w.add_string(f"{a}.rope.scaling.type", "llama3")
@@ -302,6 +316,9 @@ def convert_hf_to_gguf(model_dir: str | Path, out_path: str | Path,
         if any(k.startswith(cand) for k in sd):
             pfx = cand
             break
+    if f"{pfx}language_model.embed_tokens.weight" in sd:
+        # VLM checkpoints (newer transformers layout) nest the text model
+        pfx += "language_model."
     if a == "mamba":
         emb = sd[f"{pfx}embeddings.weight"] if f"{pfx}embeddings.weight" in sd \
             else sd[f"{pfx}embed_tokens.weight"]
@@ -488,5 +505,84 @@ def convert_hf_to_gguf(model_dir: str | Path, out_path: str | Path,
     put_norm("output_norm.weight", sd[f"{pfx}norm.weight"])
     if not tie and "lm_head.weight" in sd:
         put("output.weight", sd["lm_head.weight"])
+    w.write()
+    return Path(out_path)
+
+
+def convert_hf_mmproj(model_dir: str | Path, out_path: str | Path,
+                      out_dtype=np.float32) -> Path:
+    """Extract the vision tower of a VLM checkpoint into an mmproj GGUF
+    (the reference's --mmproj converter mode; clip-impl.h tensor/KV names).
+    Supports Qwen2-VL (PROJECTOR_TYPE_QWEN2VL: conv3d stem split into two
+    temporal slices, fused qkv split, merger MLP)."""
+    model_dir = Path(model_dir)
+    cfg = json.loads((model_dir / "config.json").read_text())
+    arch_name = (cfg.get("architectures") or ["?"])[0]
+    if arch_name != "Qwen2VLForConditionalGeneration" \
+            and cfg.get("model_type") != "qwen2_vl":
+        raise ValueError(f"mmproj extraction not supported for {arch_name}")
+    vc = cfg["vision_config"]
+    e = int(vc.get("embed_dim", vc.get("hidden_size")))
+    depth = int(vc.get("depth", 32))
+    heads = int(vc.get("num_heads", 16))
+    n_ff = int(vc.get("intermediate_size", e * int(vc.get("mlp_ratio", 4))))
+    out_dim = int(vc.get("hidden_size", cfg.get("hidden_size")))
+    patch = int(vc.get("patch_size", 14))
+    merge = int(vc.get("spatial_merge_size", 2))
+    tpatch = int(vc.get("temporal_patch_size", 2))
+
+    sd = _load_state_dict(model_dir)
+    vp = "visual." if any(k.startswith("visual.") for k in sd) \
+        else "model.visual."
+
+    w = GGUFWriter(out_path)
+    w.add_string("general.architecture", "clip")
+    w.add_string("clip.projector_type", "qwen2vl_merger")
+    w.add_bool("clip.has_vision_encoder", True)
+    w.add_uint32("clip.vision.patch_size", patch)
+    w.add_uint32("clip.vision.image_size", patch * merge)  # dynamic-res min
+    w.add_uint32("clip.vision.embedding_length", e)
+    w.add_uint32("clip.vision.block_count", depth)
+    w.add_uint32("clip.vision.attention.head_count", heads)
+    w.add_uint32("clip.vision.feed_forward_length", n_ff)
+    w.add_uint32("clip.vision.projection_dim", out_dim)
+    w.add_uint32("clip.vision.spatial_merge_size", merge)
+    w.add_float32("clip.vision.attention.layer_norm_epsilon", 1e-6)
+
+    def put(name, arr):
+        w.add_tensor(name, np.ascontiguousarray(
+            np.asarray(arr).astype(out_dtype)))
+
+    # conv3d stem [E, 3, tpatch, p, p] -> two temporal slices, matching the
+    # reference's v.patch_embd.weight / .weight.1 split
+    pw = sd[vp + "patch_embed.proj.weight"].reshape(e, 3, tpatch, patch,
+                                                    patch)
+    put("v.patch_embd.weight", pw[:, :, 0])
+    put("v.patch_embd.weight.1", pw[:, :, 1])
+    for i in range(depth):
+        hp = f"{vp}blocks.{i}."
+        gp = f"v.blk.{i}."
+        put(gp + "ln1.weight", sd[hp + "norm1.weight"])
+        put(gp + "ln1.bias", sd[hp + "norm1.bias"])
+        qkv_w = sd[hp + "attn.qkv.weight"]        # [3E, E] fused
+        qkv_b = sd[hp + "attn.qkv.bias"]
+        for j, nm in enumerate(("q", "k", "v")):
+            put(gp + f"attn_{nm}.weight", qkv_w[j * e:(j + 1) * e])
+            put(gp + f"attn_{nm}.bias", qkv_b[j * e:(j + 1) * e])
+        put(gp + "attn_out.weight", sd[hp + "attn.proj.weight"])
+        put(gp + "attn_out.bias", sd[hp + "attn.proj.bias"])
+        put(gp + "ln2.weight", sd[hp + "norm2.weight"])
+        put(gp + "ln2.bias", sd[hp + "norm2.bias"])
+        put(gp + "ffn_up.weight", sd[hp + "mlp.fc1.weight"])
+        put(gp + "ffn_up.bias", sd[hp + "mlp.fc1.bias"])
+        put(gp + "ffn_down.weight", sd[hp + "mlp.fc2.weight"])
+        put(gp + "ffn_down.bias", sd[hp + "mlp.fc2.bias"])
+    # merger: ln_q -> post_ln, mlp.{0,2} -> mm.{0,2}
+    put("v.post_ln.weight", sd[vp + "merger.ln_q.weight"])
+    put("v.post_ln.bias", sd[vp + "merger.ln_q.bias"])
+    put("mm.0.weight", sd[vp + "merger.mlp.0.weight"])
+    put("mm.0.bias", sd[vp + "merger.mlp.0.bias"])
+    put("mm.2.weight", sd[vp + "merger.mlp.2.weight"])
+    put("mm.2.bias", sd[vp + "merger.mlp.2.bias"])
     w.write()
     return Path(out_path)
