@@ -92,11 +92,17 @@ def main():
                      penalty_freq=0.1)
     r_gram = run_case(eng, "grammar optimistic", pieces=pieces,
                       grammar_gbnf=True)
+    r_miro = run_case(eng, "mirostat v2 (device)", mirostat=2,
+                      mirostat_tau=5.0, mirostat_eta=0.1)
+    r_xtc = run_case(eng, "xtc (device)", xtc_probability=0.5,
+                     xtc_threshold=0.1)
     import json
     print(json.dumps({"metric": "served_decode_1stream",
                       "plain": round(r_plain, 1),
                       "penalties": round(r_pen, 1),
-                      "grammar": round(r_gram, 1)}))
+                      "grammar": round(r_gram, 1),
+                      "mirostat": round(r_miro, 1),
+                      "xtc": round(r_xtc, 1)}))
 
 
 if __name__ == "__main__":

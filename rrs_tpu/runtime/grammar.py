@@ -348,8 +348,16 @@ class Grammar:
         el = seq[0]
         if el.kind == RULE:
             rest = seq[1:]
+            # tail-call elimination: a rule ref in FINAL position resumes
+            # directly in `below` — pushing an empty continuation frame
+            # here made right-recursive rules (x+ / x*) grow the stack by
+            # one dead frame per iteration, so PDA states never recurred
+            # (defeating the mask memo) and _advance_char slowed linearly
+            # with generation length (llama.cpp's llama_grammar stacks
+            # are bounded the same way)
+            below2 = below + (rest,) if rest else below
             for alt in self.rules[el.value]:
-                self._push(below + (rest,), tuple(alt), out, seen)
+                self._push(below2, tuple(alt), out, seen)
         else:
             out.add(below + (seq,))
 
@@ -430,6 +438,20 @@ class Grammar:
             return [True] * len(token_texts)
         if trie is None:
             return [bool(t) and self.accepts_text(t) for t in token_texts]
+        # Memoize by PDA state: the mask is a pure function of (rules,
+        # stacks), and generation revisits states constantly — a
+        # self-looping rule like ``[a-z ]+`` has ONE mid-stream state, so
+        # every violation resample after the first is O(1) instead of a
+        # full-vocab trie walk (~4 s at 151k pieces — this walk was the
+        # served-grammar bottleneck). The cache is shared across slot
+        # copies (same rules object) and bounded.
+        key = frozenset(self.stacks)
+        cache = getattr(self, "_mask_cache", None)
+        if cache is None:
+            cache = self._mask_cache = {}
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
         mask = [False] * len(token_texts)
 
         def dfs(node, stacks):
@@ -445,6 +467,8 @@ class Grammar:
                     dfs(child, ns)
 
         dfs(trie, self.stacks)
+        if len(cache) < 64:
+            cache[key] = mask
         return mask
 
     def copy(self) -> "Grammar":
@@ -457,4 +481,7 @@ class Grammar:
         g.trigger_tokens = self.trigger_tokens
         g.trigger_patterns = self.trigger_patterns
         g._trigger_buffer = ""
+        # share the state->mask memo: masks depend only on (rules, stacks)
+        g._mask_cache = getattr(self, "_mask_cache", None) \
+            or self.__dict__.setdefault("_mask_cache", {})
         return g

@@ -289,7 +289,17 @@ def device_sample(
     to the k_max most likely candidates. Lanes with temp<=0 take argmax.
     Penalties/bias are applied beforehand by device_penalties. Returns [B]
     int32."""
-    vals, idx = jax.lax.top_k(logits, k_max)                # [B, K]
+    if logits.shape[-1] > 4096:
+        # lax.top_k lowers to a FULL [V] sort on TPU — measured ~1.8 ms/
+        # step at V=151936, ~50% of the decode step's entire matmul time
+        # and the served-vs-bench throughput gap (benchmarks/
+        # profile_served_step.py round 4). approx_max_k is the TPU-native
+        # PartialReduce top-k: top-1 is exact by construction and recall
+        # misses concentrate at the candidate BOUNDARY (rank ~k_max),
+        # far below any top_k <= 128 cutoff's surviving probability mass.
+        vals, idx = jax.lax.approx_max_k(logits, k_max, recall_target=0.99)
+    else:
+        vals, idx = jax.lax.top_k(logits, k_max)            # [B, K]
     rank = jnp.arange(k_max, dtype=jnp.int32)[None, :]
     allowed = rank < jnp.maximum(top_k, 1)[:, None]
     t = jnp.where(temp > 0, temp, 1.0)[:, None]
