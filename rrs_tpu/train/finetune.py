@@ -112,16 +112,22 @@ def train(
     tc: Optional[TrainConfig] = None,
     n_epochs: int = 1,
     on_step: Optional[Callable[[int, float], None]] = None,
+    chunk_steps: int = 1,
 ):
     """Finetune; returns (weights, losses). The step is jitted once and
-    reused across batches (all batches share one shape)."""
+    reused across batches (all batches share one shape).
+
+    ``chunk_steps`` > 1 runs that many optimizer steps per dispatch via a
+    device-side ``lax.scan`` (losses read back once per chunk). Through a
+    remote device link the per-step float(loss) readback otherwise
+    dominates: ~150-450 ms of relay cost per step vs ~tens of ms of
+    compute (PERF.md methodology notes)."""
     tc = tc or TrainConfig()
     opt = make_optimizer(tc)
     params, static = partition(weights)
     opt_state = opt.init(params)
 
-    @jax.jit
-    def step(params, opt_state, batch):
+    def one_step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(
             lambda p: _loss_fn(cfg, combine(p, static), batch))(params)
         grads = jax.tree_util.tree_map(
@@ -130,9 +136,33 @@ def train(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    step = jax.jit(one_step)
+
+    @jax.jit
+    def multi_step(params, opt_state, chunk):      # [C, B, T]
+        def body(carry, batch):
+            p, o = carry
+            p, o, loss = one_step(p, o, batch)
+            return (p, o), loss
+        (params, opt_state), ls = jax.lax.scan(body, (params, opt_state),
+                                               chunk)
+        return params, opt_state, ls
+
     losses = []
     i = 0
     for _ in range(n_epochs):
+        if chunk_steps > 1:
+            blist = list(batches)
+            for c0 in range(0, len(blist), chunk_steps):
+                chunk = np.stack(blist[c0:c0 + chunk_steps])
+                params, opt_state, ls = multi_step(params, opt_state,
+                                                   jnp.asarray(chunk))
+                for loss in np.asarray(ls).tolist():
+                    losses.append(float(loss))
+                    if on_step:
+                        on_step(i, losses[-1])
+                    i += 1
+            continue
         for batch in batches:
             params, opt_state, loss = step(params, opt_state,
                                            jnp.asarray(batch))

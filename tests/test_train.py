@@ -41,6 +41,19 @@ def test_adamw_loss_decreases():
     assert after < before * 0.7, (before, after, losses[:3], losses[-3:])
 
 
+def test_chunked_steps_match_loop():
+    """chunk_steps>1 (device-side lax.scan over optimizer steps) is the
+    same optimization as the per-step loop."""
+    cfg = _cfg()
+    w = random_weights(cfg, seed=0, dtype=np.float32)
+    rng = np.random.default_rng(1)
+    toks = list(rng.integers(0, cfg.vocab_size, 600))
+    batches = make_dataset(toks, seq_len=16, batch=2, seed=2)[:6]
+    _, l1 = train(cfg, w, batches, TrainConfig(lr=1e-3))
+    _, l2 = train(cfg, w, batches, TrainConfig(lr=1e-3), chunk_steps=3)
+    np.testing.assert_allclose(l1, l2, rtol=2e-4, atol=2e-4)
+
+
 def test_sgd_runs():
     cfg = _cfg()
     w = random_weights(cfg, seed=1, dtype=np.float32)
