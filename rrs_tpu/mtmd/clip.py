@@ -82,7 +82,9 @@ class ClipConfig:
             image_std=tuple(std) if std is not None else ClipConfig.image_std,
             projector_type=str(md.get("clip.projector_type", "mlp")),
             n_merge=int(md.get("clip.vision.projector.scale_factor", 4)),
-            spatial_merge=int(g("spatial_merge_size", 2)),
+            spatial_merge=int(g("spatial_merge_size",
+                                1 if md.get("clip.projector_type")
+                                == "pixtral" else 2)),
             # qwen2-VL's ViT uses quick-gelu (HF hidden_act; qwen2.5-VL
             # moves to gated silu and window attention — not yet covered)
             ffn_act=("quick_gelu"
@@ -94,7 +96,7 @@ class ClipConfig:
 @partial(jax.tree_util.register_dataclass,
          data_fields=["ln1_w", "ln1_b", "wq", "bq", "wk", "bk", "wv", "bv",
                       "wo", "bo", "ln2_w", "ln2_b", "w_up", "b_up",
-                      "w_down", "b_down"],
+                      "w_down", "b_down", "w_gate"],
          meta_fields=[])
 @dataclasses.dataclass
 class ClipLayer:
@@ -114,13 +116,14 @@ class ClipLayer:
     b_up: jnp.ndarray
     w_down: jnp.ndarray
     b_down: jnp.ndarray
+    w_gate: Optional[jnp.ndarray] = None   # pixtral: silu-gated MLP
 
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["patch_w", "patch_b", "pos_embd", "pre_ln_w",
                       "pre_ln_b", "post_ln_w", "post_ln_b", "layers",
                       "mm0_w", "mm0_b", "mm2_w", "mm2_b",
-                      "mm_input_proj", "mm_soft_emb_norm"],
+                      "mm_input_proj", "mm_soft_emb_norm", "img_break"],
          meta_fields=[])
 @dataclasses.dataclass
 class ClipWeights:
@@ -139,6 +142,8 @@ class ClipWeights:
     # gemma3 projector (mm.input_projection / mm.soft_emb_norm)
     mm_input_proj: Optional[jnp.ndarray] = None   # [E, n_embd_llm]
     mm_soft_emb_norm: Optional[jnp.ndarray] = None  # [E]
+    # pixtral: learned [IMG_BREAK] embedding row (v.token_embd.img_break)
+    img_break: Optional[jnp.ndarray] = None       # [n_embd_llm]
 
 
 def _layer_norm(x, w, b, eps):
@@ -331,6 +336,77 @@ def encode_image_qwen2vl(cfg: ClipConfig, weights: ClipWeights,
     return x @ weights.mm2_w + weights.mm2_b
 
 
+def _rms(x, w, eps):
+    x32 = x.astype(jnp.float32)
+    var = (x32 * x32).mean(-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
+
+
+def _vision_rope_2d_pixtral(cfg: ClipConfig, hpos, wpos, d: int):
+    """Pixtral's 2D rotary (HF PixtralRotaryEmbedding / clip.cpp
+    PROJECTOR_TYPE_PIXTRAL rope): the d/2 frequency ladder is split
+    INTERLEAVED between axes — h takes freqs[::2], w takes freqs[1::2] —
+    then the [h-angles | w-angles] halves concatenate (unlike qwen2vl,
+    which reuses one d/4 ladder for both axes)."""
+    freqs = 1.0 / (cfg.rope_theta ** (np.arange(0, d, 2,
+                                                dtype=np.float32) / d))
+    ang_h = hpos[:, None].astype(np.float32) * freqs[0::2][None, :]
+    ang_w = wpos[:, None].astype(np.float32) * freqs[1::2][None, :]
+    ang = np.concatenate([ang_h, ang_w], axis=1)               # [T, d/2]
+    ang = np.concatenate([ang, ang], axis=1)                   # [T, d]
+    return jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang))
+
+
+def encode_image_pixtral(cfg: ClipConfig, weights: ClipWeights,
+                         patches: jnp.ndarray, grid_hw,
+                         insert_breaks: bool = True) -> jnp.ndarray:
+    """Pixtral ViT + MLP projector (clip-impl.h PROJECTOR_TYPE_PIXTRAL /
+    HF PixtralVisionModel): RMSNorm everywhere (pre-LN + per-layer, no
+    biases), silu-GATED MLP, NO learned positions — interleaved-ladder 2D
+    rotary per patch (raster order; no block merge) — then the LLaVA-
+    style mm.1 -> GELU -> mm.2 projector. With ``insert_breaks`` the
+    learned [IMG_BREAK] embedding row (v.token_embd.img_break) is
+    appended after every patch row, mirroring mtmd's pixtral token
+    stream."""
+    gh, gw = grid_hw
+    hpos = np.arange(gh * gw) // gw
+    wpos = np.arange(gh * gw) % gw
+
+    x = (patches @ weights.patch_w).astype(jnp.float32)
+    if weights.patch_b is not None:
+        x = x + weights.patch_b
+    x = _rms(x, weights.pre_ln_w, cfg.eps)
+    n, e = x.shape
+    h, d = cfg.n_heads, cfg.n_embd // cfg.n_heads
+    cos, sin = _vision_rope_2d_pixtral(cfg, hpos, wpos, d)
+    cos, sin = cos[:, None, :], sin[:, None, :]
+    for lw in weights.layers:
+        y = _rms(x, lw.ln1_w, cfg.eps)
+        q = (y @ lw.wq + lw.bq).reshape(n, h, d)
+        k = (y @ lw.wk + lw.bk).reshape(n, h, d)
+        v = (y @ lw.wv + lw.bv).reshape(n, h, d)
+        q = q * cos + _rotate_half(q) * sin
+        k = k * cos + _rotate_half(k) * sin
+        att = jnp.einsum("qhd,khd->hqk", q, k) / np.sqrt(d)
+        att = jax.nn.softmax(att, axis=-1)
+        ctx = jnp.einsum("hqk,khd->qhd", att, v).reshape(n, e)
+        x = x + (ctx @ lw.wo + lw.bo)
+        y = _rms(x, lw.ln2_w, cfg.eps)
+        gate = y @ lw.w_gate
+        up = y @ lw.w_up + lw.b_up
+        y = jax.nn.silu(gate) * up
+        x = x + (y @ lw.w_down + lw.b_down)
+    out = jax.nn.gelu(x @ weights.mm0_w + weights.mm0_b, approximate=False)
+    out = out @ weights.mm2_w + weights.mm2_b                  # [gh*gw, D]
+    if insert_breaks and weights.img_break is not None:
+        rows = out.reshape(gh, gw, -1)
+        brk = jnp.broadcast_to(weights.img_break[None, None, :],
+                               (gh, 1, rows.shape[-1]))
+        out = jnp.concatenate([rows, brk], axis=1).reshape(gh * (gw + 1),
+                                                           -1)
+    return out
+
+
 def load_mmproj(path: str | Path):
     """Load a multimodal projector GGUF (mmproj-*.gguf, clip.cpp format).
     Returns (ClipConfig, ClipWeights)."""
@@ -373,11 +449,18 @@ def load_mmproj(path: str | Path):
             wo, bo = lin(f"{p}.attn_out")
             wu, bu = lin(f"{p}.ffn_up")
             wd, bd = lin(f"{p}.ffn_down")
+            ln1_b = t(f"{p}.ln1.bias", required=False)
+            ln2_b = t(f"{p}.ln2.bias", required=False)
+            ln1_w = t(f"{p}.ln1.weight")
             layers.append(ClipLayer(
-                ln1_w=t(f"{p}.ln1.weight"), ln1_b=t(f"{p}.ln1.bias"),
+                ln1_w=ln1_w,
+                ln1_b=ln1_b if ln1_b is not None else jnp.zeros_like(ln1_w),
                 wq=wq, bq=bq, wk=wk, bk=bk, wv=wv, bv=bv, wo=wo, bo=bo,
-                ln2_w=t(f"{p}.ln2.weight"), ln2_b=t(f"{p}.ln2.bias"),
+                ln2_w=t(f"{p}.ln2.weight"),
+                ln2_b=ln2_b if ln2_b is not None else jnp.zeros_like(ln1_w),
                 w_up=wu, b_up=bu, w_down=wd, b_down=bd,
+                w_gate=(lin(f"{p}.ffn_gate")[0]
+                        if f"{p}.ffn_gate.weight" in g.tensors else None),
             ))
         if cfg.projector_type == "gemma3":
             mm0w = mm0b = mm2w = mm2b = None
@@ -390,11 +473,15 @@ def load_mmproj(path: str | Path):
             mm_ip = jnp.asarray(ip)
             mm_sen = t("mm.soft_emb_norm.weight")
         else:
-            mm0w, mm0b = lin("mm.0")
+            # pixtral writes the projector as mm.1/mm.2 (clip.cpp); the
+            # LLaVA MLP as mm.0/mm.2
+            mm0w, mm0b = lin("mm.1" if "mm.1.weight" in g.tensors
+                             else "mm.0")
             mm2w, mm2b = lin("mm.2")
             mm_ip = mm_sen = None
+        brk = t("v.token_embd.img_break", required=False)
         pos = t("v.position_embd.weight", required=cfg.projector_type
-                != "qwen2vl_merger")            # qwen2vl: rotary, no table
+                not in ("qwen2vl_merger", "pixtral"))  # rotary: no table
         weights = ClipWeights(
             patch_w=patch_w,
             patch_b=t("v.patch_embd.bias", required=False),
@@ -406,6 +493,7 @@ def load_mmproj(path: str | Path):
             layers=layers,
             mm0_w=mm0w, mm0_b=mm0b, mm2_w=mm2w, mm2_b=mm2b,
             mm_input_proj=mm_ip, mm_soft_emb_norm=mm_sen,
+            img_break=None if brk is None else brk.reshape(-1),
         )
     return cfg, weights
 

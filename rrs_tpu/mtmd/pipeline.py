@@ -12,8 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from rrs_tpu.mtmd.clip import (ClipConfig, ClipWeights, encode_image,
-                               encode_image_qwen2vl, preprocess_image,
-                               preprocess_image_qwen2vl)
+                               encode_image_pixtral, encode_image_qwen2vl,
+                               preprocess_image, preprocess_image_qwen2vl)
 
 IMAGE_MARKER = "<__image__>"     # mtmd's default media marker
 
@@ -70,6 +70,12 @@ def embed_images(cfg: ClipConfig, weights: ClipWeights, images) -> list:
                                        (gh, gw))
             m = cfg.spatial_merge
             out.append((np.asarray(emb), (gh // m, gw // m)))
+        elif cfg.projector_type == "pixtral":
+            # dynamic resolution, no merge (spatial_merge=1); [IMG_BREAK]
+            # rows ride inside the chunk, positions stay sequential
+            patches, grid = preprocess_image_qwen2vl(img, cfg)
+            out.append(np.asarray(encode_image_pixtral(
+                cfg, weights, jnp.asarray(patches), grid)))
         else:
             patches = jnp.asarray(preprocess_image(img, cfg))
             out.append(np.asarray(encode_image(cfg, weights, patches)))

@@ -518,6 +518,9 @@ def convert_hf_mmproj(model_dir: str | Path, out_path: str | Path,
     model_dir = Path(model_dir)
     cfg = json.loads((model_dir / "config.json").read_text())
     arch_name = (cfg.get("architectures") or ["?"])[0]
+    vc_type = (cfg.get("vision_config") or {}).get("model_type")
+    if vc_type == "pixtral":
+        return _convert_mmproj_pixtral(model_dir, cfg, out_path, out_dtype)
     if arch_name != "Qwen2VLForConditionalGeneration" \
             and cfg.get("model_type") != "qwen2_vl":
         raise ValueError(f"mmproj extraction not supported for {arch_name}")
@@ -584,5 +587,81 @@ def convert_hf_mmproj(model_dir: str | Path, out_path: str | Path,
     put("mm.0.bias", sd[vp + "merger.mlp.0.bias"])
     put("mm.2.weight", sd[vp + "merger.mlp.2.weight"])
     put("mm.2.bias", sd[vp + "merger.mlp.2.bias"])
+    w.write()
+    return Path(out_path)
+
+
+def _convert_mmproj_pixtral(model_dir: Path, cfg: dict, out_path, out_dtype):
+    """Pixtral vision tower -> mmproj GGUF (clip-impl.h
+    PROJECTOR_TYPE_PIXTRAL tensor names: RMSNorm ln1/ln2 without biases,
+    silu-gated ffn_gate, mm.1/mm.2 projector, learned
+    v.token_embd.img_break row from the LLM embedding table)."""
+    vc = cfg["vision_config"]
+    e = int(vc.get("hidden_size", 1024))
+    depth = int(vc.get("num_hidden_layers", 24))
+    heads = int(vc.get("num_attention_heads", 16))
+    n_ff = int(vc.get("intermediate_size", 4 * e))
+    patch = int(vc.get("patch_size", 16))
+    theta = float(vc.get("rope_theta", 10000.0))
+    out_dim = int((cfg.get("text_config") or {}).get("hidden_size",
+                                                     cfg.get("hidden_size",
+                                                             e)))
+
+    sd = _load_state_dict(model_dir)
+    vt = "vision_tower." if any(k.startswith("vision_tower.") for k in sd) \
+        else "model.vision_tower."
+    mp = "multi_modal_projector." \
+        if any(k.startswith("multi_modal_projector.") for k in sd) \
+        else "model.multi_modal_projector."
+
+    w = GGUFWriter(out_path)
+    w.add_string("general.architecture", "clip")
+    w.add_string("clip.projector_type", "pixtral")
+    w.add_bool("clip.has_vision_encoder", True)
+    w.add_uint32("clip.vision.patch_size", patch)
+    w.add_uint32("clip.vision.image_size", int(vc.get("image_size", 1024)))
+    w.add_uint32("clip.vision.embedding_length", e)
+    w.add_uint32("clip.vision.block_count", depth)
+    w.add_uint32("clip.vision.attention.head_count", heads)
+    w.add_uint32("clip.vision.feed_forward_length", n_ff)
+    w.add_uint32("clip.vision.projection_dim", out_dim)
+    w.add_uint32("clip.vision.spatial_merge_size", 1)
+    w.add_float32("clip.vision.attention.layer_norm_epsilon", 1e-5)
+    w.add_float32("clip.vision.rope.freq_base", theta)
+
+    def put(name, arr):
+        w.add_tensor(name, np.ascontiguousarray(
+            np.asarray(arr).astype(out_dtype)))
+
+    put("v.patch_embd.weight", sd[vt + "patch_conv.weight"])
+    put("v.pre_ln.weight", sd[vt + "ln_pre.weight"])
+    for i in range(depth):
+        hp = f"{vt}transformer.layers.{i}."
+        gp = f"v.blk.{i}."
+        put(gp + "ln1.weight", sd[hp + "attention_norm.weight"])
+        put(gp + "ln2.weight", sd[hp + "ffn_norm.weight"])
+        for nm, hf in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj")):
+            put(gp + f"attn_{nm}.weight",
+                sd[hp + f"attention.{hf}.weight"])
+        put(gp + "attn_out.weight", sd[hp + "attention.o_proj.weight"])
+        put(gp + "ffn_gate.weight",
+            sd[hp + "feed_forward.gate_proj.weight"])
+        put(gp + "ffn_up.weight", sd[hp + "feed_forward.up_proj.weight"])
+        put(gp + "ffn_down.weight",
+            sd[hp + "feed_forward.down_proj.weight"])
+    put("mm.1.weight", sd[mp + "linear_1.weight"])
+    if mp + "linear_1.bias" in sd:
+        put("mm.1.bias", sd[mp + "linear_1.bias"])
+    put("mm.2.weight", sd[mp + "linear_2.weight"])
+    if mp + "linear_2.bias" in sd:
+        put("mm.2.bias", sd[mp + "linear_2.bias"])
+    # the [IMG_BREAK] embedding row from the language model's table
+    brk = cfg.get("image_break_token_id")
+    emb_key = next((k for k in ("model.language_model.embed_tokens.weight",
+                                "language_model.model.embed_tokens.weight",
+                                "model.embed_tokens.weight")
+                    if k in sd), None)
+    if brk is not None and emb_key is not None:
+        put("v.token_embd.img_break", sd[emb_key][int(brk)])
     w.write()
     return Path(out_path)
