@@ -525,7 +525,7 @@ class InferenceContext:
         scan compiles without them (and keeps its original RNG stream)."""
         from rrs_tpu.runtime.sampler import (device_mirostat,
                                              device_penalties, device_sample,
-                                             device_xtc)
+                                             device_xtc, topk_candidates)
 
         cfg = self.cfg
         mesh = self.mesh
@@ -565,7 +565,13 @@ class InferenceContext:
                     sub, kk = nk2[:, 0], nk2[:, 1]
                 if xtc:
                     l = device_xtc(l, kx, temp, xtc_p, xtc_t)
-                nxt = device_sample(l, sub, temp, top_k, top_p, min_p)
+                # per-step candidate capture: the (vals, idx) top-128 the
+                # sampler draws from rides the run outputs (tiny: n*128*8
+                # bytes/lane), so a grammar-violation resample needs NO
+                # device round trips (engine._flush_fast)
+                cv, ci = topk_candidates(l)
+                nxt = device_sample(l, sub, temp, top_k, top_p, min_p,
+                                    cands=(cv, ci))
                 if mir:
                     mtok, mu2 = device_mirostat(l, km, temp, mu, mir_eta,
                                                 mir_tau)
@@ -580,12 +586,13 @@ class InferenceContext:
                 cnt = cnt + (v_ids == nxt[:, None]).astype(cnt.dtype) \
                     - (v_ids == ev[:, None]).astype(cnt.dtype)
                 npos = jnp.where(pos < 0, pos, pos + 1)
-                return (nxt, npos, nk, nv, kk, cnt, mu), nxt
+                return (nxt, npos, nk, nv, kk, cnt, mu), (nxt, cv, ci)
 
-            (tok, pos, ks, vs, kk, cnt, mu), out = jax.lax.scan(
+            (tok, pos, ks, vs, kk, cnt, mu), (out, cvs, cis) = jax.lax.scan(
                 step, (token, start, k_caches, v_caches, keys, counts, mu0),
                 jnp.moveaxis(evict, 1, 0), length=n_steps)
-            return jnp.moveaxis(out, 0, 1), ks, vs, kk, cnt, mu
+            return (jnp.moveaxis(out, 0, 1), ks, vs, kk, cnt, mu,
+                    jnp.moveaxis(cvs, 0, 1), jnp.moveaxis(cis, 0, 1))
 
         if mesh is None:
             return jax.jit(body)
@@ -604,7 +611,8 @@ class InferenceContext:
                       P("dp", None), P("dp", None), P("dp", None),
                       kv_specs, kv_specs),
             out_specs=(P("dp", None), kv_specs, kv_specs, P("dp"),
-                       P("dp", None), P("dp")),
+                       P("dp", None), P("dp"),
+                       P("dp", None, None), P("dp", None, None)),
             check_vma=False)
         return jax.jit(fn)
 
@@ -723,7 +731,7 @@ class InferenceContext:
         import time as _time
 
         t0 = _time.perf_counter()
-        toks, nk, nv, nkeys, ncounts, nmu = fn(
+        toks, nk, nv, nkeys, ncounts, nmu, cand_v, cand_i = fn(
             self.weights, tokv, startv, keyv, tempv, top_kv, top_pv, min_pv,
             repv, frqv, prsv, xtcpv, xtctv, etav, tauv, muv,
             countsv, biasv, evictv, self.kv.k, self.kv.v)
@@ -733,6 +741,7 @@ class InferenceContext:
             self.n_decode_tokens += n_steps
         self.t_decode_s += _time.perf_counter() - t0
         return {"toks": toks, "keys": nkeys, "lanes": lanes, "n": n_steps,
+                "cand_v": cand_v, "cand_i": cand_i,
                 "start": startv, "temp": tempv, "top_k": top_kv,
                 "top_p": top_pv, "min_p": min_pv,
                 "rep": repv, "frq": frqv, "prs": prsv,

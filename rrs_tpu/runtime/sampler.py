@@ -274,6 +274,15 @@ def device_mirostat(
     return tok.astype(jnp.int32), mu - eta * (obs - tau)
 
 
+def topk_candidates(logits: jnp.ndarray, k_max: int = 128):
+    """Top-k_max (vals, idx) candidate sets for device sampling — the
+    shared pre-filter of device_sample and the serving run's per-step
+    candidate capture (engine violation resamples)."""
+    if logits.shape[-1] > 4096:
+        return jax.lax.approx_max_k(logits, k_max, recall_target=0.99)
+    return jax.lax.top_k(logits, k_max)
+
+
 def device_sample(
     logits: jnp.ndarray,            # [B, V] f32
     keys: jnp.ndarray,              # [B] PRNG keys (uint32 [B, 2] typed key)
@@ -282,6 +291,7 @@ def device_sample(
     top_p: jnp.ndarray,             # [B] f32
     min_p: jnp.ndarray,             # [B] f32
     k_max: int = 128,
+    cands=None,                     # precomputed (vals, idx) [B, K]
 ) -> jnp.ndarray:
     """Jit-friendly per-lane sampler for device-side decode runs: the
     temperature/top-k/top-p/min-p subset of the chain (the GPU-sampling
@@ -289,7 +299,9 @@ def device_sample(
     to the k_max most likely candidates. Lanes with temp<=0 take argmax.
     Penalties/bias are applied beforehand by device_penalties. Returns [B]
     int32."""
-    if logits.shape[-1] > 4096:
+    if cands is not None:
+        vals, idx = cands
+    elif logits.shape[-1] > 4096:
         # lax.top_k lowers to a FULL [V] sort on TPU — measured ~1.8 ms/
         # step at V=151936, ~50% of the decode step's entire matmul time
         # and the served-vs-bench throughput gap (benchmarks/

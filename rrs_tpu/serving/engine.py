@@ -836,9 +836,25 @@ class Engine:
             for i, tok in enumerate(toks_np[lane].tolist()):
                 if slot.grammar is not None \
                         and not self._grammar_accepts(slot, tok):
-                    # rewind past the violating position: the cache then
-                    # holds everything through the previously accepted
-                    # token, which decode() re-feeds to recover logits
+                    # resample from the run's captured top-128 candidates:
+                    # the violating step's KV cell is already correct (it
+                    # held the PREVIOUS, accepted token), so only the
+                    # sampled token needs replacing — no device round
+                    # trips (round-4; was 1 recovery decode + 1 full-vocab
+                    # masked sample per violation)
+                    if "cands" not in inf:
+                        inf["cands"] = (np.asarray(h["cand_v"]),
+                                        np.asarray(h["cand_i"]))
+                    cv, ci = inf["cands"]
+                    tok2 = self._resample_from_candidates(
+                        slot, cv[lane, i], ci[lane, i],
+                        seed=int(keys_np[lane][-1]) ^ (base + i))
+                    if tok2 is not None:
+                        self.ctx.kv.seq_rm(seq_id, p0=base + i + 1)
+                        if self._emit(slot, tok2):
+                            self._release(slot, slot.finish_reason)
+                        break
+                    # no legal candidate in the top-128: full host path
                     self.ctx.kv.seq_rm(seq_id, p0=base + i)
                     out = self.ctx.decode({seq_id: slot.generated[-1]})
                     slot.last_logits = out[seq_id]
@@ -852,6 +868,51 @@ class Engine:
                     self.ctx.kv.seq_rm(seq_id, p0=base + i + 1)
                     self._release(slot, slot.finish_reason)
                     break
+
+    def _resample_from_candidates(self, slot: Slot, vals, ids, seed: int):
+        """Grammar-violation resample over the decode run's captured
+        (vals, ids) top-128 candidate row: mirrors device_sample's
+        temperature/top-k/top-p/min-p math with the grammar's legality
+        mask applied, advances the PDA with the pick, and returns the
+        token — or None when no candidate is legal (the caller falls
+        back to the full-vocab host path). Purely host-side numpy."""
+        g = slot.grammar
+        pieces = slot.req.token_pieces
+        p = slot.req.params
+        ids = np.asarray(ids)
+        legal = np.zeros(len(ids), bool)
+        for j, tid in enumerate(ids.tolist()):
+            if tid in slot.req.stop_tokens:
+                legal[j] = g.done
+            else:
+                piece = pieces[tid] if tid < len(pieces) else ""
+                legal[j] = bool(piece) and g.accepts_text(piece)
+        if not legal.any():
+            return None
+        v = np.asarray(vals, np.float64)
+        k = min(p.top_k, len(ids)) if p.top_k > 0 else len(ids)
+        allowed = np.arange(len(ids)) < k
+        t = p.temperature if p.temperature > 0 else 1.0
+        scaled = np.where(allowed, v / t, -np.inf)
+        e = np.exp(scaled - scaled.max())
+        probs = e / e.sum()
+        cum = np.cumsum(probs)
+        keep = allowed & ((cum - probs) < p.top_p) \
+            & (probs >= p.min_p * probs.max())
+        keep[0] = True
+        final = keep & legal
+        if not final.any():
+            final = legal        # sampler filters excluded every legal one
+        if p.temperature <= 0:
+            j = int(np.argmax(np.where(final, v, -np.inf)))
+        else:
+            rng = np.random.default_rng(seed & 0x7FFFFFFF)
+            gum = rng.gumbel(size=len(ids))
+            j = int(np.argmax(np.where(final, scaled, -np.inf) + gum))
+        tok = int(ids[j])
+        if tok not in slot.req.stop_tokens:
+            g.accept_text(pieces[tok] if tok < len(pieces) else "")
+        return tok
 
     def _grammar_accepts(self, slot: Slot, token: int) -> bool:
         """Advance the slot's grammar with ``token`` if it is legal

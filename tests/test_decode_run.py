@@ -222,6 +222,46 @@ def test_fast_path_grammar_optimistic():
     assert out_fast == out_host
 
 
+def test_grammar_violation_resamples_from_candidates():
+    """A grammar violation must be fixed from the run's captured top-128
+    candidate row — zero device round trips (no ctx.decode recovery
+    call) — and still produce only grammar-legal output."""
+    from rrs_tpu.runtime.grammar import Grammar
+
+    cfg = PRESETS["tiny"]
+    w = random_weights(cfg, seed=0)
+    pieces = [chr(33 + (i % 90)) for i in range(cfg.vocab_size)]
+    ctx = InferenceContext(cfg, w, n_lanes=1, max_seq=128)
+    eng = Engine(ctx)
+    n_host = {"n": 0}
+    orig = ctx.decode
+
+    def counted(*a, **k):
+        n_host["n"] += 1
+        return orig(*a, **k)
+
+    ctx.decode = counted
+    out, done = [], {}
+    eng.submit(GenRequest(
+        prompt_tokens=[5, 6, 7], max_tokens=24,
+        params=SamplerParams(temperature=0.9, top_k=64),
+        grammar=Grammar("root ::= [a-z]+"), token_pieces=pieces,
+        on_token=lambda tok, piece, fin, reason:
+            done.update(r=reason) if fin else out.append(tok)))
+    for _ in range(600):
+        eng._iterate()
+        if done:
+            break
+    ctx.decode = orig
+    assert done and len(out) == 24
+    assert all(pieces[t].islower() for t in out), [pieces[t] for t in out]
+    # single-char [a-z]+ over a mostly-illegal printable vocab at
+    # temp 0.9 guarantees violations occurred; every one must have been
+    # fixed from the captured candidates, never via the ctx.decode
+    # recovery dispatch (deterministic under the fixed seeds)
+    assert n_host["n"] == 0, n_host
+
+
 def test_fast_path_mirostat_and_xtc_on_device():
     """Mirostat v2 and XTC ride the device fast path (round 4): requests
     with those params must decode via decode_run (not collapse to the
