@@ -366,8 +366,10 @@ def encode_image_pixtral(cfg: ClipConfig, weights: ClipWeights,
     rotary per patch (raster order; no block merge) — then the LLaVA-
     style mm.1 -> GELU -> mm.2 projector. With ``insert_breaks`` the
     learned [IMG_BREAK] embedding row (v.token_embd.img_break) is
-    appended after every patch row, mirroring mtmd's pixtral token
-    stream."""
+    appended after every patch row EXCEPT the last (mtmd's pixtral
+    stream, tools/mtmd/models/pixtral.cpp:70: n_tokens_output =
+    p_total + p_y - 1 — the final row is followed by the [IMG_END]
+    text token instead), giving gh*gw + gh - 1 rows."""
     gh, gw = grid_hw
     hpos = np.arange(gh * gw) // gw
     wpos = np.arange(gh * gw) % gw
@@ -402,8 +404,8 @@ def encode_image_pixtral(cfg: ClipConfig, weights: ClipWeights,
         rows = out.reshape(gh, gw, -1)
         brk = jnp.broadcast_to(weights.img_break[None, None, :],
                                (gh, 1, rows.shape[-1]))
-        out = jnp.concatenate([rows, brk], axis=1).reshape(gh * (gw + 1),
-                                                           -1)
+        out = jnp.concatenate([rows, brk], axis=1).reshape(
+            gh * (gw + 1), -1)[:-1]  # no break after the last row
     return out
 
 

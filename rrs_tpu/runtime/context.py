@@ -70,7 +70,8 @@ class InferenceContext:
             else PREFILL_BUCKETS[-1]
         self.max_chunk = min(chunk_cap, max_seq)
         self.kv = KVCache.create(cfg, n_lanes, max_seq, kv_dtype,
-                                 quant=kv_quant, max_chunk=self.max_chunk)
+                                 quant=kv_quant, max_chunk=self.max_chunk,
+                                 tp=mesh.shape["tp"] if mesh else 1)
         self._next_seq_id = 0
         # perf counters (llama_perf_context analog, llama-context.cpp:2716)
         self.n_prefill_tokens = 0
@@ -203,30 +204,37 @@ class InferenceContext:
 
     @staticmethod
     def _step_lastidx(cfg, weights, tokens, start_pos, lengths, k_caches,
-                      v_caches, last_idx):
+                      v_caches, last_idx, pos_row=None):
         """_step variant with a traced per-lane final-position index:
         the cross-slot batched-prompt path (server-context.cpp packing
         several slots' prompt chunks into one ubatch) has a different
         chunk length per lane."""
         return InferenceContext._step(
             cfg, weights, tokens, start_pos, lengths, k_caches, v_caches,
-            last_idx=last_idx)
+            last_idx=last_idx, pos_row=pos_row)
+
+    def _pos_row_kwargs(self, start_pos_np, t: int) -> dict:
+        """[B, t] absolute-rope-position row when any lane's positions
+        diverge from slot indices (seq_div remap or a retained M-RoPE
+        delta); empty when slots == positions everywhere. Single-device
+        only — callers under a mesh keep slot positions (engine excludes
+        diverged lanes from batched paths there)."""
+        if not (self.kv.slot_pos or self.kv.mrope_delta) or \
+                self.mesh is not None:
+            return {}
+        rows = np.zeros((len(start_pos_np), t), np.int32)
+        for lane, st in enumerate(start_pos_np):
+            if int(st) >= 0:
+                rows[lane] = self.kv.positions_row(lane, int(st), t)
+        return {"pos_row": jnp.asarray(rows)}
 
     def _run(self, tokens_np: np.ndarray, start_pos_np: np.ndarray,
              last_only: bool = False):
         fn = self._step_last_fn if last_only else self._step_fn
-        kwargs = {}
-        if (self.kv.slot_pos or self.kv.mrope_delta) and self.mesh is None:
-            # seq_div remapped some lane's positions (or an M-RoPE image
-            # chunk trailed them): feed absolute rope positions per row
-            # (slots/masks stay derived from start_pos)
-            b, t = tokens_np.shape
-            rows = np.zeros((b, t), np.int32)
-            for lane in range(b):
-                st = int(start_pos_np[lane])
-                if st >= 0:
-                    rows[lane] = self.kv.positions_row(lane, st, t)
-            kwargs["pos_row"] = jnp.asarray(rows)
+        # seq_div remapped some lane's positions (or an M-RoPE image
+        # chunk trailed them): feed absolute rope positions per row
+        # (slots/masks stay derived from start_pos)
+        kwargs = self._pos_row_kwargs(start_pos_np, tokens_np.shape[1])
         logits, nk, nv = fn(
             self.weights,
             jnp.asarray(tokens_np, jnp.int32),
@@ -294,9 +302,11 @@ class InferenceContext:
         if not hasattr(self, "_nll_fn"):
             cfg = self.cfg
 
-            def step(weights, tokens, start_pos, lengths, k, v, tgt):
+            def step(weights, tokens, start_pos, lengths, k, v, tgt,
+                     pos_row=None):
                 logits, nk, nv = InferenceContext._step(
-                    cfg, weights, tokens, start_pos, lengths, k, v)
+                    cfg, weights, tokens, start_pos, lengths, k, v,
+                    pos_row=pos_row)
                 lse = jax.scipy.special.logsumexp(logits, axis=-1)
                 picked = jnp.take_along_axis(
                     logits, tgt[:, :, None], axis=-1)[:, :, 0]
@@ -348,7 +358,7 @@ class InferenceContext:
             lp, nk, nv = self._nll_fn(
                 self.weights, jnp.asarray(tok), jnp.asarray(start),
                 self.kv.lengths_array(), self.kv.k, self.kv.v,
-                jnp.asarray(tgt))
+                jnp.asarray(tgt), **self._pos_row_kwargs(start, t))
             self.kv.k, self.kv.v = nk, nv
             out.append(np.asarray(lp[lane, : len(chunk)], np.float64))
             self.t_prefill_s += _time.perf_counter() - t0
@@ -384,7 +394,7 @@ class InferenceContext:
         logits, nk, nv = self._step_lastidx_fn(
             self.weights, jnp.asarray(tok), jnp.asarray(start),
             self.kv.lengths_array(), self.kv.k, self.kv.v,
-            jnp.asarray(last))
+            jnp.asarray(last), **self._pos_row_kwargs(start, t))
         self.kv.k, self.kv.v = nk, nv
         out = {}
         for seq_id, c in chunks.items():

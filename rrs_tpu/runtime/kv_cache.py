@@ -64,6 +64,9 @@ class KVCache:
         dtype=jnp.bfloat16,
         quant: str = "none",      # "none" | "q8" | "q4" (values + f32 scales)
         max_chunk: int = 512,     # largest ubatch; bounds SWA ring size
+        tp: int = 1,              # tensor-parallel degree sharding the
+                                  # kv-head axis (head-pair q4 packing
+                                  # must keep Hkv/2 divisible by tp)
     ) -> "KVCache":
         # SWA layers only need window + max_chunk slots: within one ubatch a
         # later token may overwrite a ring slot, so the ring must be at least
@@ -88,8 +91,11 @@ class KVCache:
             if quant == "q4":
                 # packed nibbles: head-pair layout (full-lane kernel
                 # tiles) for even head counts, halves fallback otherwise
-                # — see runtime/kv_codec.py
-                if cfg.kv_cache_heads % 2 == 0 and not cfg.is_mla:
+                # — see runtime/kv_codec.py. Under TP the head axis is
+                # sharded, so the Hkv/2 packed planes must still divide
+                # by tp or device_put/shard_map would reject the array.
+                if (cfg.kv_cache_heads % 2 == 0 and not cfg.is_mla
+                        and (cfg.kv_cache_heads // 2) % max(tp, 1) == 0):
                     return (jnp.zeros((n_lanes, cfg.kv_cache_heads // 2,
                                        sizes[li], dim), jnp.uint8),
                             jnp.ones(sshape, jnp.float32))

@@ -130,3 +130,36 @@ def test_seq_div_range_and_identity():
     ctx.kv.seq_div(cfg, seq, 2, 100, 2)        # only positions 2,3 divided
     np.testing.assert_array_equal(ctx.kv.slot_pos[0][:4], [0, 1, 1, 1])
     assert ctx.kv.positions_row(0, 4, 2).tolist() == [2, 3]
+
+
+def test_seq_div_batched_prefill_uses_divided_positions():
+    """prefill_multi / prefill_logprobs on a lane whose positions were
+    remapped by seq_div must feed the divided rope positions (pos_row),
+    matching the sequential prefill path (advisor round-4 finding)."""
+    cfg = PRESETS["tiny"]
+    w = random_weights(cfg, seed=5)
+    toks = [3, 1, 4, 1, 5, 9, 2, 6]
+    cont = [2, 7, 1, 8]
+
+    ctx_a = InferenceContext(cfg, w, n_lanes=2, max_seq=64)
+    seq_a = ctx_a.new_sequence()
+    ctx_a.prefill(seq_a, toks, all_logits=False)
+    ctx_a.kv.seq_div(cfg, seq_a, 0, 1 << 30, 2)
+    want = ctx_a.prefill(seq_a, cont, all_logits=False)[-1]  # _run: pos_row
+
+    ctx_b = InferenceContext(cfg, w, n_lanes=2, max_seq=64)
+    seq_b = ctx_b.new_sequence()
+    ctx_b.prefill(seq_b, toks, all_logits=False)
+    ctx_b.kv.seq_div(cfg, seq_b, 0, 1 << 30, 2)
+    got = ctx_b.prefill_multi({seq_b: cont})[seq_b]
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+    # prefill_logprobs picks the same divided-position logits
+    ctx_c = InferenceContext(cfg, w, n_lanes=2, max_seq=64)
+    seq_c = ctx_c.new_sequence()
+    ctx_c.prefill(seq_c, toks, all_logits=False)
+    ctx_c.kv.seq_div(cfg, seq_c, 0, 1 << 30, 2)
+    lp = ctx_c.prefill_logprobs(seq_c, cont, cont[1:] + [0])
+    ref = np.asarray(want, np.float64)
+    ref = ref - np.log(np.exp(ref - ref.max()).sum()) - ref.max()
+    np.testing.assert_allclose(lp[-1], ref[0], rtol=2e-2, atol=2e-2)

@@ -88,6 +88,8 @@ def test_pixtral_img_break_rows(tmp_path):
     cw = dataclasses.replace(cw, img_break=brk)
     out = np.asarray(encode_image_pixtral(
         ccfg, cw, jnp.asarray(patches), (gh, gw)))
-    assert out.shape == (gh * (gw + 1), ccfg.n_embd_llm)
-    for r in range(gh):
+    # reference count (pixtral.cpp:70): gh*gw patches + gh-1 breaks — no
+    # break after the final row (the [IMG_END] text token follows it)
+    assert out.shape == (gh * gw + gh - 1, ccfg.n_embd_llm)
+    for r in range(gh - 1):
         np.testing.assert_allclose(out[r * (gw + 1) + gw], np.asarray(brk))
