@@ -519,7 +519,8 @@ class InferenceContext:
     DECODE_RUN_STEPS = int(os.environ.get("RRS_DECODE_RUN_STEPS", "24"))
 
     def _decode_run_fn(self, n_steps: int, xtc: bool = False,
-                       mir: bool = False):
+                       mir: bool = False, typ: bool = False,
+                       sig: bool = False, dry: bool = False):
         """Build (and cache) the jitted n_steps-token decode+sample scan —
         the serving analog of CUDA-graph decode capture (ggml-cuda.cu:
         2881-2930): one dispatch per n_steps tokens instead of one per
@@ -529,13 +530,19 @@ class InferenceContext:
         scan carry; the sliding-window eviction schedule is precomputed
         on host — see decode_run_start).
 
-        ``xtc``/``mir`` are static trace variants: when any lane in the
-        run uses XTC or mirostat v2, the full-V device transforms
-        (device_xtc / device_mirostat) are traced in; otherwise the base
-        scan compiles without them (and keeps its original RNG stream)."""
-        from rrs_tpu.runtime.sampler import (device_mirostat,
+        ``xtc``/``mir``/``typ``/``sig``/``dry`` are static trace variants:
+        when any lane in the run uses XTC, mirostat v2, typical-p,
+        top-n-sigma, or DRY, the corresponding device transforms
+        (device_xtc / device_mirostat / device_sample's typical arm /
+        device_top_n_sigma / device_dry) are traced in; otherwise the
+        base scan compiles without them (and keeps its original RNG
+        stream). DRY slides a DRY_WINDOW-token ring through the scan
+        carry (window capped at 256 recent tokens on the fast path —
+        longer dry windows are approximated by their newest 256)."""
+        from rrs_tpu.runtime.sampler import (device_dry, device_mirostat,
                                              device_penalties, device_sample,
-                                             device_xtc, topk_candidates)
+                                             device_top_n_sigma, device_xtc,
+                                             topk_candidates)
 
         cfg = self.cfg
         mesh = self.mesh
@@ -548,13 +555,14 @@ class InferenceContext:
 
         def body(weights, token, start, keys, temp, top_k, top_p, min_p,
                  rep, frq, prs, xtc_p, xtc_t, mir_eta, mir_tau, mu0,
-                 counts, bias, evict, k_caches, v_caches):
+                 typ_p, nsig, dry_mult, dry_base, dry_allowed, dry_lastn,
+                 dwin0, counts, bias, evict, k_caches, v_caches):
             s = max((c[0] if isinstance(c, tuple) else c).shape[2]
                     for c in k_caches)
             v_ids = jnp.arange(counts.shape[-1], dtype=jnp.int32)[None, :]
 
             def step(carry, ev):
-                tok, pos, ks, vs, kk, cnt, mu = carry
+                tok, pos, ks, vs, kk, cnt, mu, dwin = carry
                 mask_pos = jnp.where(pos[:, None] < 0, -1, pos[:, None])
                 safe_slots = jnp.where(pos[:, None] < 0, s - 1,
                                        jnp.clip(pos[:, None], 0, s - 1))
@@ -575,13 +583,20 @@ class InferenceContext:
                     sub, kk = nk2[:, 0], nk2[:, 1]
                 if xtc:
                     l = device_xtc(l, kx, temp, xtc_p, xtc_t)
+                if sig:
+                    l = device_top_n_sigma(l, nsig)
                 # per-step candidate capture: the (vals, idx) top-128 the
                 # sampler draws from rides the run outputs (tiny: n*128*8
                 # bytes/lane), so a grammar-violation resample needs NO
-                # device round trips (engine._flush_fast)
+                # device round trips (engine._flush_fast) and n_probs
+                # logprobs come straight off the handle
                 cv, ci = topk_candidates(l)
+                if dry:
+                    cv, ci = device_dry(dwin, cv, ci, dry_mult, dry_base,
+                                        dry_allowed, dry_lastn)
                 nxt = device_sample(l, sub, temp, top_k, top_p, min_p,
-                                    cands=(cv, ci))
+                                    cands=(cv, ci),
+                                    typ_p=typ_p if typ else None)
                 if mir:
                     mtok, mu2 = device_mirostat(l, km, temp, mu, mir_eta,
                                                 mir_tau)
@@ -595,13 +610,18 @@ class InferenceContext:
                 # lesson, CLAUDE.md)
                 cnt = cnt + (v_ids == nxt[:, None]).astype(cnt.dtype) \
                     - (v_ids == ev[:, None]).astype(cnt.dtype)
+                if dry:
+                    dwin = jnp.concatenate([dwin[:, 1:], nxt[:, None]],
+                                           axis=1)
                 npos = jnp.where(pos < 0, pos, pos + 1)
-                return (nxt, npos, nk, nv, kk, cnt, mu), (nxt, cv, ci)
+                return (nxt, npos, nk, nv, kk, cnt, mu, dwin), (nxt, cv, ci)
 
-            (tok, pos, ks, vs, kk, cnt, mu), (out, cvs, cis) = jax.lax.scan(
-                step, (token, start, k_caches, v_caches, keys, counts, mu0),
-                jnp.moveaxis(evict, 1, 0), length=n_steps)
-            return (jnp.moveaxis(out, 0, 1), ks, vs, kk, cnt, mu,
+            (tok, pos, ks, vs, kk, cnt, mu, dwin), (out, cvs, cis) = \
+                jax.lax.scan(
+                    step, (token, start, k_caches, v_caches, keys, counts,
+                           mu0, dwin0),
+                    jnp.moveaxis(evict, 1, 0), length=n_steps)
+            return (jnp.moveaxis(out, 0, 1), ks, vs, kk, cnt, mu, dwin,
                     jnp.moveaxis(cvs, 0, 1), jnp.moveaxis(cis, 0, 1))
 
         if mesh is None:
@@ -618,10 +638,12 @@ class InferenceContext:
             in_specs=(wspecs, P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
                       P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
                       P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+                      P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+                      P("dp"), P("dp", None),
                       P("dp", None), P("dp", None), P("dp", None),
                       kv_specs, kv_specs),
             out_specs=(P("dp", None), kv_specs, kv_specs, P("dp"),
-                       P("dp", None), P("dp"),
+                       P("dp", None), P("dp"), P("dp", None),
                        P("dp", None, None), P("dp", None, None)),
             check_vma=False)
         return jax.jit(fn)
@@ -663,7 +685,10 @@ class InferenceContext:
             feats = chain["feats"]
         else:
             feats = (any(p.xtc_probability > 0 for p in params.values()),
-                     any(p.mirostat for p in params.values()))
+                     any(p.mirostat for p in params.values()),
+                     any(p.typical_p < 1.0 for p in params.values()),
+                     any(p.top_n_sigma > 0 for p in params.values()),
+                     any(p.dry_multiplier > 0 for p in params.values()))
         if not hasattr(self, "_run_fns"):
             self._run_fns = {}
         key3 = (n_steps,) + feats
@@ -687,6 +712,10 @@ class InferenceContext:
             countsv, biasv = chain["counts"], chain["bias"]
             xtcpv, xtctv = chain["xtc_p"], chain["xtc_t"]
             etav, tauv, muv = chain["eta"], chain["tau"], chain["mu"]
+            typv, nsigv = chain["typ_p"], chain["nsig"]
+            drymv, drybv = chain["dry_mult"], chain["dry_base"]
+            dryav, drylv = chain["dry_allowed"], chain["dry_lastn"]
+            dwinv = chain["dwin"]
             lanes = dict(chain["lanes"])
             evictv = self._evict_schedule(histories, lanes, chain.get(
                 "params", {}), n_steps, offset=chain["n"])
@@ -701,6 +730,14 @@ class InferenceContext:
             eta = np.zeros((b,), np.float32)
             tau = np.zeros((b,), np.float32)
             mu = np.zeros((b,), np.float32)
+            typ = np.ones((b,), np.float32)
+            nsg = np.zeros((b,), np.float32)
+            drym = np.zeros((b,), np.float32)
+            dryb = np.ones((b,), np.float32)
+            drya = np.ones((b,), np.int32)
+            dryl = np.zeros((b,), np.int32)
+            from rrs_tpu.runtime.sampler import DRY_WINDOW
+            dwin = np.full((b, DRY_WINDOW), -1, np.int32)
             tok = np.zeros((b,), np.int32)
             key_rows = [jax.random.PRNGKey(0)] * b
             lanes = {}
@@ -721,6 +758,18 @@ class InferenceContext:
                     tau[lane] = p.mirostat_tau
                     mu[lane] = ((mus or {}).get(seq_id)
                                 or 2.0 * p.mirostat_tau)
+                typ[lane] = p.typical_p
+                nsg[lane] = p.top_n_sigma
+                if p.dry_multiplier > 0:
+                    drym[lane] = p.dry_multiplier
+                    dryb[lane] = p.dry_base
+                    drya[lane] = max(1, p.dry_allowed_length)
+                    dryl[lane] = DRY_WINDOW if p.penalty_last_n < 0 \
+                        else min(p.penalty_last_n, DRY_WINDOW)
+                    hist = (histories or {}).get(seq_id) or []
+                    recent = hist[-DRY_WINDOW:]
+                    if recent:
+                        dwin[lane, -len(recent):] = recent
                 tok[lane] = token
                 key_rows[lane] = keys[seq_id]
             tokv = jnp.asarray(tok)
@@ -733,6 +782,10 @@ class InferenceContext:
             xtcpv, xtctv = jnp.asarray(xtcp), jnp.asarray(xtct)
             etav, tauv, muv = (jnp.asarray(eta), jnp.asarray(tau),
                                jnp.asarray(mu))
+            typv, nsigv = jnp.asarray(typ), jnp.asarray(nsg)
+            drymv, drybv = jnp.asarray(drym), jnp.asarray(dryb)
+            dryav, drylv = jnp.asarray(drya), jnp.asarray(dryl)
+            dwinv = jnp.asarray(dwin)
             repv, frqv, prsv, countsv, biasv = self._penalty_operands(
                 lanes, params, histories)
             evictv = self._evict_schedule(histories, lanes, params,
@@ -741,9 +794,10 @@ class InferenceContext:
         import time as _time
 
         t0 = _time.perf_counter()
-        toks, nk, nv, nkeys, ncounts, nmu, cand_v, cand_i = fn(
+        toks, nk, nv, nkeys, ncounts, nmu, ndwin, cand_v, cand_i = fn(
             self.weights, tokv, startv, keyv, tempv, top_kv, top_pv, min_pv,
             repv, frqv, prsv, xtcpv, xtctv, etav, tauv, muv,
+            typv, nsigv, drymv, drybv, dryav, drylv, dwinv,
             countsv, biasv, evictv, self.kv.k, self.kv.v)
         self.kv.k, self.kv.v = nk, nv
         for seq_id, lane in lanes.items():
@@ -757,6 +811,9 @@ class InferenceContext:
                 "rep": repv, "frq": frqv, "prs": prsv,
                 "xtc_p": xtcpv, "xtc_t": xtctv,
                 "eta": etav, "tau": tauv, "mu": nmu, "feats": feats,
+                "typ_p": typv, "nsig": nsigv, "dry_mult": drymv,
+                "dry_base": drybv, "dry_allowed": dryav, "dry_lastn": drylv,
+                "dwin": ndwin,
                 "counts": ncounts, "bias": biasv, "params": dict(params)}
 
     @staticmethod

@@ -13,6 +13,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG_INF = -1e30
 
@@ -274,6 +275,83 @@ def device_mirostat(
     return tok.astype(jnp.int32), mu - eta * (obs - tau)
 
 
+def device_top_n_sigma(
+    logits: jnp.ndarray,            # [B, V] f32 (post-penalties/XTC)
+    nsig: jnp.ndarray,              # [B] f32 (<=0 = off)
+) -> jnp.ndarray:
+    """Per-lane top-n-sigma (apply_top_n_sigma's batched twin,
+    llama_sampler_top_n_sigma): mask logits below max - n*std. The cutoff
+    is scale-invariant under temperature division (both max and std scale
+    by 1/t), so applying it pre-temperature matches the host chain's
+    post-temperature placement exactly. Full-V: two reductions, no sort.
+    Lanes with nsig <= 0 pass through."""
+    valid = logits > NEG_INF / 2
+    cnt = jnp.maximum(valid.sum(-1, keepdims=True), 1)
+    mean = jnp.where(valid, logits, 0.0).sum(-1, keepdims=True) / cnt
+    var = (jnp.where(valid, logits - mean, 0.0) ** 2).sum(
+        -1, keepdims=True) / cnt
+    cutoff = jnp.where(nsig[:, None] > 0,
+                       logits.max(-1, keepdims=True)
+                       - nsig[:, None] * jnp.sqrt(var),
+                       NEG_INF)
+    return jnp.where(logits < cutoff, NEG_INF, logits)
+
+
+DRY_WINDOW = 256                    # device DRY ring length (static)
+DRY_MAX_MATCH = 32                  # capped match length (base^30 already
+                                    # saturates any f32 logit)
+
+
+def device_dry(
+    dwin: jnp.ndarray,              # [B, W] i32 recent tokens, newest LAST
+                                    # (-1 = empty / pre-history)
+    cand_v: jnp.ndarray,            # [B, K] f32 candidate logits (desc)
+    cand_i: jnp.ndarray,            # [B, K] i32 candidate ids
+    mult: jnp.ndarray,              # [B] f32 dry_multiplier (0 = off)
+    base: jnp.ndarray,              # [B] f32 dry_base
+    allowed_len: jnp.ndarray,       # [B] i32 dry_allowed_length
+    lastn: jnp.ndarray,             # [B] i32 effective window (<=W)
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """DRY repetition penalty on the captured candidate rows
+    (dry_penalties' device twin, llama_sampler_dry semantics): for each
+    window position i whose suffix-match length m with the current tail
+    is >= allowed_len, the continuation token dwin[i+1] is penalized by
+    mult * base^(m - allowed_len). Applied to the top-K candidates only —
+    DRY only LOWERS logits, so the candidate set (captured pre-penalty)
+    still contains every possible survivor; the rows are re-sorted so
+    downstream top-k rank semantics hold. Returns (cand_v', cand_i')."""
+    b, w = dwin.shape
+    lmax = DRY_MAX_MATCH
+    tail = dwin[:, (w - 1) - np.arange(lmax)]                # [B, L] suffix
+    # shifted[j][b, i] = dwin[b, i - j] (out-of-range -> -1)
+    pad = jnp.full((b, lmax), -1, dwin.dtype)
+    ext = jnp.concatenate([pad, dwin], axis=1)               # [B, L+W]
+    shifted = jnp.stack([ext[:, lmax - j : lmax - j + w]
+                         for j in range(lmax)], axis=1)      # [B, L, W]
+    age = (w - 1) - jnp.arange(w, dtype=jnp.int32)[None, :]  # steps back
+    in_win = age < jnp.maximum(lastn, 0)[:, None]            # [B, W]
+    tail_in = (np.arange(lmax, dtype=np.int32)[None, :, None]
+               < jnp.maximum(lastn, 0)[:, None, None])       # [B, L, 1]
+    eq = ((shifted == tail[:, :, None]) & (tail[:, :, None] >= 0)
+          & (shifted >= 0) & in_win[:, None, :] & tail_in)   # [B, L, W]
+    m = jnp.cumprod(eq.astype(jnp.int32), axis=1).sum(axis=1)  # [B, W]
+    # position i's match penalizes the token at i+1; i = W-1 has no
+    # successor inside the window (its successor IS the next sample)
+    pen_i = jnp.where(
+        (m >= jnp.maximum(allowed_len, 1)[:, None]) & (mult[:, None] > 0),
+        mult[:, None] * jnp.power(
+            jnp.maximum(base, 1.0)[:, None],
+            (m - allowed_len[:, None]).astype(jnp.float32)),
+        0.0)[:, :-1]                                         # [B, W-1]
+    z = dwin[:, 1:]                                          # [B, W-1]
+    hit = (z[:, :, None] == cand_i[:, None, :]) & (z[:, :, None] >= 0)
+    pen_c = jnp.max(jnp.where(hit, pen_i[:, :, None], 0.0), axis=1)
+    v2 = cand_v - pen_c
+    order = jnp.argsort(-v2, axis=-1, stable=True)
+    return (jnp.take_along_axis(v2, order, axis=-1),
+            jnp.take_along_axis(cand_i, order, axis=-1))
+
+
 def topk_candidates(logits: jnp.ndarray, k_max: int = 128):
     """Top-k_max (vals, idx) candidate sets for device sampling — the
     shared pre-filter of device_sample and the serving run's per-step
@@ -292,13 +370,21 @@ def device_sample(
     min_p: jnp.ndarray,             # [B] f32
     k_max: int = 128,
     cands=None,                     # precomputed (vals, idx) [B, K]
+    typ_p=None,                     # [B] f32 typical-p (None = not traced)
 ) -> jnp.ndarray:
     """Jit-friendly per-lane sampler for device-side decode runs: the
     temperature/top-k/top-p/min-p subset of the chain (the GPU-sampling
     analog of llama_context_params.samplers, llama.h:1012-1035), restricted
     to the k_max most likely candidates. Lanes with temp<=0 take argmax.
     Penalties/bias are applied beforehand by device_penalties. Returns [B]
-    int32."""
+    int32.
+
+    ``typ_p`` traces in locally-typical filtering (apply_typical's
+    candidate-restricted twin, llama_sampler_typical) between top-k and
+    top-p, matching the host chain's order; lanes at 1.0 pass through.
+    Entropy is computed over the surviving candidates — tokens past rank
+    k_max carry negligible mass, so the truncation error is the same one
+    the sampler already accepts."""
     if cands is not None:
         vals, idx = cands
     elif logits.shape[-1] > 4096:
@@ -317,6 +403,25 @@ def device_sample(
     t = jnp.where(temp > 0, temp, 1.0)[:, None]
     scaled = jnp.where(allowed, vals / t, -jnp.inf)
     probs = jax.nn.softmax(scaled, axis=-1)
+    if typ_p is not None:
+        # typical: sort by |surprise - entropy|, keep the prefix whose
+        # cumulative mass crosses typ_p; downstream top-p/min-p then see
+        # the RENORMALIZED survivor distribution (each host sampler
+        # recomputes softmax over its remaining candidates)
+        pt = jnp.clip(probs, 1e-30)
+        ent = -jnp.sum(jnp.where(allowed, probs * jnp.log(pt), 0.0),
+                       axis=-1, keepdims=True)
+        shifted = jnp.where(allowed, jnp.abs(-jnp.log(pt) - ent), jnp.inf)
+        order = jnp.argsort(shifted, axis=-1)
+        p_sorted = jnp.take_along_axis(probs, order, axis=-1)
+        cum_t = jnp.cumsum(p_sorted, axis=-1)
+        keep_sorted = (cum_t - p_sorted) < typ_p[:, None]
+        keep_typ = jnp.zeros_like(keep_sorted)
+        keep_typ = jnp.put_along_axis(keep_typ, order, keep_sorted,
+                                      axis=-1, inplace=False)
+        allowed = allowed & keep_typ
+        probs = jax.nn.softmax(jnp.where(allowed, scaled, -jnp.inf),
+                               axis=-1)
     # top-p: keep the prefix whose cumulative mass crosses p (the crossing
     # token included, llama-sampling top_p semantics)
     cum = jnp.cumsum(probs, axis=-1)
@@ -324,7 +429,13 @@ def device_sample(
     # min-p: relative to the max candidate probability
     keep_m = probs >= min_p[:, None] * probs.max(axis=-1, keepdims=True)
     final = allowed & keep_p & keep_m
-    final = final.at[:, 0].set(True)
+    if typ_p is None:
+        final = final.at[:, 0].set(True)
+    else:
+        # typical may legitimately exclude rank 0; only force it back in
+        # when the whole set emptied out (can't happen analytically, but
+        # guards NaN logits)
+        final = final.at[:, 0].set(final[:, 0] | ~final.any(-1))
     logp = jnp.where(final, scaled, -jnp.inf)
     g = jax.vmap(lambda k: jax.random.gumbel(k, (k_max,)))(keys)
     choice = jnp.argmax(logp + g, axis=-1)

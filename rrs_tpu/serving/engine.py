@@ -742,9 +742,11 @@ class Engine:
         DEVICE (XTC/mirostat as static trace variants — see
         _decode_run_fn); grammar slots ride the fast path optimistically
         (tokens validated against the host PDA at flush, violations
-        rewound + resampled — see _flush_fast). DRY, top-n-sigma,
-        typical, infill and logprobs fall back to the host chain; no
-        draft model; cache headroom for the whole run."""
+        rewound + resampled — see _flush_fast). DRY, top-n-sigma and
+        typical run on device as static trace variants (round 5); n_probs
+        logprobs are served from the captured top-128 candidate rows.
+        Only infill falls back to the host chain; no draft model; cache
+        headroom for the whole run."""
         if not hasattr(self.ctx, "decode_run"):   # recurrent/hybrid contexts
             return False
         p = s.req.params
@@ -765,11 +767,9 @@ class Engine:
             return False              # can't validate without pieces
         if p.mirostat and p.mirostat != 2:
             return False               # only v2 has a device twin
-        return (s.req.n_probs == 0
-                and s.draft_seq < 0 and not s.req.infill
-                and not p.dry_multiplier
-                and not p.top_n_sigma
-                and p.typical_p >= 1.0
+        if s.req.n_probs > 128:
+            return False               # candidate capture holds top-128
+        return (s.draft_seq < 0 and not s.req.infill
                 and (p.top_k <= 0 or p.top_k <= 128)
                 # headroom: post-dispatch length stays below the
                 # context-shift trigger (max_seq-1), so a shift can never
@@ -823,6 +823,13 @@ class Engine:
         # ONE key readback: per-lane device slices each cost a relay
         # round-trip (~15ms x lanes per flush)
         keys_np = np.asarray(h["keys"])
+
+        def cands():
+            if "cands" not in inf:
+                inf["cands"] = (np.asarray(h["cand_v"]),
+                                np.asarray(h["cand_i"]))
+            return inf["cands"]
+
         for (seq_id, req_id), base in inf["items"].items():
             slot = next(
                 (s for s in self.slots
@@ -842,15 +849,14 @@ class Engine:
                     # sampled token needs replacing — no device round
                     # trips (round-4; was 1 recovery decode + 1 full-vocab
                     # masked sample per violation)
-                    if "cands" not in inf:
-                        inf["cands"] = (np.asarray(h["cand_v"]),
-                                        np.asarray(h["cand_i"]))
-                    cv, ci = inf["cands"]
+                    cv, ci = cands()
                     tok2 = self._resample_from_candidates(
                         slot, cv[lane, i], ci[lane, i],
                         seed=int(keys_np[lane][-1]) ^ (base + i))
                     if tok2 is not None:
                         self.ctx.kv.seq_rm(seq_id, p0=base + i + 1)
+                        self._emit_probs_fast(slot, tok2, cv[lane, i],
+                                              ci[lane, i])
                         if self._emit(slot, tok2):
                             self._release(slot, slot.finish_reason)
                         break
@@ -859,15 +865,42 @@ class Engine:
                     out = self.ctx.decode({seq_id: slot.generated[-1]})
                     slot.last_logits = out[seq_id]
                     tok = self._sample_token(slot)   # masks + resamples
+                    self._emit_probs(slot, tok)
                     if self._emit(slot, tok):
                         self._release(slot, slot.finish_reason)
                     break
+                if slot.req.n_probs > 0 and slot.req.on_probs is not None:
+                    cv, ci = cands()
+                    self._emit_probs_fast(slot, tok, cv[lane, i],
+                                          ci[lane, i])
                 if self._emit(slot, tok):   # stop token/string or max_tokens
                     # the cache holds tokens fed through step i; rewind the
                     # overshoot past the accepted token
                     self.ctx.kv.seq_rm(seq_id, p0=base + i + 1)
                     self._release(slot, slot.finish_reason)
                     break
+
+    def _emit_probs_fast(self, slot: Slot, token: int, vals, ids) -> None:
+        """n_probs logprobs from the decode run's captured top-128
+        candidate row (_emit_probs' fast-path twin): log-softmax
+        renormalized over the candidates — the tail past rank 128 carries
+        negligible mass and top-128 exceeds any OAI top_logprobs cap, so
+        no extra device readback is needed (server-context.cpp:1959+
+        populates probs from the sampler's candidate set the same way)."""
+        req = slot.req
+        if not req or req.n_probs <= 0 or req.on_probs is None:
+            return
+        v = np.asarray(vals, np.float64)
+        ids = np.asarray(ids)
+        m = v.max()
+        lp = v - (m + np.log(np.exp(v - m).sum()))
+        k = min(req.n_probs, len(ids))
+        where = np.nonzero(ids == token)[0]
+        # mirostat samples from the full vocab; a pick outside the
+        # captured candidates reports the worst candidate's logprob
+        tok_lp = float(lp[where[0]]) if len(where) else float(lp[-1])
+        req.on_probs(token, tok_lp,
+                     [(int(ids[j]), float(lp[j])) for j in range(k)])
 
     def _resample_from_candidates(self, slot: Slot, vals, ids, seed: int):
         """Grammar-violation resample over the decode run's captured

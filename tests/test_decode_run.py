@@ -320,3 +320,141 @@ def test_device_mirostat_mu_tracks_host_semantics():
     exp_mu1 = float(mu[1]) - 0.1 * (surprise[1, t1] - 5.0)
     np.testing.assert_allclose(np.asarray(mu2), [exp_mu0, exp_mu1],
                                rtol=1e-5)
+
+
+def _count_fast(eng):
+    calls = {"fast": 0}
+    orig = eng._dispatch_fast
+
+    def counting(gen, chain=None):
+        calls["fast"] += 1
+        return orig(gen, chain)
+
+    eng._dispatch_fast = counting
+    return calls
+
+
+def test_fast_path_dry_matches_host():
+    """DRY rides the device fast path (round 5): greedy + dry decodes via
+    decode_run and matches the per-token host chain token-for-token (the
+    device ring window mirrors dry_penalties exactly for histories
+    <= DRY_WINDOW)."""
+    cfg = PRESETS["tiny"]
+    w = random_weights(cfg, seed=0)
+
+    ctx = InferenceContext(cfg, w, n_lanes=1, max_seq=160)
+    eng = Engine(ctx)
+    calls = _count_fast(eng)
+    out_fast, r = _run(eng, [5, 6, 7], 40, dry_multiplier=2.5,
+                       dry_base=1.75, dry_allowed_length=2)
+    assert len(out_fast) == 40 and r == "length"
+    assert calls["fast"] >= 1, "dry request fell off the fast path"
+    assert any(k[5] for k in ctx._run_fns), ctx._run_fns.keys()
+
+    ctx_h = InferenceContext(cfg, w, n_lanes=1, max_seq=160)
+    eng_h = Engine(ctx_h)
+    eng_h._fast_eligible = lambda s: False
+    out_host, _ = _run(eng_h, [5, 6, 7], 40, dry_multiplier=2.5,
+                       dry_base=1.75, dry_allowed_length=2)
+    assert out_fast == out_host
+
+
+def test_fast_path_top_n_sigma_on_device():
+    """top-n-sigma rides the fast path; a near-zero sigma leaves only the
+    argmax alive, so sampled output must equal greedy (host semantics)."""
+    cfg = PRESETS["tiny"]
+    w = random_weights(cfg, seed=0)
+    ctx = InferenceContext(cfg, w, n_lanes=1, max_seq=96)
+    eng = Engine(ctx)
+    greedy, _ = _run(eng, [9, 8], 16)
+    calls = _count_fast(eng)
+    out, r = _run(eng, [9, 8], 16, temperature=0.9, top_n_sigma=0.01)
+    assert calls["fast"] >= 1, "top-n-sigma fell off the fast path"
+    assert any(k[4] for k in ctx._run_fns), ctx._run_fns.keys()
+    assert out == greedy
+
+
+def test_fast_path_typical_on_device():
+    """typical-p rides the fast path (static trace variant) and samples
+    valid tokens; typ_p=1.0 lanes in the same trace behave as before."""
+    cfg = PRESETS["tiny"]
+    w = random_weights(cfg, seed=0)
+    ctx = InferenceContext(cfg, w, n_lanes=1, max_seq=96)
+    eng = Engine(ctx)
+    calls = _count_fast(eng)
+    out, r = _run(eng, [5, 6, 7], 20, temperature=0.8, typical_p=0.7)
+    assert len(out) == 20 and r == "length"
+    assert calls["fast"] >= 1, "typical request fell off the fast path"
+    assert any(k[3] for k in ctx._run_fns), ctx._run_fns.keys()
+    assert all(0 <= t < cfg.vocab_size for t in out)
+
+
+def test_device_sample_typical_filter_semantics():
+    """device_sample's typical arm only ever samples tokens the host
+    apply_typical keeps (exact when candidates cover the vocab)."""
+    import jax
+    import jax.numpy as jnp
+    from rrs_tpu.runtime.sampler import apply_typical, device_sample
+
+    rng = np.random.default_rng(7)
+    v = 64
+    logits = jnp.asarray(rng.standard_normal((1, v)) * 2.0, jnp.float32)
+    temp, typ_p = 0.9, 0.5
+    kept = np.asarray(apply_typical(np.asarray(logits) / temp, typ_p))[0]
+    keep_set = set(np.nonzero(kept > -1e30)[0].tolist())
+    assert 0 < len(keep_set) < v
+
+    cands = jax.lax.top_k(logits, v)
+    keys = jax.random.split(jax.random.PRNGKey(0), 400)
+    toks = set()
+    for i in range(0, 400, 50):
+        out = jax.vmap(lambda k: device_sample(
+            logits, k[None], jnp.asarray([temp]), jnp.asarray([v]),
+            jnp.asarray([1.0]), jnp.asarray([0.0]), k_max=v, cands=cands,
+            typ_p=jnp.asarray([typ_p])))(keys[i:i + 50])
+        toks.update(np.asarray(out).ravel().tolist())
+    assert toks <= keep_set, toks - keep_set
+    assert len(toks) > 1                  # it still samples, not argmax
+
+
+def test_fast_path_logprobs_from_candidates():
+    """n_probs requests stay on the device fast path (round 5): logprobs
+    come from the captured top-128 candidate rows, sorted descending,
+    with the sampled token's logprob consistent with its top entry."""
+    cfg = PRESETS["tiny"]
+    w = random_weights(cfg, seed=0)
+    ctx = InferenceContext(cfg, w, n_lanes=1, max_seq=96)
+    eng = Engine(ctx)
+    calls = _count_fast(eng)
+    probs = []
+
+    done = {}
+    out = []
+
+    def on_token(tok, piece, finished, reason):
+        if finished:
+            done["r"] = reason
+        elif tok is not None:
+            out.append(tok)
+
+    def on_probs(token, lp, top):
+        probs.append((token, lp, top))
+
+    from rrs_tpu.runtime.sampler import SamplerParams
+    eng.submit(GenRequest(prompt_tokens=[5, 6, 7], max_tokens=12,
+                          params=SamplerParams(temperature=0.0),
+                          n_probs=5, on_token=on_token, on_probs=on_probs))
+    for _ in range(300):
+        eng._iterate()
+        if done:
+            break
+    assert done and len(out) == 12
+    assert calls["fast"] >= 1, "n_probs request fell off the fast path"
+    assert len(probs) == 12
+    for token, lp, top in probs:
+        assert len(top) == 5
+        lps = [x[1] for x in top]
+        assert lps == sorted(lps, reverse=True)
+        assert all(x <= 1e-9 for x in lps)
+        # greedy: sampled token is the top candidate
+        assert token == top[0][0] and abs(lp - top[0][1]) < 1e-9
