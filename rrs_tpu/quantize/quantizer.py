@@ -238,6 +238,7 @@ def quantize_model(
     verbose: bool = True,
     out_type: str = "tcq4",
     imatrix=None,
+    search: bool = False,
 ) -> dict:
     """Quantize every eligible tensor to ``out_type`` (default TCQ4_K32);
     returns a summary dict. Non-default quantized types follow the same
@@ -270,7 +271,7 @@ def quantize_model(
         if _is_tcq4_eligible(name, info.shape):
             f32 = g.tensor(name).astype(np.float32)
             perm = perms.get(name) if perms else None
-            t = quantize_tcq4(f32, perm=perm)
+            t = quantize_tcq4(f32, perm=perm, search=search)
             payload = encode_tcq4_gguf(t)
             w.add_tensor(name, payload, shape=info.shape, ggml_type=GGMLType.TCQ4_K32)
             stats["tcq4"] += 1
@@ -284,7 +285,8 @@ def quantize_model(
             # policy the same way)
             f32 = g.tensor(name).astype(np.float32)
             payload = b"".join(
-                bytes(encode_tcq4_gguf(quantize_tcq4(f32[ei])))
+                bytes(encode_tcq4_gguf(quantize_tcq4(f32[ei],
+                                                     search=search)))
                 for ei in range(info.shape[0]))
             w.add_tensor(name, np.frombuffer(payload, np.uint8),
                          shape=info.shape, ggml_type=GGMLType.TCQ4_K32)

@@ -8,7 +8,10 @@ for). Heuristic template families (ChatML/Llama-3/Gemma/Mistral) remain
 the fallback when a model ships no template or it fails to render.
 
 Tool-call output parsing covers the major dialects of common/chat.cpp
-(COMMON_CHAT_FORMAT_*): Hermes/Qwen ``<tool_call>{json}</tool_call>``,
+(COMMON_CHAT_FORMAT_*): Qwen3-Coder XML ``<function=..><parameter=..>``,
+Seed-OSS ``<seed:tool_call>``, MiniMax-M2 ``<minimax:tool_call><invoke>``,
+Kimi-K2 ``<|tool_call_begin|>``, Granite ``<|tool_call|>[json]``,
+Hermes/Qwen ``<tool_call>{json}</tool_call>``,
 Llama-3.x bare JSON + ``<|python_tag|>``, Mistral-Nemo ``[TOOL_CALLS]``,
 DeepSeek-R1 marker blocks, Command-R7B ``<|START_ACTION|>``, Functionary
 v3.1 ``<function=...>``, GPT-OSS harmony channels, with a generic JSON
@@ -252,6 +255,16 @@ def detect_tool_format(template: str) -> str:
     """Map a chat template's markers to a tool-call dialect (the format
     switch of common_chat_templates_apply_jinja, common/chat.cpp:650+)."""
     t = template or ""
+    if "<seed:tool_call>" in t:
+        return "seed-oss"               # chat.cpp:2746 (Seed-OSS)
+    if "<minimax:tool_call>" in t:
+        return "minimax-m2"             # chat.cpp:1871 (MiniMax-M2)
+    if "<|tool_call_begin|>" in t or "<|im_middle|>" in t:
+        return "kimi-k2"                # chat.cpp:1923+ (Kimi-K2)
+    if "<parameter=" in t and "<function=" in t:
+        return "qwen3-coder"            # chat.cpp:1891 (Qwen3-Coder XML)
+    if "<|tool_call|>" in t:
+        return "granite"                # chat.cpp:2533 (Granite 3.x)
     if "<tool_call>" in t or "<|im_start|>" in t:
         return "hermes"                 # Hermes-2-Pro / Qwen family
     if "<｜tool▁calls▁begin｜>" in t or "<｜tool▁calls｜>" in t:
@@ -300,6 +313,51 @@ _GPTOSS_RE = re.compile(
     r"<\|channel\|>commentary to=functions\.([\w.-]+)"
     r"(?:\s*<\|constrain\|>json)?\s*<\|message\|>(.*?)(?:<\|call\|>|$)", re.S)
 _PYTAG_RE = re.compile(r"<\|python_tag\|>(.*?)(?:<\|eom_id\|>|$)", re.S)
+# XML-parameter dialects (chat-parser.cpp xml_tool_call_format table):
+#   qwen3-coder  <tool_call><function=N><parameter=K>V</parameter>...
+#   seed-oss     <seed:tool_call><function=N><parameter=K>V</parameter>...
+#   minimax-m2   <minimax:tool_call><invoke name="N"><parameter name="K">V...
+_Q3C_BLOCK_RE = re.compile(r"<tool_call>\s*(.*?)\s*</tool_call>", re.S)
+_SEED_BLOCK_RE = re.compile(r"<seed:tool_call>\s*(.*?)\s*</seed:tool_call>",
+                            re.S)
+_MMX_BLOCK_RE = re.compile(
+    r"<minimax:tool_call>\s*(.*?)\s*</minimax:tool_call>", re.S)
+_XMLFN_RE = re.compile(r"<function=([^>\n]+)>\s*(.*?)\s*</function>", re.S)
+_XMLPARAM_RE = re.compile(r"<parameter=([^>\n]+)>\s*(.*?)\s*</parameter>",
+                          re.S)
+_INVOKE_RE = re.compile(r"<invoke name=\"([^\"]+)\">\s*(.*?)\s*</invoke>",
+                        re.S)
+_NPARAM_RE = re.compile(
+    r"<parameter name=\"([^\"]+)\">\s*(.*?)\s*</parameter>", re.S)
+# kimi-k2 (chat-parser.cpp:913): <|tool_calls_section_begin|>
+#   <|tool_call_begin|>functions.NAME:IDX<|tool_call_argument_begin|>
+#   {json}<|tool_call_end|> ... <|tool_calls_section_end|>
+_KIMI_CALL_RE = re.compile(
+    r"<\|tool_call_begin\|>\s*(?:functions\.)?([\w.-]+?)(?::\d+)?\s*"
+    r"<\|tool_call_argument_begin\|>\s*(\{.*?\})\s*<\|tool_call_end\|>",
+    re.S)
+_KIMI_SECTION_RE = re.compile(
+    r"<\|tool_calls_section_begin\|>.*?"
+    r"(?:<\|tool_calls_section_end\|>|$)", re.S)
+# granite (chat-parser.cpp:1214): <|tool_call|>[{"name":..,"arguments":..}]
+_GRANITE_RE = re.compile(r"<\|tool_call\|>\s*(\[.*?\])\s*(?:$|<)", re.S)
+_RESPONSE_RE = re.compile(r"<response>\s*(.*?)\s*</response>", re.S)
+
+
+def _xml_param_value(raw: str):
+    """XML dialect parameter values are raw text; JSON-typed literals
+    (numbers, bools, objects) pass through typed, everything else is a
+    trimmed string (chat-parser-xml-toolcall.cpp value handling)."""
+    v = _parse_json_maybe(raw.strip())
+    return v if v is not None else raw.strip()
+
+
+def _parse_xml_function_calls(blocks, calls):
+    for block in blocks:
+        for name, body in _XMLFN_RE.findall(block):
+            args = {k: _xml_param_value(v)
+                    for k, v in _XMLPARAM_RE.findall(body)}
+            calls.append(_mk_call(name.strip(), args))
 
 
 def parse_tool_calls(text: str, fmt: str = "auto"):
@@ -319,7 +377,37 @@ def parse_tool_calls(text: str, fmt: str = "auto"):
                                            obj.get("parameters", {}))),
                 call_id=obj.get("id") or obj.get("tool_call_id")))
 
-    if fmt in ("auto", "hermes", "generic") and _TOOL_CALL_RE.search(text):
+    if fmt in ("auto", "seed-oss") and "<seed:tool_call>" in text:
+        _parse_xml_function_calls(_SEED_BLOCK_RE.findall(text), calls)
+        content = _SEED_BLOCK_RE.sub("", text).strip()
+    elif fmt in ("auto", "minimax-m2") and "<minimax:tool_call>" in text:
+        for block in _MMX_BLOCK_RE.findall(text):
+            for name, body in _INVOKE_RE.findall(block):
+                args = {k: _xml_param_value(v)
+                        for k, v in _NPARAM_RE.findall(body)}
+                calls.append(_mk_call(name, args))
+        content = _MMX_BLOCK_RE.sub("", text).strip()
+    elif fmt in ("auto", "kimi-k2") and "<|tool_call_begin|>" in text:
+        for name, blob in _KIMI_CALL_RE.findall(text):
+            obj = _parse_json_maybe(blob)
+            if obj is not None:
+                calls.append(_mk_call(name, obj))
+        content = _KIMI_SECTION_RE.sub("", text).strip()
+    elif fmt in ("auto", "qwen3-coder") and "<function=" in text \
+            and "<parameter=" in text and "<tool_call>" in text:
+        _parse_xml_function_calls(_Q3C_BLOCK_RE.findall(text), calls)
+        content = _Q3C_BLOCK_RE.sub("", text).strip()
+    elif fmt in ("auto", "granite") and "<|tool_call|>" in text:
+        for blob in _GRANITE_RE.findall(text):
+            arr = _parse_json_maybe(blob)
+            if isinstance(arr, list):
+                add_objs(arr)
+        content = _GRANITE_RE.sub("", text).replace("<|tool_call|>", "")
+        m = _RESPONSE_RE.search(content)
+        if m:                          # granite wraps prose in <response>
+            content = m.group(1)
+        content = content.strip()
+    elif fmt in ("auto", "hermes", "generic") and _TOOL_CALL_RE.search(text):
         add_objs(filter(None, (_parse_json_maybe(b)
                                for b in _TOOL_CALL_RE.findall(text))))
         content = _TOOL_CALL_RE.sub("", text).strip()
@@ -379,13 +467,15 @@ def parse_tool_calls(text: str, fmt: str = "auto"):
 
 _THINK_RE = re.compile(r"<think>(.*?)</think>", re.S)
 _CR_THINK_RE = re.compile(r"<\|START_THINKING\|>(.*?)<\|END_THINKING\|>", re.S)
+_SEED_THINK_RE = re.compile(r"<seed:think>(.*?)</seed:think>", re.S)
 
 
 def extract_reasoning(text: str):
-    """Split <think>...</think> (deepseek/qwen3) or command-r7b
-    <|START_THINKING|> reasoning from content. Returns
-    (reasoning or None, content)."""
-    for rx, open_tag in ((_THINK_RE, "<think>"),
+    """Split <think>...</think> (deepseek/qwen3/kimi/minimax), seed-oss
+    <seed:think>, or command-r7b <|START_THINKING|> reasoning from
+    content. Returns (reasoning or None, content)."""
+    for rx, open_tag in ((_SEED_THINK_RE, "<seed:think>"),
+                         (_THINK_RE, "<think>"),
                          (_CR_THINK_RE, "<|START_THINKING|>")):
         parts = rx.findall(text)
         if parts:

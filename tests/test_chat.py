@@ -91,3 +91,86 @@ def test_multimodal_content_parts():
             {"type": "text", "text": "part2"},
         ]}])
     assert "part1 part2" in txt
+
+
+def test_parse_tool_calls_qwen3_coder_xml():
+    """Qwen3-Coder XML dialect (chat.cpp:1891 xml_tool_call_format):
+    <function=..><parameter=..> with raw values, JSON literals typed."""
+    text = ("I'll check the weather.\n<tool_call>\n"
+            "<function=get_weather>\n"
+            "<parameter=city>\nParis\n</parameter>\n"
+            "<parameter=days>\n3\n</parameter>\n"
+            "</function>\n</tool_call>")
+    content, calls = parse_tool_calls(text, "qwen3-coder")
+    assert content == "I'll check the weather."
+    assert len(calls) == 1
+    assert calls[0]["function"]["name"] == "get_weather"
+    args = json.loads(calls[0]["function"]["arguments"])
+    assert args == {"city": "Paris", "days": 3}
+    # auto-detection picks it up too
+    _, auto_calls = parse_tool_calls(text)
+    assert len(auto_calls) == 1
+
+
+def test_parse_tool_calls_seed_oss():
+    text = ("<seed:tool_call><function=search>"
+            "<parameter=q>llama</parameter>"
+            "</function></seed:tool_call>")
+    content, calls = parse_tool_calls(text, "seed-oss")
+    assert content == "" and len(calls) == 1
+    assert calls[0]["function"]["name"] == "search"
+    assert json.loads(calls[0]["function"]["arguments"]) == {"q": "llama"}
+
+
+def test_parse_tool_calls_minimax_m2():
+    text = ("answer first\n<minimax:tool_call>\n"
+            '<invoke name="lookup"><parameter name="id">42</parameter>'
+            '<parameter name="verbose">true</parameter></invoke>\n'
+            "</minimax:tool_call>")
+    content, calls = parse_tool_calls(text, "minimax-m2")
+    assert content == "answer first"
+    assert calls[0]["function"]["name"] == "lookup"
+    assert json.loads(calls[0]["function"]["arguments"]) == {
+        "id": 42, "verbose": True}
+
+
+def test_parse_tool_calls_kimi_k2():
+    text = ("<|tool_calls_section_begin|>"
+            "<|tool_call_begin|>functions.get_weather:0"
+            "<|tool_call_argument_begin|>"
+            '{"city": "Tokyo"}<|tool_call_end|>'
+            "<|tool_calls_section_end|>")
+    content, calls = parse_tool_calls(text, "kimi-k2")
+    assert content == "" and len(calls) == 1
+    assert calls[0]["function"]["name"] == "get_weather"
+    assert json.loads(calls[0]["function"]["arguments"]) == {"city": "Tokyo"}
+    _, auto_calls = parse_tool_calls(text)
+    assert len(auto_calls) == 1
+
+
+def test_parse_tool_calls_granite():
+    text = ("<think>plan</think><response>checking</response>"
+            '<|tool_call|>[{"name": "add", "arguments": {"a": 1, "b": 2}}]')
+    r, body = extract_reasoning(text)
+    assert r == "plan"
+    content, calls = parse_tool_calls(body, "granite")
+    assert content == "checking"
+    assert calls[0]["function"]["name"] == "add"
+    assert json.loads(calls[0]["function"]["arguments"]) == {"a": 1, "b": 2}
+
+
+def test_detect_new_dialects():
+    from rrs_tpu.serving.chat import detect_tool_format
+
+    assert detect_tool_format("...<seed:tool_call>...") == "seed-oss"
+    assert detect_tool_format("...<minimax:tool_call>...") == "minimax-m2"
+    assert detect_tool_format("x<|tool_call_begin|>y") == "kimi-k2"
+    assert detect_tool_format(
+        "<|im_start|>..<function=f><parameter=p>") == "qwen3-coder"
+    assert detect_tool_format("..<|tool_call|>..") == "granite"
+    assert detect_tool_format("<|im_start|>assistant") == "hermes"
+
+
+def test_extract_reasoning_seed_think():
+    r, c = extract_reasoning("<seed:think>why</seed:think>done")
+    assert r == "why" and c == "done"
