@@ -87,10 +87,10 @@ class InferenceContext:
                 functools.partial(self._step_lastidx, cfg))
         else:
             self._shard_kv()
-            self._step_fn = self._make_tp_step(last_only=False)
-            self._step_last_fn = self._make_tp_step(last_only=True)
-            self._step_lastidx_fn = self._make_tp_step(last_only=False,
-                                                       lastidx=True)
+            self._step_fn = self._tp_step_fn(last_only=False)
+            self._step_last_fn = self._tp_step_fn(last_only=True)
+            self._step_lastidx_fn = self._tp_step_fn(last_only=False,
+                                                     lastidx=True)
 
     # -- tensor-parallel plumbing -----------------------------------------
 
@@ -114,7 +114,8 @@ class InferenceContext:
         self.kv.k = [put(c, s) for c, s in zip(self.kv.k, specs)]
         self.kv.v = [put(c, s) for c, s in zip(self.kv.v, specs)]
 
-    def _make_tp_step(self, last_only: bool, lastidx: bool = False):
+    def _make_tp_step(self, last_only: bool, lastidx: bool = False,
+                      pos_rank: int = 0):
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
         from rrs_tpu.parallel import sharding as _sh
@@ -130,7 +131,8 @@ class InferenceContext:
             logits, nk, nv = InferenceContext._step(
                 lcfg, weights, tokens, start_pos, lengths, k_caches,
                 v_caches, last_only=last_only,
-                last_idx=rest[0] if lastidx else None)
+                last_idx=rest[0] if lastidx else None,
+                pos_row=rest[-1] if pos_rank else None)
             # lm_head is column-parallel: gather vocab shards, drop padding
             logits = jax.lax.all_gather(logits, "tp", axis=-1, tiled=True)
             return logits[..., : cfg.vocab_size], nk, nv
@@ -139,12 +141,26 @@ class InferenceContext:
                     kv_specs, kv_specs)
         if lastidx:
             in_specs = in_specs + (P("dp"),)
+        if pos_rank:
+            # rope-position rows (seq_div / M-RoPE deltas): per-lane host
+            # state, sharded over dp lanes, replicated over tp
+            in_specs = in_specs + (P(*(("dp",) + (None,) * (pos_rank - 1))),)
         fn = shard_map(
             step, mesh=mesh,
             in_specs=in_specs,
             out_specs=(P("dp", None, None), kv_specs, kv_specs),
             check_vma=False)
         return jax.jit(fn)
+
+    def _tp_step_fn(self, last_only: bool, lastidx: bool = False,
+                    pos_rank: int = 0):
+        cache = getattr(self, "_tp_steps", None)
+        if cache is None:
+            cache = self._tp_steps = {}
+        key = (last_only, lastidx, pos_rank)
+        if key not in cache:
+            cache[key] = self._make_tp_step(last_only, lastidx, pos_rank)
+        return cache[key]
 
     def perf(self) -> dict:
         """llama_perf_context analog: token counts + throughput."""
@@ -213,20 +229,23 @@ class InferenceContext:
             cfg, weights, tokens, start_pos, lengths, k_caches, v_caches,
             last_idx=last_idx, pos_row=pos_row)
 
-    def _pos_row_kwargs(self, start_pos_np, t: int) -> dict:
-        """[B, t] absolute-rope-position row when any lane's positions
-        diverge from slot indices (seq_div remap or a retained M-RoPE
-        delta); empty when slots == positions everywhere. Single-device
-        only — callers under a mesh keep slot positions (engine excludes
-        diverged lanes from batched paths there)."""
-        if not (self.kv.slot_pos or self.kv.mrope_delta) or \
-                self.mesh is not None:
-            return {}
+    def _pos_rows(self, start_pos_np, t: int) -> np.ndarray:
         rows = np.zeros((len(start_pos_np), t), np.int32)
         for lane, st in enumerate(start_pos_np):
             if int(st) >= 0:
                 rows[lane] = self.kv.positions_row(lane, int(st), t)
-        return {"pos_row": jnp.asarray(rows)}
+        return rows
+
+    def _pos_row_kwargs(self, start_pos_np, t: int) -> dict:
+        """[B, t] absolute-rope-position row when any lane's positions
+        diverge from slot indices (seq_div remap or a retained M-RoPE
+        delta); empty when slots == positions everywhere. Jit-kwarg form
+        for the single-device step fns — mesh callers use _tp_step_fn's
+        positional pos_rank variants instead."""
+        if not (self.kv.slot_pos or self.kv.mrope_delta) or \
+                self.mesh is not None:
+            return {}
+        return {"pos_row": jnp.asarray(self._pos_rows(start_pos_np, t))}
 
     def _run(self, tokens_np: np.ndarray, start_pos_np: np.ndarray,
              last_only: bool = False):
@@ -234,7 +253,15 @@ class InferenceContext:
         # seq_div remapped some lane's positions (or an M-RoPE image
         # chunk trailed them): feed absolute rope positions per row
         # (slots/masks stay derived from start_pos)
+        args = ()
         kwargs = self._pos_row_kwargs(start_pos_np, tokens_np.shape[1])
+        if self.mesh is not None and (self.kv.slot_pos
+                                      or self.kv.mrope_delta):
+            # tp variant with a replicated pos_row operand (shard_map
+            # needs a static arity; kwargs only work on the jit path)
+            fn = self._tp_step_fn(last_only=last_only, pos_rank=2)
+            args = (jnp.asarray(self._pos_rows(
+                start_pos_np, tokens_np.shape[1])),)
         logits, nk, nv = fn(
             self.weights,
             jnp.asarray(tokens_np, jnp.int32),
@@ -242,6 +269,7 @@ class InferenceContext:
             self.kv.lengths_array(),
             self.kv.k,
             self.kv.v,
+            *args,
             **kwargs,
         )
         self.kv.k = nk
@@ -391,10 +419,15 @@ class InferenceContext:
         import time as _time
 
         t0 = _time.perf_counter()
-        logits, nk, nv = self._step_lastidx_fn(
+        fn, args = self._step_lastidx_fn, ()
+        if self.mesh is not None and (self.kv.slot_pos
+                                      or self.kv.mrope_delta):
+            fn = self._tp_step_fn(last_only=False, lastidx=True, pos_rank=2)
+            args = (jnp.asarray(self._pos_rows(start, t)),)
+        logits, nk, nv = fn(
             self.weights, jnp.asarray(tok), jnp.asarray(start),
             self.kv.lengths_array(), self.kv.k, self.kv.v,
-            jnp.asarray(last), **self._pos_row_kwargs(start, t))
+            jnp.asarray(last), *args, **self._pos_row_kwargs(start, t))
         self.kv.k, self.kv.v = nk, nv
         out = {}
         for seq_id, c in chunks.items():
@@ -403,6 +436,59 @@ class InferenceContext:
             out[seq_id] = np.asarray(logits[lanes[seq_id], 0])
         self.t_prefill_s += _time.perf_counter() - t0
         return out
+
+    def _embd_step_fn(self, pos_rank: int):
+        """Build (and cache) the embedding-prefill step for ``pos_rank``:
+        0 = slot positions, 2 = [B, T] remapped rope rows, 3 = [B, T, 3]
+        M-RoPE rows. Separate shard_map variants because the mesh path
+        needs a static in_specs tuple per arity."""
+        cache = getattr(self, "_embd_steps", None)
+        if cache is None:
+            cache = self._embd_steps = {}
+        if pos_rank in cache:
+            return cache[pos_rank]
+        mesh = self.mesh
+        cfg = self.cfg
+        if mesh is not None:
+            from rrs_tpu.parallel import sharding as _sh
+
+            cfg = _sh._local_cfg(cfg, mesh.shape["tp"])
+
+        def step(weights, emb, start_pos, k_caches, v_caches, *rest):
+            pos_row = rest[0] if pos_rank else None
+            bb, t, _ = emb.shape
+            s = max((c[0] if isinstance(c, tuple) else c).shape[2]
+                    for c in k_caches)
+            pos = start_pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+            mask_pos = jnp.where(start_pos[:, None] < 0, -1, pos)
+            safe_slots = jnp.where(start_pos[:, None] < 0, s - t,
+                                   jnp.clip(pos, 0, s - 1))
+            logits, nk, nv = llama_model.forward(
+                cfg, weights, jnp.zeros((bb, t), jnp.int32),
+                pos if pos_row is None else pos_row,
+                k_caches, v_caches, mask_pos, safe_slots, embeds=emb)
+            if mesh is not None:
+                logits = jax.lax.all_gather(logits, "tp", axis=-1,
+                                            tiled=True)
+                logits = logits[..., : self.cfg.vocab_size]
+            return logits, nk, nv
+
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            from rrs_tpu.parallel import sharding as _sh
+
+            kv_specs = self._kv_pspec()
+            in_specs = (_sh.weight_pspecs(self.weights),
+                        P("dp", None, None), P("dp"), kv_specs, kv_specs)
+            if pos_rank:
+                in_specs += (P(*(("dp",) + (None,) * (pos_rank - 1))),)
+            step = shard_map(
+                step, mesh=mesh, in_specs=in_specs,
+                out_specs=(P("dp", None, None), kv_specs, kv_specs),
+                check_vma=False)
+        cache[pos_rank] = jax.jit(step)
+        return cache[pos_rank]
 
     def prefill_embeds(self, seq_id: int, embeds: np.ndarray,
                        mrope_grid=None) -> np.ndarray:
@@ -415,70 +501,32 @@ class InferenceContext:
         (kv_cache.mrope_begin_image)."""
         lane = self.kv.lane_of(seq_id)
         b = self.kv.n_lanes
-        if not hasattr(self, "_embd_step"):
-            mesh = self.mesh
-            cfg = self.cfg
-            if mesh is not None:
-                from rrs_tpu.parallel import sharding as _sh
-
-                cfg = _sh._local_cfg(cfg, mesh.shape["tp"])
-
-            def step(weights, emb, start_pos, k_caches, v_caches,
-                     pos_row=None):
-                bb, t, _ = emb.shape
-                s = max((c[0] if isinstance(c, tuple) else c).shape[2]
-                        for c in k_caches)
-                pos = start_pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
-                mask_pos = jnp.where(start_pos[:, None] < 0, -1, pos)
-                safe_slots = jnp.where(start_pos[:, None] < 0, s - t,
-                                       jnp.clip(pos, 0, s - 1))
-                logits, nk, nv = llama_model.forward(
-                    cfg, weights, jnp.zeros((bb, t), jnp.int32),
-                    pos if pos_row is None else pos_row,
-                    k_caches, v_caches, mask_pos, safe_slots, embeds=emb)
-                if mesh is not None:
-                    logits = jax.lax.all_gather(logits, "tp", axis=-1,
-                                                tiled=True)
-                    logits = logits[..., : self.cfg.vocab_size]
-                return logits, nk, nv
-
-            if mesh is not None:
-                from jax import shard_map
-                from jax.sharding import PartitionSpec as P
-                from rrs_tpu.parallel import sharding as _sh
-
-                kv_specs = self._kv_pspec()
-                step = shard_map(
-                    step, mesh=mesh,
-                    in_specs=(_sh.weight_pspecs(self.weights),
-                              P("dp", None, None), P("dp"),
-                              kv_specs, kv_specs),
-                    out_specs=(P("dp", None, None), kv_specs, kv_specs),
-                    check_vma=False)
-            self._embd_step = jax.jit(step)
         t = embeds.shape[0]
         emb = np.zeros((b, t, embeds.shape[1]), np.float32)
         start = np.full((b,), -1, np.int32)
         emb[lane] = embeds
         start[lane] = self.kv.lengths[lane]
-        kwargs = {}
+        pos_row = None
         if mrope_grid is not None:
-            if self.mesh is not None:
-                raise NotImplementedError("M-RoPE image chunks under a mesh")
+            # under TP the ViT ran replicated on host/device 0 and the
+            # embeddings enter the sharded LLM like text does; the [B, T,
+            # 3] M-RoPE rows are per-lane host state, replicated over tp
+            # (mtmd.h:110-210 embedding-injection contract)
             gh, gw = mrope_grid
             assert gh * gw == t, (mrope_grid, t)
             rows = np.zeros((b, t, 3), np.int32)
             rows[lane] = self.kv.mrope_begin_image(lane, gh, gw)
-            kwargs["pos_row"] = jnp.asarray(rows)
-        elif self.mesh is None and (
-                self.kv.mrope_delta.get(lane)
+            pos_row = jnp.asarray(rows)
+        elif (self.kv.mrope_delta.get(lane)
                 or self.kv.slot_pos.get(lane) is not None):
             rows = np.zeros((b, t), np.int32)
             rows[lane] = self.kv.positions_row(lane, self.kv.lengths[lane], t)
-            kwargs["pos_row"] = jnp.asarray(rows)
-        logits, nk, nv = self._embd_step(
+            pos_row = jnp.asarray(rows)
+        fn = self._embd_step_fn(0 if pos_row is None else pos_row.ndim)
+        extra = () if pos_row is None else (pos_row,)
+        logits, nk, nv = fn(
             self.weights, jnp.asarray(emb, jnp.bfloat16),
-            jnp.asarray(start, jnp.int32), self.kv.k, self.kv.v, **kwargs)
+            jnp.asarray(start, jnp.int32), self.kv.k, self.kv.v, *extra)
         self.kv.k, self.kv.v = nk, nv
         self.kv.lengths[lane] += t
         self.n_prefill_tokens += t

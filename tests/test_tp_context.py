@@ -230,3 +230,67 @@ def test_tp_context_mxfp4_model(tmp_path):
         np.testing.assert_allclose(dt, dr, rtol=1e-1, atol=1e-1)
         assert int(dt.argmax()) == int(dr.argmax())
         tok = int(dr.argmax())
+
+
+def test_tp_multimodal_mrope_matches_single_device():
+    """M-RoPE image chunks + trailing text under a tp mesh (round 5;
+    previously NotImplementedError): the [B, T, 3] rope rows are
+    replicated over tp and the embedding chunk enters the sharded LLM
+    like text (mtmd.h:110-210 injection contract)."""
+    cfg = ModelConfig(
+        arch="qwen2vl", n_layers=2, n_embd=256, n_heads=8, n_kv_heads=4,
+        head_dim=128, n_ff=1024, vocab_size=512, context_length=128,
+        rope_sections=(32, 16, 16),
+    )
+    w = llama_model.random_weights(cfg, seed=11, quantize=True)
+    rng = np.random.default_rng(0)
+    chunk = rng.standard_normal((6, cfg.n_embd)).astype(np.float32) * 0.02
+    grid = (2, 3)
+    pre, post = [3, 17, 42, 100], [5, 99, 7]
+
+    def run(mesh):
+        ctx = InferenceContext(cfg, w, n_lanes=2, max_seq=64, mesh=mesh)
+        seq = ctx.new_sequence()
+        l_pre = ctx.prefill(seq, pre)
+        l_img = ctx.prefill_embeds(seq, chunk, mrope_grid=grid)
+        l_post = ctx.prefill(seq, post)
+        assert ctx.kv.mrope_delta[ctx.kv.lane_of(seq)] == -3
+        dec = ctx.decode({seq: int(l_post[-1].argmax())})[seq]
+        return np.concatenate([l_pre, l_img, l_post], axis=0), dec
+
+    ref, ref_dec = run(None)
+    # dp=1: per-shard batch == full batch, so only tp reduction order
+    # differs -> tight band. dp=2 shards lanes (per-shard B=1) and XLA's
+    # CPU codegen is batch-shape-dependent in bf16 (~0.2 absolute on
+    # these random-init logits) -> decision-level check only.
+    got, got_dec = run(make_mesh(2, dp=1))
+    np.testing.assert_allclose(got, ref, rtol=5e-2, atol=5e-2)
+    np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))
+    np.testing.assert_allclose(got_dec, ref_dec, rtol=1e-1, atol=1e-1)
+    assert int(got_dec.argmax()) == int(ref_dec.argmax())
+
+    got2, got2_dec = run(make_mesh(4, dp=2))
+    np.testing.assert_allclose(got2, ref, rtol=3e-1, atol=3e-1)
+    assert (got2.argmax(-1) == ref.argmax(-1)).mean() > 0.85
+    assert int(got2_dec.argmax()) == int(ref_dec.argmax())
+
+
+def test_tp_seq_div_decode_matches_single_device():
+    """seq_div'd lanes decode correctly under a mesh: the remapped rope
+    rows ride the tp step's pos_row operand (round 5; previously the
+    mesh path silently used slot positions)."""
+    cfg = _cfg()
+    w = llama_model.random_weights(cfg, seed=13, quantize=True)
+    toks = [3, 1, 4, 1, 5, 9, 2, 6]
+
+    def run(mesh):
+        ctx = InferenceContext(cfg, w, n_lanes=2, max_seq=64, mesh=mesh)
+        seq = ctx.new_sequence()
+        ctx.prefill(seq, toks, all_logits=False)
+        ctx.kv.seq_div(cfg, seq, 0, 1 << 30, 2)
+        return ctx.decode({seq: 7})[seq]
+
+    ref = run(None)
+    got = run(make_mesh(4, dp=2))
+    np.testing.assert_allclose(got, ref, rtol=1e-1, atol=1e-1)
+    assert int(got.argmax()) == int(ref.argmax())
