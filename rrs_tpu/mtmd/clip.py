@@ -47,8 +47,12 @@ class ClipConfig:
     # qwen2vl (clip.cpp PROJECTOR_TYPE_QWEN2VL / models/qwen2vl.cpp)
     spatial_merge: int = 2           # merger pools 2x2 patch blocks
     temporal_patch: int = 2          # conv3d temporal depth (image = 2 frames)
-    ffn_act: str = "gelu"            # "gelu" | "quick_gelu" (qwen2vl ViT)
+    ffn_act: str = "gelu"            # "gelu" | "quick_gelu" | "silu_gated"
     rope_theta: float = 10000.0      # 2D vision rotary base
+    # qwen2.5vl (clip-impl.h:219 PROJECTOR_TYPE_QWEN25VL): window
+    # attention everywhere except every n_wa_pattern-th layer
+    n_wa_pattern: int = 0            # 0 = full attention (qwen2vl)
+    attn_window_size: int = 112      # pixels (clip.cpp:3518 default)
 
     @property
     def n_patches(self) -> int:
@@ -85,18 +89,22 @@ class ClipConfig:
             spatial_merge=int(g("spatial_merge_size",
                                 1 if md.get("clip.projector_type")
                                 == "pixtral" else 2)),
-            # qwen2-VL's ViT uses quick-gelu (HF hidden_act; qwen2.5-VL
-            # moves to gated silu and window attention — not yet covered)
+            # qwen2-VL's ViT uses quick-gelu (HF hidden_act); qwen2.5-VL
+            # moves to gated silu + RMS norms + window attention
             ffn_act=("quick_gelu"
                      if md.get("clip.projector_type") == "qwen2vl_merger"
+                     else "silu_gated"
+                     if md.get("clip.projector_type") == "qwen2.5vl_merger"
                      else "gelu"),
+            n_wa_pattern=int(g("n_wa_pattern", 0)),
+            attn_window_size=int(g("attn_window_size", 112)),
         )
 
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["ln1_w", "ln1_b", "wq", "bq", "wk", "bk", "wv", "bv",
                       "wo", "bo", "ln2_w", "ln2_b", "w_up", "b_up",
-                      "w_down", "b_down", "w_gate"],
+                      "w_down", "b_down", "w_gate", "b_gate"],
          meta_fields=[])
 @dataclasses.dataclass
 class ClipLayer:
@@ -116,7 +124,8 @@ class ClipLayer:
     b_up: jnp.ndarray
     w_down: jnp.ndarray
     b_down: jnp.ndarray
-    w_gate: Optional[jnp.ndarray] = None   # pixtral: silu-gated MLP
+    w_gate: Optional[jnp.ndarray] = None   # pixtral/qwen2.5: silu-gated MLP
+    b_gate: Optional[jnp.ndarray] = None   # qwen2.5vl gate bias
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -288,52 +297,112 @@ def preprocess_image_qwen2vl(img, cfg: ClipConfig,
     return patches.reshape(gh * gw, 3 * p * p).astype(np.float32), (gh, gw)
 
 
+def qwen25vl_window_order(gh: int, gw: int, m: int, window_units: int):
+    """Qwen2.5-VL window grouping (clip.cpp:3520-3550 get_window_index):
+    merged units (m*m patch blocks) regroup so each attention window's
+    units are contiguous. Returns (units [U] raster unit index per
+    window-ordered slot, seglens [n_windows] token counts)."""
+    ph, pw = gh // m, gw // m
+    units, seglens = [], []
+    for y in range(0, ph, window_units):
+        for x in range(0, pw, window_units):
+            wh = min(window_units, ph - y)
+            ww = min(window_units, pw - x)
+            for dy in range(wh):
+                for dx in range(ww):
+                    units.append((y + dy) * pw + (x + dx))
+            seglens.append(wh * ww * m * m)
+    return np.asarray(units, np.int64), np.asarray(seglens, np.int64)
+
+
 def encode_image_qwen2vl(cfg: ClipConfig, weights: ClipWeights,
                          patches: jnp.ndarray, grid_hw) -> jnp.ndarray:
-    """Qwen2-VL ViT + 2x2 merger (models/qwen2vl.cpp build graph):
-    dual-temporal conv stem (both slices see the same frame, summed at
-    load into patch_w), NO learned positions — 2D rotary over each
-    patch's (h, w) in every attention — quick-gelu FFN, post-LN, then
-    the merger MLP on concatenated 2x2 blocks (mm.0 -> GELU -> mm.2).
-    patches arrive raster-order; the block reorder happens here."""
+    """Qwen2-VL / Qwen2.5-VL ViT + 2x2 merger (models/qwen2vl.cpp build
+    graph): dual-temporal conv stem (both slices see the same frame,
+    summed at load into patch_w), NO learned positions — 2D rotary over
+    each patch's (h, w) in every attention — then the merger MLP on
+    concatenated 2x2 blocks (mm.0 -> GELU -> mm.2). patches arrive
+    raster-order; the block reorder happens here.
+
+    Qwen2.5-VL (PROJECTOR_TYPE_QWEN25VL, clip-impl.h:219): RMS norms,
+    silu-GATED FFN, and window attention — merged units regroup into
+    contiguous attn_window_size windows (block-diagonal mask); only
+    every n_wa_pattern-th layer attends globally (qwen2vl.cpp:82); the
+    merger output un-permutes back to raster unit order."""
     gh, gw = grid_hw
-    order = qwen2vl_block_order(gh, gw, cfg.spatial_merge)
+    m = cfg.spatial_merge
+    order = qwen2vl_block_order(gh, gw, m)
+    win_units = None
+    win_mask = None
+    is25 = cfg.projector_type == "qwen2.5vl_merger"
+    if is25 and cfg.n_wa_pattern > 0:
+        wu = max(1, cfg.attn_window_size // cfg.patch_size // m)
+        win_units, seglens = qwen25vl_window_order(gh, gw, m, wu)
+        # compose: window-ordered token i*m2+j <- block-order token
+        # win_units[i]*m2+j <- raster token order[...]
+        m2 = m * m
+        tok_sel = (win_units[:, None] * m2
+                   + np.arange(m2)[None, :]).reshape(-1)
+        order = order[tok_sel]
+        seg_id = np.repeat(np.arange(len(seglens)), seglens)
+        win_mask = jnp.asarray(
+            np.where(seg_id[:, None] == seg_id[None, :], 0.0,
+                     -np.inf).astype(np.float32))
     hpos = (np.arange(gh * gw) // gw)[order]
     wpos = (np.arange(gh * gw) % gw)[order]
 
     x = (patches @ weights.patch_w).astype(jnp.float32)[order]
     if weights.patch_b is not None:
         x = x + weights.patch_b
+    norm = (lambda v_, w_, b_: _rms(v_, w_, cfg.eps)) if is25 \
+        else (lambda v_, w_, b_: _layer_norm(v_, w_, b_, cfg.eps))
     if weights.pre_ln_w is not None:
-        x = _layer_norm(x, weights.pre_ln_w, weights.pre_ln_b, cfg.eps)
+        x = norm(x, weights.pre_ln_w, weights.pre_ln_b)
     n, e = x.shape
     h, d = cfg.n_heads, cfg.n_embd // cfg.n_heads
     cos, sin = _vision_rope_2d(cfg, hpos, wpos, d)
     cos, sin = cos[:, None, :], sin[:, None, :]        # [T, 1, d]
-    for lw in weights.layers:
-        y = _layer_norm(x, lw.ln1_w, lw.ln1_b, cfg.eps)
+    for li, lw in enumerate(weights.layers):
+        full_attn = (win_mask is None
+                     or (li + 1) % cfg.n_wa_pattern == 0)
+        y = norm(x, lw.ln1_w, lw.ln1_b)
         q = (y @ lw.wq + lw.bq).reshape(n, h, d)
         k = (y @ lw.wk + lw.bk).reshape(n, h, d)
         v = (y @ lw.wv + lw.bv).reshape(n, h, d)
         q = q * cos + _rotate_half(q) * sin
         k = k * cos + _rotate_half(k) * sin
         att = jnp.einsum("qhd,khd->hqk", q, k) / np.sqrt(d)
+        if not full_attn and win_mask is not None:
+            att = att + win_mask[None, :, :]
         att = jax.nn.softmax(att, axis=-1)
         ctx = jnp.einsum("hqk,khd->qhd", att, v).reshape(n, e)
         x = x + (ctx @ lw.wo + lw.bo)
-        y = _layer_norm(x, lw.ln2_w, lw.ln2_b, cfg.eps)
-        y = y @ lw.w_up + lw.b_up
-        if cfg.ffn_act == "quick_gelu":
-            y = y * jax.nn.sigmoid(1.702 * y)
+        y = norm(x, lw.ln2_w, lw.ln2_b)
+        if cfg.ffn_act == "silu_gated":
+            gate = y @ lw.w_gate + (lw.b_gate if lw.b_gate is not None
+                                    else 0.0)
+            up = y @ lw.w_up + lw.b_up
+            y = jax.nn.silu(gate) * up
         else:
-            y = jax.nn.gelu(y, approximate=cfg.use_gelu)
+            y = y @ lw.w_up + lw.b_up
+            if cfg.ffn_act == "quick_gelu":
+                y = y * jax.nn.sigmoid(1.702 * y)
+            else:
+                y = jax.nn.gelu(y, approximate=cfg.use_gelu)
         x = x + (y @ lw.w_down + lw.b_down)
     if weights.post_ln_w is not None:
-        x = _layer_norm(x, weights.post_ln_w, weights.post_ln_b, cfg.eps)
+        x = norm(x, weights.post_ln_w, weights.post_ln_b)
     m2 = cfg.spatial_merge ** 2
     x = x.reshape(n // m2, m2 * e)                     # 2x2 block concat
     x = jax.nn.gelu(x @ weights.mm0_w + weights.mm0_b, approximate=False)
-    return x @ weights.mm2_w + weights.mm2_b
+    x = x @ weights.mm2_w + weights.mm2_b
+    if win_units is not None:
+        # un-permute merged units back to raster order (qwen2vl.cpp:167
+        # window_idx get_rows after the merger)
+        inv = np.empty(len(win_units), np.int64)
+        inv[win_units] = np.arange(len(win_units))
+        x = x[inv]
+    return x
 
 
 def _rms(x, w, eps):
@@ -463,6 +532,8 @@ def load_mmproj(path: str | Path):
                 w_up=wu, b_up=bu, w_down=wd, b_down=bd,
                 w_gate=(lin(f"{p}.ffn_gate")[0]
                         if f"{p}.ffn_gate.weight" in g.tensors else None),
+                b_gate=(lin(f"{p}.ffn_gate")[1]
+                        if f"{p}.ffn_gate.weight" in g.tensors else None),
             ))
         if cfg.projector_type == "gemma3":
             mm0w = mm0b = mm2w = mm2b = None
@@ -483,7 +554,8 @@ def load_mmproj(path: str | Path):
             mm_ip = mm_sen = None
         brk = t("v.token_embd.img_break", required=False)
         pos = t("v.position_embd.weight", required=cfg.projector_type
-                not in ("qwen2vl_merger", "pixtral"))  # rotary: no table
+                not in ("qwen2vl_merger", "qwen2.5vl_merger",
+                        "pixtral"))                    # rotary: no table
         weights = ClipWeights(
             patch_w=patch_w,
             patch_b=t("v.patch_embd.bias", required=False),

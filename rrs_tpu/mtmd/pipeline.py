@@ -64,7 +64,7 @@ def embed_images(cfg: ClipConfig, weights: ClipWeights, images) -> list:
     the MERGED llm grid rides along for M-RoPE positions."""
     out = []
     for img in images:
-        if cfg.projector_type == "qwen2vl_merger":
+        if cfg.projector_type in ("qwen2vl_merger", "qwen2.5vl_merger"):
             patches, (gh, gw) = preprocess_image_qwen2vl(img, cfg)
             emb = encode_image_qwen2vl(cfg, weights, jnp.asarray(patches),
                                        (gh, gw))

@@ -79,6 +79,9 @@ _ARCH_MAP = {
     "GptOssForCausalLM": "gpt-oss",
     "Phi3ForCausalLM": "phi3",
     "Qwen2VLForConditionalGeneration": "qwen2vl",
+    # 2.5's LLM is the same qwen2vl text stack (M-RoPE sections; the
+    # vision differences live entirely in the mmproj)
+    "Qwen2_5_VLForConditionalGeneration": "qwen2vl",
 }
 
 
@@ -521,7 +524,10 @@ def convert_hf_mmproj(model_dir: str | Path, out_path: str | Path,
     vc_type = (cfg.get("vision_config") or {}).get("model_type")
     if vc_type == "pixtral":
         return _convert_mmproj_pixtral(model_dir, cfg, out_path, out_dtype)
-    if arch_name != "Qwen2VLForConditionalGeneration" \
+    is25 = (arch_name == "Qwen2_5_VLForConditionalGeneration"
+            or cfg.get("model_type") == "qwen2_5_vl"
+            or vc_type == "qwen2_5_vl")
+    if not is25 and arch_name != "Qwen2VLForConditionalGeneration" \
             and cfg.get("model_type") != "qwen2_vl":
         raise ValueError(f"mmproj extraction not supported for {arch_name}")
     vc = cfg["vision_config"]
@@ -529,7 +535,9 @@ def convert_hf_mmproj(model_dir: str | Path, out_path: str | Path,
     depth = int(vc.get("depth", 32))
     heads = int(vc.get("num_heads", 16))
     n_ff = int(vc.get("intermediate_size", e * int(vc.get("mlp_ratio", 4))))
-    out_dim = int(vc.get("hidden_size", cfg.get("hidden_size")))
+    # 2.5 renames: vision dim = hidden_size, LLM dim = out_hidden_size
+    out_dim = int(vc.get("out_hidden_size",
+                         vc.get("hidden_size", cfg.get("hidden_size"))))
     patch = int(vc.get("patch_size", 14))
     merge = int(vc.get("spatial_merge_size", 2))
     tpatch = int(vc.get("temporal_patch_size", 2))
@@ -540,8 +548,17 @@ def convert_hf_mmproj(model_dir: str | Path, out_path: str | Path,
 
     w = GGUFWriter(out_path)
     w.add_string("general.architecture", "clip")
-    w.add_string("clip.projector_type", "qwen2vl_merger")
+    w.add_string("clip.projector_type",
+                 "qwen2.5vl_merger" if is25 else "qwen2vl_merger")
     w.add_bool("clip.has_vision_encoder", True)
+    if is25:
+        # HF fullatt_block_indexes [7,15,23,31] <-> the reference's
+        # periodic n_wa_pattern (clip.cpp KEY_WIN_ATTN_PATTERN): full
+        # attention every (idx0+1) layers
+        fab = vc.get("fullatt_block_indexes") or [7]
+        w.add_uint32("clip.vision.n_wa_pattern", int(fab[0]) + 1)
+        w.add_uint32("clip.vision.attn_window_size",
+                     int(vc.get("window_size", 112)))
     w.add_uint32("clip.vision.patch_size", patch)
     w.add_uint32("clip.vision.image_size", patch * merge)  # dynamic-res min
     w.add_uint32("clip.vision.embedding_length", e)
@@ -566,7 +583,8 @@ def convert_hf_mmproj(model_dir: str | Path, out_path: str | Path,
         hp = f"{vp}blocks.{i}."
         gp = f"v.blk.{i}."
         put(gp + "ln1.weight", sd[hp + "norm1.weight"])
-        put(gp + "ln1.bias", sd[hp + "norm1.bias"])
+        if hp + "norm1.bias" in sd:               # 2.5: RMS, no bias
+            put(gp + "ln1.bias", sd[hp + "norm1.bias"])
         qkv_w = sd[hp + "attn.qkv.weight"]        # [3E, E] fused
         qkv_b = sd[hp + "attn.qkv.bias"]
         for j, nm in enumerate(("q", "k", "v")):
@@ -575,14 +593,24 @@ def convert_hf_mmproj(model_dir: str | Path, out_path: str | Path,
         put(gp + "attn_out.weight", sd[hp + "attn.proj.weight"])
         put(gp + "attn_out.bias", sd[hp + "attn.proj.bias"])
         put(gp + "ln2.weight", sd[hp + "norm2.weight"])
-        put(gp + "ln2.bias", sd[hp + "norm2.bias"])
-        put(gp + "ffn_up.weight", sd[hp + "mlp.fc1.weight"])
-        put(gp + "ffn_up.bias", sd[hp + "mlp.fc1.bias"])
-        put(gp + "ffn_down.weight", sd[hp + "mlp.fc2.weight"])
-        put(gp + "ffn_down.bias", sd[hp + "mlp.fc2.bias"])
+        if hp + "norm2.bias" in sd:
+            put(gp + "ln2.bias", sd[hp + "norm2.bias"])
+        if is25:                                  # silu-gated MLP
+            put(gp + "ffn_gate.weight", sd[hp + "mlp.gate_proj.weight"])
+            put(gp + "ffn_gate.bias", sd[hp + "mlp.gate_proj.bias"])
+            put(gp + "ffn_up.weight", sd[hp + "mlp.up_proj.weight"])
+            put(gp + "ffn_up.bias", sd[hp + "mlp.up_proj.bias"])
+            put(gp + "ffn_down.weight", sd[hp + "mlp.down_proj.weight"])
+            put(gp + "ffn_down.bias", sd[hp + "mlp.down_proj.bias"])
+        else:
+            put(gp + "ffn_up.weight", sd[hp + "mlp.fc1.weight"])
+            put(gp + "ffn_up.bias", sd[hp + "mlp.fc1.bias"])
+            put(gp + "ffn_down.weight", sd[hp + "mlp.fc2.weight"])
+            put(gp + "ffn_down.bias", sd[hp + "mlp.fc2.bias"])
     # merger: ln_q -> post_ln, mlp.{0,2} -> mm.{0,2}
     put("v.post_ln.weight", sd[vp + "merger.ln_q.weight"])
-    put("v.post_ln.bias", sd[vp + "merger.ln_q.bias"])
+    if vp + "merger.ln_q.bias" in sd:
+        put("v.post_ln.bias", sd[vp + "merger.ln_q.bias"])
     put("mm.0.weight", sd[vp + "merger.mlp.0.weight"])
     put("mm.0.bias", sd[vp + "merger.mlp.0.bias"])
     put("mm.2.weight", sd[vp + "merger.mlp.2.weight"])
