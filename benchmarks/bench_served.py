@@ -50,9 +50,12 @@ def run_case(eng, label, n_tokens=256, pieces=None, **kw):
         grammar = Grammar("root ::= [a-z ]+")
         trie = build_token_trie(pieces)    # the vocab.token_trie analog:
         # without it every rejection masks 151k pieces through the PDA
+    n_probs = kw.pop("n_probs", 0)
     req = GenRequest(
         prompt_tokens=[5, 6, 7, 8], max_tokens=n_tokens,
         params=SamplerParams(temperature=0.8, top_k=40, **kw),
+        n_probs=n_probs,
+        on_probs=(lambda tok, lp, top: None) if n_probs else None,
         grammar=grammar, token_pieces=pieces, token_trie=trie,
         decode_fn=(lambda ids: "".join(
             pieces[t] if t < len(pieces) else "" for t in ids))
@@ -92,17 +95,41 @@ def main():
                      penalty_freq=0.1)
     r_gram = run_case(eng, "grammar optimistic", pieces=pieces,
                       grammar_gbnf=True)
+    # steady state: the async token-DFA compile (engine._dfa_compile_async)
+    # has finished after the first grammar request; subsequent requests
+    # with the same grammar are enforced ON DEVICE (round 5)
+    import time as _time
+
+    from rrs_tpu.serving import engine as eng_mod
+
+    for _ in range(1200):
+        with eng_mod._DFA_LOCK:
+            if any(k[0].startswith("root ::=") for k in eng_mod._DFA_CACHE):
+                break
+        _time.sleep(0.1)
+    r_gram_dfa = run_case(eng, "grammar token-DFA (device)", pieces=pieces,
+                          grammar_gbnf=True)
     r_miro = run_case(eng, "mirostat v2 (device)", mirostat=2,
                       mirostat_tau=5.0, mirostat_eta=0.1)
     r_xtc = run_case(eng, "xtc (device)", xtc_probability=0.5,
                      xtc_threshold=0.1)
+    # round-5 fast-path extensions (previously host-chain collapses)
+    r_dry = run_case(eng, "dry (device)", dry_multiplier=0.8)
+    r_typ = run_case(eng, "typical (device)", typical_p=0.9)
+    r_sig = run_case(eng, "top-n-sigma (device)", top_n_sigma=2.0)
+    r_lp = run_case(eng, "logprobs (candidates)", n_probs=5)
     import json
     print(json.dumps({"metric": "served_decode_1stream",
                       "plain": round(r_plain, 1),
                       "penalties": round(r_pen, 1),
                       "grammar": round(r_gram, 1),
+                      "grammar_dfa": round(r_gram_dfa, 1),
                       "mirostat": round(r_miro, 1),
-                      "xtc": round(r_xtc, 1)}))
+                      "xtc": round(r_xtc, 1),
+                      "dry": round(r_dry, 1),
+                      "typical": round(r_typ, 1),
+                      "top_n_sigma": round(r_sig, 1),
+                      "logprobs": round(r_lp, 1)}))
 
 
 if __name__ == "__main__":

@@ -1017,3 +1017,138 @@ def tcq4_matmul_ref(a_q, a_scale, qs, eff):
     return (
         per_sb * np.asarray(a_scale, np.float32)[:, :, None]
     ).sum(1) * (1.0 / 7.0)
+
+
+# ---------------------------------------------------------------------------
+# Int8-superblock PREFILL kernel (round 5): route the prefill GEMM through
+# the MXU's int8 path (v5e: 394 TOPS int8 vs 197 TFLOPS bf16 — the TPU
+# analog of the reference's IMMA prefill GEMM, tcq4_k32.cu:1217-1412).
+#
+# TCQ4's per-group-of-32 scales block a single full-K integer dot (the
+# CUDA IMMA m16n8k32 fragment's K happens to equal the group size; the
+# MXU's contraction tile is 128+, so per-group dots run the array ~25%
+# occupied — the a8 kernel's decode-only fate). Instead the weights are
+# REQUANTIZED in-kernel to one int8 value per element with a single
+# per-superblock scale:
+#
+#     f[g, n]  = round(e[g, n] / emax[sb, n] * 127)       (int8, packed)
+#     w8       = (w4 * f + 4) >> 3                        in [-127, 127]
+#     w       ~= w8 * (8 * emax / 127)
+#
+# giving ONE full-efficiency int8 MXU dot per 256-deep superblock, with
+# the f32 scales applied to [bm, bn] int32 partials in the epilogue
+# (rank-1: e2[sb, n] x ascale[m, sb]). Precision: the requant adds a
+# <= 4/127 * emax absolute error per element — an 8-bit/256-block
+# encoding layered on the 4-bit values, ~1/8 of the format's own e/2
+# quantization step for same-scale groups (tests/test_tcq4_matmul.py
+# pins the tolerance vs the integer oracle).
+#
+# Layout: per-superblock GROUP INTERLEAVE ("sbi": in-block row j*8+g
+# holds logical element g*32+j) so the f expansion is one native
+# pltpu.repeat tile (row r -> f[r % 8]; the pb kernel's trick applied
+# block-locally) — never a 3D broadcast or a jnp.repeat gather.
+# Activations permute to match with one fused XLA reshape.
+# ---------------------------------------------------------------------------
+
+
+def pack_i8p(qs: jnp.ndarray, eff: jnp.ndarray):
+    """One-time load transform: sb-layout (qs, eff) -> (qs_sbi u8
+    [K//2, N], f8 i8 [K//32, N] in sbi group order, e2 f32 [K//256, N])."""
+    k2, n = qs.shape
+    k = 2 * k2
+    sb = k // TILE_K
+    b = qs.reshape(sb, TILE_K // 2, n)
+    codes = jnp.concatenate([b & 15, b >> 4], axis=1)      # [sb, 256, n]
+    ci = codes.reshape(sb, GROUPS, GROUP_SIZE, n).swapaxes(2, 1) \
+        .reshape(sb, TILE_K, n)                            # row j*8+g
+    qs_sbi = (ci[:, :TILE_K // 2] | (ci[:, TILE_K // 2:] << 4)) \
+        .reshape(k2, n).astype(jnp.uint8)
+    e3 = eff.reshape(sb, GROUPS, n).astype(jnp.float32)
+    emax = jnp.abs(e3).max(axis=1)                         # [sb, n]
+    emax = jnp.where(emax > 0, emax, 1.0)
+    f8 = jnp.round(e3 / emax[:, None, :] * 127.0).astype(jnp.int8) \
+        .reshape(sb * GROUPS, n)
+    return qs_sbi, f8, emax * (8.0 / 127.0)
+
+
+def prep_a_sbi(a_q: jnp.ndarray) -> jnp.ndarray:
+    """Permute int8 activation columns into the kernel's sbi order."""
+    m, k = a_q.shape
+    return a_q.reshape(m, k // TILE_K, GROUPS, GROUP_SIZE) \
+        .swapaxes(2, 3).reshape(m, k)
+
+
+def _kernel_i8p(aq_ref, ascale_ref, qs_ref, f8_ref, e2_ref, out_ref, *,
+                bm, bn, bk):
+    acc = jnp.zeros((bm, bn), jnp.float32)
+    for sb in range(bk // TILE_K):
+        w4 = _unpack_w4(qs_ref[sb * (TILE_K // 2):(sb + 1) * (TILE_K // 2),
+                               :])                          # [256, bn] i32
+        f = f8_ref[sb * GROUPS:(sb + 1) * GROUPS, :].astype(jnp.int32)
+        fx = pltpu.repeat(f, TILE_K // GROUPS, axis=0)      # row r: f[r%8]
+        w8 = ((w4 * fx + 4) >> 3).astype(jnp.int8)
+        p = jax.lax.dot_general(
+            aq_ref[:, sb * TILE_K:(sb + 1) * TILE_K], w8,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)               # full-K int8 MXU
+        acc += p.astype(jnp.float32) * (
+            e2_ref[sb:sb + 1, :] * ascale_ref[:, sb:sb + 1])
+    out_ref[...] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bn", "bm", "interpret")
+)
+def tcq4_matmul_i8p(
+    a_sbi: jnp.ndarray,     # int8 [M, K] quantized activations, sbi order
+    a_scale: jnp.ndarray,   # f32 [M, K//256] per-block absmax
+    qs_sbi: jnp.ndarray,    # uint8 [K//2, N] sbi pack
+    f8: jnp.ndarray,        # int8 [K//32, N] group/emax ratios
+    e2: jnp.ndarray,        # f32 [K//256, N] emax * 8/127
+    *,
+    bn: int = 0,
+    bm: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Prefill C = (a/7*ascale) @ dequant(w) on the int8 MXU. f32/bf16
+    [M, N]; the 1/7 activation step folds into a_scale here."""
+    m, k = a_sbi.shape
+    n = qs_sbi.shape[1]
+    sb = k // TILE_K
+    assert qs_sbi.shape[0] == k // 2 and e2.shape == (sb, n), (
+        a_sbi.shape, qs_sbi.shape, e2.shape)
+    if bn == 0:
+        bn = _pick_bn(n, limit=max(128, (3 * 1024 * 1024)
+                                   // (k // 2) // 128 * 128))
+    bn = min(bn, n)
+    assert n % bn == 0, (n, bn)
+    bm = min(bm, _round_up(m, 8))
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        a_sbi = jnp.pad(a_sbi, ((0, m_pad - m), (0, 0)))
+        a_scale = jnp.pad(a_scale, ((0, m_pad - m), (0, 0)))
+    ascale7 = a_scale * (1.0 / 7.0)
+
+    out_dtype = jnp.bfloat16 if m_pad >= 1024 else jnp.float32
+    grid = (n // bn, m_pad // bm)
+    out = pl.pallas_call(
+        functools.partial(_kernel_i8p, bm=bm, bn=bn, bk=k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, sb), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // 2, bn), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // GROUP_SIZE, bn), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sb, bn), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (j, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        interpret=interpret,
+    )(a_sbi, ascale7, qs_sbi, f8, e2)
+    return out[:m]

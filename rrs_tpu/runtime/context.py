@@ -568,7 +568,8 @@ class InferenceContext:
 
     def _decode_run_fn(self, n_steps: int, xtc: bool = False,
                        mir: bool = False, typ: bool = False,
-                       sig: bool = False, dry: bool = False):
+                       sig: bool = False, dry: bool = False,
+                       gdfa: bool = False):
         """Build (and cache) the jitted n_steps-token decode+sample scan —
         the serving analog of CUDA-graph decode capture (ggml-cuda.cu:
         2881-2930): one dispatch per n_steps tokens instead of one per
@@ -586,7 +587,14 @@ class InferenceContext:
         base scan compiles without them (and keeps its original RNG
         stream). DRY slides a DRY_WINDOW-token ring through the scan
         carry (window capped at 256 recent tokens on the fast path —
-        longer dry windows are approximated by their newest 256)."""
+        longer dry windows are approximated by their newest 256).
+
+        ``gdfa``: grammar enforcement ON DEVICE via a compiled token-DFA
+        (runtime/grammar.py TokenDFA): per-lane DFA state rides the scan
+        carry; each step masks the full-V logits with the state's
+        legality row BEFORE candidate capture (sampled tokens are legal
+        by construction — no violations, no rewinds, chaining stays on)
+        and steps the state through the [S, V] transition table."""
         from rrs_tpu.runtime.sampler import (device_dry, device_mirostat,
                                              device_penalties, device_sample,
                                              device_top_n_sigma, device_xtc,
@@ -604,13 +612,14 @@ class InferenceContext:
         def body(weights, token, start, keys, temp, top_k, top_p, min_p,
                  rep, frq, prs, xtc_p, xtc_t, mir_eta, mir_tau, mu0,
                  typ_p, nsig, dry_mult, dry_base, dry_allowed, dry_lastn,
-                 dwin0, counts, bias, evict, k_caches, v_caches):
+                 dwin0, gmask, gtrans, gstate0, counts, bias, evict,
+                 k_caches, v_caches):
             s = max((c[0] if isinstance(c, tuple) else c).shape[2]
                     for c in k_caches)
             v_ids = jnp.arange(counts.shape[-1], dtype=jnp.int32)[None, :]
 
             def step(carry, ev):
-                tok, pos, ks, vs, kk, cnt, mu, dwin = carry
+                tok, pos, ks, vs, kk, cnt, mu, dwin, gstate = carry
                 mask_pos = jnp.where(pos[:, None] < 0, -1, pos[:, None])
                 safe_slots = jnp.where(pos[:, None] < 0, s - 1,
                                        jnp.clip(pos[:, None], 0, s - 1))
@@ -633,6 +642,13 @@ class InferenceContext:
                     l = device_xtc(l, kx, temp, xtc_p, xtc_t)
                 if sig:
                     l = device_top_n_sigma(l, nsig)
+                if gdfa:
+                    glive = gstate >= 0
+                    srow = jnp.clip(gstate, 0, gmask.shape[0] - 1)
+                    rowm = jnp.take(gmask, srow, axis=0)       # [B, V]
+                    from rrs_tpu.runtime.sampler import NEG_INF
+                    l = jnp.where(glive[:, None] & ~rowm[:, :l.shape[-1]],
+                                  NEG_INF, l)
                 # per-step candidate capture: the (vals, idx) top-128 the
                 # sampler draws from rides the run outputs (tiny: n*128*8
                 # bytes/lane), so a grammar-violation resample needs NO
@@ -661,16 +677,24 @@ class InferenceContext:
                 if dry:
                     dwin = jnp.concatenate([dwin[:, 1:], nxt[:, None]],
                                            axis=1)
+                if gdfa:
+                    flat = (srow.astype(jnp.int32) * gtrans.shape[1]
+                            + nxt)
+                    ns = jnp.take(gtrans.reshape(-1), flat).astype(
+                        jnp.int32)
+                    gstate = jnp.where(glive & (pos >= 0), ns, gstate)
                 npos = jnp.where(pos < 0, pos, pos + 1)
-                return (nxt, npos, nk, nv, kk, cnt, mu, dwin), (nxt, cv, ci)
+                return (nxt, npos, nk, nv, kk, cnt, mu, dwin,
+                        gstate), (nxt, cv, ci)
 
-            (tok, pos, ks, vs, kk, cnt, mu, dwin), (out, cvs, cis) = \
-                jax.lax.scan(
+            (tok, pos, ks, vs, kk, cnt, mu, dwin, gstate), \
+                (out, cvs, cis) = jax.lax.scan(
                     step, (token, start, k_caches, v_caches, keys, counts,
-                           mu0, dwin0),
+                           mu0, dwin0, gstate0),
                     jnp.moveaxis(evict, 1, 0), length=n_steps)
             return (jnp.moveaxis(out, 0, 1), ks, vs, kk, cnt, mu, dwin,
-                    jnp.moveaxis(cvs, 0, 1), jnp.moveaxis(cis, 0, 1))
+                    gstate, jnp.moveaxis(cvs, 0, 1),
+                    jnp.moveaxis(cis, 0, 1))
 
         if mesh is None:
             return jax.jit(body)
@@ -688,10 +712,11 @@ class InferenceContext:
                       P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
                       P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
                       P("dp"), P("dp", None),
+                      P(None, None), P(None, None), P("dp"),
                       P("dp", None), P("dp", None), P("dp", None),
                       kv_specs, kv_specs),
             out_specs=(P("dp", None), kv_specs, kv_specs, P("dp"),
-                       P("dp", None), P("dp"), P("dp", None),
+                       P("dp", None), P("dp"), P("dp", None), P("dp"),
                        P("dp", None, None), P("dp", None, None)),
             check_vma=False)
         return jax.jit(fn)
@@ -705,6 +730,10 @@ class InferenceContext:
         chain: Optional[dict] = None,
         histories: Optional[dict] = None,
         mus: Optional[dict] = None,
+        dfa: Optional[tuple] = None,   # (masks_dev [S, V] bool,
+                                       #  trans_dev [S, V] i16,
+                                       #  {seq_id: state_row}) — device
+                                       #  grammar enforcement (TokenDFA)
     ) -> dict:
         """Dispatch (without waiting) an n_steps decode+sample run. Feeds
         each sequence's pending token and samples n_steps tokens per lane
@@ -736,7 +765,8 @@ class InferenceContext:
                      any(p.mirostat for p in params.values()),
                      any(p.typical_p < 1.0 for p in params.values()),
                      any(p.top_n_sigma > 0 for p in params.values()),
-                     any(p.dry_multiplier > 0 for p in params.values()))
+                     any(p.dry_multiplier > 0 for p in params.values()),
+                     dfa is not None)
         if not hasattr(self, "_run_fns"):
             self._run_fns = {}
         key3 = (n_steps,) + feats
@@ -764,6 +794,8 @@ class InferenceContext:
             drymv, drybv = chain["dry_mult"], chain["dry_base"]
             dryav, drylv = chain["dry_allowed"], chain["dry_lastn"]
             dwinv = chain["dwin"]
+            gmaskv, gtransv, gstatev = (chain["gmask"], chain["gtrans"],
+                                        chain["gstate"])
             lanes = dict(chain["lanes"])
             evictv = self._evict_schedule(histories, lanes, chain.get(
                 "params", {}), n_steps, offset=chain["n"])
@@ -834,6 +866,16 @@ class InferenceContext:
             drymv, drybv = jnp.asarray(drym), jnp.asarray(dryb)
             dryav, drylv = jnp.asarray(drya), jnp.asarray(dryl)
             dwinv = jnp.asarray(dwin)
+            if dfa is not None:
+                gmaskv, gtransv, seq_states = dfa
+                gstate = np.full((b,), -1, np.int32)
+                for seq_id, row in seq_states.items():
+                    gstate[self.kv.lane_of(seq_id)] = row
+                gstatev = jnp.asarray(gstate)
+            else:
+                gmaskv = jnp.zeros((1, 8), jnp.bool_)
+                gtransv = jnp.zeros((1, 8), jnp.int16)
+                gstatev = jnp.full((b,), -1, jnp.int32)
             repv, frqv, prsv, countsv, biasv = self._penalty_operands(
                 lanes, params, histories)
             evictv = self._evict_schedule(histories, lanes, params,
@@ -842,11 +884,13 @@ class InferenceContext:
         import time as _time
 
         t0 = _time.perf_counter()
-        toks, nk, nv, nkeys, ncounts, nmu, ndwin, cand_v, cand_i = fn(
-            self.weights, tokv, startv, keyv, tempv, top_kv, top_pv, min_pv,
-            repv, frqv, prsv, xtcpv, xtctv, etav, tauv, muv,
-            typv, nsigv, drymv, drybv, dryav, drylv, dwinv,
-            countsv, biasv, evictv, self.kv.k, self.kv.v)
+        toks, nk, nv, nkeys, ncounts, nmu, ndwin, ngstate, cand_v, \
+            cand_i = fn(
+                self.weights, tokv, startv, keyv, tempv, top_kv, top_pv,
+                min_pv, repv, frqv, prsv, xtcpv, xtctv, etav, tauv, muv,
+                typv, nsigv, drymv, drybv, dryav, drylv, dwinv,
+                gmaskv, gtransv, gstatev,
+                countsv, biasv, evictv, self.kv.k, self.kv.v)
         self.kv.k, self.kv.v = nk, nv
         for seq_id, lane in lanes.items():
             self.kv.lengths[lane] += n_steps
@@ -862,6 +906,7 @@ class InferenceContext:
                 "typ_p": typv, "nsig": nsigv, "dry_mult": drymv,
                 "dry_base": drybv, "dry_allowed": dryav, "dry_lastn": drylv,
                 "dwin": ndwin,
+                "gmask": gmaskv, "gtrans": gtransv, "gstate": ngstate,
                 "counts": ncounts, "bias": biasv, "params": dict(params)}
 
     @staticmethod

@@ -317,6 +317,7 @@ class Grammar:
                  trigger_tokens=(), trigger_patterns=(), trigger_words=()):
         import re as _re
 
+        self.gbnf = gbnf
         self.rules, self.root = _Parser(gbnf).parse()
         # stack entries are (rule_id, alt_idx, pos); expand to frames of
         # remaining element tuples for hashability
@@ -473,6 +474,7 @@ class Grammar:
 
     def copy(self) -> "Grammar":
         g = object.__new__(Grammar)
+        g.gbnf = getattr(self, "gbnf", "")
         g.rules = self.rules
         g.root = self.root
         g.stacks = set(self.stacks)
@@ -485,3 +487,99 @@ class Grammar:
         g._mask_cache = getattr(self, "_mask_cache", None) \
             or self.__dict__.setdefault("_mask_cache", {})
         return g
+
+
+class TokenDFA:
+    """Token-level DFA compiled from a Grammar's reachable PDA states
+    (round 5): dense per-state legality masks + next-state table, built
+    for grammars whose state space closes within ``max_states``. The
+    serving engine uploads (masks, trans) once and enforces the grammar
+    INSIDE the device decode scan — zero violations, chaining stays on,
+    so constrained decoding runs at the unconstrained fast-path rate
+    (the reference applies its grammar per token inside the sampler at
+    full speed, common/sampling.cpp:104-179; this is the batched-device
+    equivalent)."""
+
+    def __init__(self, masks, trans, done, state_index, gbnf):
+        self.masks = masks              # np.bool_ [S, V(+eog cols set)]
+        self.trans = trans              # np.int16 [S, V] next state
+        self.done = done                # np.bool_ [S]
+        self.state_index = state_index  # frozenset(stacks) -> row
+        self.gbnf = gbnf
+
+    def index_of(self, grammar) -> int:
+        """Row for the grammar's CURRENT state, or -1 if unknown (e.g.
+        mid-token byte state reached through a path the token trie never
+        produces)."""
+        return self.state_index.get(frozenset(grammar.stacks), -1)
+
+
+def compile_token_dfa(grammar: "Grammar", pieces: list[str], trie,
+                      max_states: int = 48, eog_ids=(),
+                      time_budget_s: float = 120.0):
+    """BFS the PDA's token-reachable state space; one trie walk per state
+    yields both the legality mask and the successor state per token.
+    Returns a TokenDFA, or None when the grammar doesn't close within
+    ``max_states`` states (deep JSON-schema grammars — those keep the
+    optimistic host-validated path) or the time budget."""
+    import time as _time
+
+    import numpy as np
+
+    if grammar.awaiting_trigger:
+        return None
+    v = len(pieces)
+    t0 = _time.monotonic()
+    start = frozenset(grammar.stacks)
+    index = {start: 0}
+    order = [start]
+    rows_mask, rows_next = [], []
+    i = 0
+    while i < len(order):
+        if _time.monotonic() - t0 > time_budget_s:
+            return None
+        stacks = set(order[i])
+        mask = np.zeros((v,), np.bool_)
+        nxt = np.full((v,), -1, np.int16)
+        overflow = []
+
+        def dfs(node, st):
+            key = None
+            tids = node.get(-1)
+            if tids is not None:
+                key = frozenset(st)
+                idx = index.get(key)
+                if idx is None:
+                    if len(index) >= max_states:
+                        overflow.append(True)
+                        return
+                    idx = len(order)
+                    index[key] = idx
+                    order.append(key)
+                for t in tids:
+                    mask[t] = True
+                    nxt[t] = idx
+            for ch, child in node.items():
+                if ch == -1 or overflow:
+                    continue
+                ns = grammar._advance_char(st, ch)
+                if ns:
+                    dfs(child, ns)
+
+        dfs(trie, stacks)
+        if overflow:
+            return None
+        rows_mask.append(mask)
+        rows_next.append(nxt)
+        i += 1
+    s = len(order)
+    masks = np.stack(rows_mask)
+    trans = np.stack(rows_next)
+    done = np.zeros((s,), np.bool_)
+    for key, idx in index.items():
+        done[idx] = tuple() in key
+    for eid in eog_ids:
+        if 0 <= eid < v:
+            masks[:, eid] = done          # EOS legal once the PDA can end
+            trans[:, eid] = np.arange(s)  # terminal self-loop
+    return TokenDFA(masks, trans, done, index, getattr(grammar, "gbnf", ""))

@@ -26,6 +26,38 @@ import numpy as np
 from rrs_tpu.runtime.context import InferenceContext
 from rrs_tpu.runtime.sampler import SamplerParams, sample
 
+# Token-DFA compilation (runtime/grammar.py TokenDFA): grammars whose PDA
+# state space closes within the state budget are compiled ONCE (off the
+# engine thread — a state's trie walk takes seconds at 151k pieces) and
+# then enforced INSIDE the device decode scan: zero violations, chaining
+# stays on, constrained decoding at the plain fast-path rate. Keyed by
+# (gbnf, vocab size); None records a failed/oversized compile so it is
+# not retried.
+_DFA_CACHE: dict = {}
+_DFA_PENDING: set = set()
+_DFA_LOCK = threading.Lock()
+
+
+def _dfa_compile_async(key, grammar, pieces, trie, eog_ids):
+    with _DFA_LOCK:
+        if key in _DFA_CACHE or key in _DFA_PENDING:
+            return
+        _DFA_PENDING.add(key)
+    g0 = grammar.copy()
+
+    def work():
+        from rrs_tpu.runtime.grammar import compile_token_dfa
+
+        try:
+            dfa = compile_token_dfa(g0, pieces, trie, eog_ids=eog_ids)
+        except Exception:                                     # noqa: BLE001
+            dfa = None
+        with _DFA_LOCK:
+            _DFA_CACHE[key] = dfa
+            _DFA_PENDING.discard(key)
+
+    threading.Thread(target=work, daemon=True).start()
+
 
 class SlotState(enum.Enum):
     IDLE = 0
@@ -249,6 +281,12 @@ class Engine:
         slot.t_start = time.time()
         slot.n_prompt = len(req.prompt_tokens)
         slot.grammar = req.grammar.copy() if req.grammar is not None else None
+        if (slot.grammar is not None and req.token_pieces
+                and req.token_trie is not None
+                and not getattr(req.grammar, "lazy", False)):
+            _dfa_compile_async(self._dfa_key(req), req.grammar,
+                               req.token_pieces, req.token_trie,
+                               tuple(req.stop_tokens))
         slot.mirostat_mu = 2.0 * req.params.mirostat_tau
         slot.finish_reason = "stop"
         self.n_requests += 1
@@ -776,10 +814,53 @@ class Engine:
                 # fire while a run is in flight
                 and kv.lengths[kv.lane_of(s.seq_id)] + n + 1 < kv.max_seq)
 
+    @staticmethod
+    def _dfa_key(req) -> tuple:
+        return (getattr(req.grammar, "gbnf", "") or id(req.grammar),
+                len(req.token_pieces or ()))
+
+    def _slot_dfa(self, s: Slot):
+        """(TokenDFA, state_row) when the slot's grammar has a compiled
+        DFA and its CURRENT host PDA state maps to a row; else None."""
+        g = s.grammar
+        if g is None or getattr(g, "awaiting_trigger", False):
+            return None
+        dfa = _DFA_CACHE.get(self._dfa_key(s.req))
+        if dfa is None:
+            return None
+        row = dfa.index_of(g)
+        return (dfa, row) if row >= 0 else None
+
+    def _dfa_device(self, dfa):
+        """Upload (masks, trans) once per TokenDFA, padded to the model
+        vocab so the kernel's [B, V] slice stays in-bounds."""
+        dev = getattr(dfa, "_dev", None)
+        if dev is None:
+            import jax.numpy as jnp
+
+            v = self.ctx.cfg.vocab_size
+            m, t = dfa.masks, dfa.trans
+            if m.shape[1] < v:
+                pad = v - m.shape[1]
+                m = np.pad(m, ((0, 0), (0, pad)))
+                t = np.pad(t, ((0, 0), (0, pad)), constant_values=-1)
+            dev = dfa._dev = (jnp.asarray(m[:, :v]), jnp.asarray(t[:, :v]))
+        return dev
+
     def _dispatch_fast(self, gen: list, chain=None) -> dict:
         """Dispatch one device-side micro-run (DECODE_RUN_STEPS tokens per
         slot, on-device sampling + penalties). Returns the inflight
         record."""
+        dfa_arg = None
+        if chain is None:
+            gslots = [s for s in gen if s.grammar is not None]
+            if gslots:
+                infos = [self._slot_dfa(s) for s in gslots]
+                if all(i is not None for i in infos) and \
+                        len({id(i[0]) for i in infos}) == 1:
+                    gm, gt = self._dfa_device(infos[0][0])
+                    dfa_arg = (gm, gt, {s.seq_id: i[1]
+                                        for s, i in zip(gslots, infos)})
         handle = self.ctx.decode_run_start(
             {s.seq_id: (s.generated[-1] if chain is None else None)
              for s in gen},
@@ -789,6 +870,7 @@ class Engine:
             histories={s.seq_id: s.generated for s in gen},
             mus={s.seq_id: s.mirostat_mu for s in gen
                  if s.req.params.mirostat},
+            dfa=dfa_arg,
         )
         # keyed by (seq_id, request id): a released lane retains its seq_id
         # as a prompt cache, so a later request on the same lane must NOT
@@ -971,8 +1053,12 @@ class Engine:
             if (set(prev["items"]) == gen_set
                     and all(self._fast_eligible(s) for s in gen)
                     # grammar slots must validate (and maybe rewind) the
-                    # previous run BEFORE the next one is dispatched
-                    and all(s.grammar is None for s in gen)):
+                    # previous run BEFORE the next one is dispatched —
+                    # UNLESS the run was DFA-enforced on device (round 5:
+                    # sampled tokens are legal by construction, so no
+                    # rewind can occur and the chain stays valid)
+                    and (all(s.grammar is None for s in gen)
+                         or prev["handle"]["feats"][5])):
                 self._inflight = self._dispatch_fast(
                     gen, chain=prev["handle"])
                 self._flush_fast(prev)

@@ -458,3 +458,87 @@ def test_fast_path_logprobs_from_candidates():
         assert all(x <= 1e-9 for x in lps)
         # greedy: sampled token is the top candidate
         assert token == top[0][0] and abs(lp - top[0][1]) < 1e-9
+
+
+def test_grammar_token_dfa_on_device():
+    """Grammars that close into a small token-DFA are enforced INSIDE the
+    device decode scan (round 5): zero violations, chaining stays on, and
+    greedy output matches the host-validated path token-for-token."""
+    import time as _time
+
+    from rrs_tpu.runtime.grammar import Grammar, build_token_trie
+    from rrs_tpu.serving import engine as eng_mod
+
+    cfg = PRESETS["tiny"]
+    w = random_weights(cfg, seed=0)
+    # vocab pieces: mostly lowercase words, some illegal symbol pieces
+    rng = np.random.default_rng(0)
+    import string as _string
+
+    pieces = ["".join(rng.choice(list(_string.ascii_lowercase),
+                                 rng.integers(2, 5))) + " "
+              if rng.random() < 0.8 else "<|x|>"
+              for _ in range(cfg.vocab_size)]
+    trie = build_token_trie(pieces)
+    gbnf = "root ::= [a-z ]+"
+
+    def make_req(on_token, grammar):
+        return GenRequest(
+            prompt_tokens=[5, 6, 7], max_tokens=30,
+            params=SamplerParams(temperature=0.0),
+            grammar=grammar, token_pieces=pieces, token_trie=trie,
+            on_token=on_token)
+
+    def run(eng):
+        out, done = [], {}
+
+        def on_token(tok, piece, finished, reason):
+            if finished:
+                done["r"] = reason
+            elif tok is not None:
+                out.append(tok)
+
+        eng.submit(make_req(on_token, Grammar(gbnf)))
+        for _ in range(500):
+            eng._iterate()
+            if done:
+                break
+        assert done, "did not finish"
+        return out
+
+    ctx = InferenceContext(cfg, w, n_lanes=1, max_seq=128)
+    eng = Engine(ctx)
+    first = run(eng)                      # kicks the async DFA compile
+    key = (gbnf, len(pieces))
+    for _ in range(200):
+        with eng_mod._DFA_LOCK:
+            if key in eng_mod._DFA_CACHE:
+                break
+        _time.sleep(0.05)
+    with eng_mod._DFA_LOCK:
+        dfa = eng_mod._DFA_CACHE.get(key)
+    assert dfa is not None, "DFA compile failed for [a-z ]+"
+    assert dfa.masks.shape[0] <= 4
+
+    chains = {"n": 0}
+    orig = eng._dispatch_fast
+
+    def counting(gen, chain=None):
+        if chain is not None:
+            chains["n"] += 1
+        return orig(gen, chain)
+
+    eng._dispatch_fast = counting
+    out = run(eng)                        # steady state: DFA enforced
+    assert len(out) == 30
+    assert all(pieces[t] != "<|x|>" for t in out)
+    assert chains["n"] > 0, "DFA grammar run did not chain"
+    # the dfa variant key must appear in the compiled run cache
+    assert any(k[6] for k in ctx._run_fns), ctx._run_fns.keys()
+
+    # token-for-token parity with the host-validated chain (greedy)
+    ctx_h = InferenceContext(cfg, w, n_lanes=1, max_seq=128)
+    eng_h = Engine(ctx_h)
+    eng_h._fast_eligible = lambda s: False
+    want = run(eng_h)
+    assert out == want

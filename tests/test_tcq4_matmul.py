@@ -273,3 +273,71 @@ def test_tcq4_matmul_pb_matches_oracle():
         # from the bm=1 path (verified not to be cross-row contamination —
         # identical batched rows produce identical outputs).
         assert rel.max() < (3e-3 if m == 1 else 2e-2), (m, rel.max())
+
+
+def test_i8p_prefill_kernel_matches_dequant_path():
+    """The int8-superblock prefill kernel (round 5) reproduces the
+    dequant path within its documented requant tolerance: the in-kernel
+    w8 = (w4*f + 4) >> 3 encoding adds <= 4/127*emax per element (an
+    8-bit/256-block layer under the format's own e/2 step)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rrs_tpu.formats.fwht import fwht_np
+    from rrs_tpu.formats.tcq4 import (effective_scales, quantize_tcq4,
+                                      quantize_activations_rrs)
+    from rrs_tpu.ops.tcq4_matmul import (pack_i8p, prep_a_sbi, tcq4_matmul,
+                                         tcq4_matmul_i8p)
+
+    rng = np.random.default_rng(3)
+    M, K, N = 48, 512, 256
+    w = (rng.standard_normal((N, K)) * 0.05).astype(np.float32)
+    t = quantize_tcq4(w, use_native=False)
+    qs = jnp.asarray(np.ascontiguousarray(t.qs))
+    eff = jnp.asarray(np.ascontiguousarray(effective_scales(t)))
+    x = (rng.standard_normal((M, K)) * 0.3).astype(np.float32)
+    xr = fwht_np(x.reshape(M, K // 256, 256), axis=-1).reshape(M, K)
+    a_q, a_s = quantize_activations_rrs(jnp.asarray(xr, jnp.float32))
+
+    a_deq = (jnp.asarray(a_q, jnp.float32)
+             * jnp.repeat(jnp.asarray(a_s), 256, 1) / 7.0)
+    ref = np.asarray(tcq4_matmul(a_deq, qs, eff, interpret=True))
+    qs_sbi, f8, e2 = pack_i8p(qs, eff)
+    got = np.asarray(tcq4_matmul_i8p(prep_a_sbi(a_q), a_s, qs_sbi, f8, e2,
+                                     interpret=True))
+    assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.9999
+    # elementwise: requant bound ~ sum_k |a_k| * 4/127 * emax
+    denom = np.abs(ref).mean()
+    assert np.abs(got - ref).max() < 0.06 * max(denom, 1e-6) + 0.02
+
+
+def test_pack_i8p_roundtrip_codes():
+    """qs_sbi holds exactly the original int4 codes at the documented
+    sb-local interleave (row j*8+g <- logical g*32+j)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rrs_tpu.ops.tcq4_matmul import pack_i8p
+
+    rng = np.random.default_rng(0)
+    K, N = 512, 128
+    qs = rng.integers(0, 256, (K // 2, N), dtype=np.uint8)
+    eff = (rng.random((K // 32, N)) * 0.1 + 0.01).astype(np.float32)
+    qs_sbi, f8, e2 = pack_i8p(jnp.asarray(qs), jnp.asarray(eff))
+    qs_sbi = np.asarray(qs_sbi)
+
+    def codes(q):     # [K/2, N] bytes -> [K, N] int4 codes, sb layout
+        sb = q.reshape(K // 256, 128, N)
+        return np.concatenate([sb & 15, sb >> 4], axis=1).reshape(K, N)
+
+    c0 = codes(qs)
+    c1 = codes(qs_sbi)
+    for s in range(K // 256):
+        blk0 = c0[s * 256:(s + 1) * 256]
+        blk1 = c1[s * 256:(s + 1) * 256]
+        for g in range(8):
+            for j in range(0, 32, 7):
+                assert (blk1[j * 8 + g] == blk0[g * 32 + j]).all()
+    # f8/e2 reconstruct eff within int8 rounding
+    e3 = eff.reshape(-1, 8, N)
+    rec = (np.asarray(f8, np.float32).reshape(-1, 8, N) / 127.0
+           * (np.asarray(e2)[:, None, :] * 127.0 / 8.0))
+    np.testing.assert_allclose(rec, e3, atol=np.abs(e3).max() / 120)
