@@ -53,6 +53,8 @@ class ClipConfig:
     # attention everywhere except every n_wa_pattern-th layer
     n_wa_pattern: int = 0            # 0 = full attention (qwen2vl)
     attn_window_size: int = 112      # pixels (clip.cpp:3518 default)
+    # minicpmv (clip-impl.h:210 PROJECTOR_TYPE_MINICPMV "resampler")
+    query_num: int = 64              # learned resampler queries
 
     @property
     def n_patches(self) -> int:
@@ -98,13 +100,15 @@ class ClipConfig:
                      else "gelu"),
             n_wa_pattern=int(g("n_wa_pattern", 0)),
             attn_window_size=int(g("attn_window_size", 112)),
+            query_num=int(md.get("clip.minicpmv_query_num", 64)),
         )
 
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["ln1_w", "ln1_b", "wq", "bq", "wk", "bk", "wv", "bv",
                       "wo", "bo", "ln2_w", "ln2_b", "w_up", "b_up",
-                      "w_down", "b_down", "w_gate", "b_gate"],
+                      "w_down", "b_down", "w_gate", "b_gate", "ls1",
+                      "ls2"],
          meta_fields=[])
 @dataclasses.dataclass
 class ClipLayer:
@@ -126,13 +130,17 @@ class ClipLayer:
     b_down: jnp.ndarray
     w_gate: Optional[jnp.ndarray] = None   # pixtral/qwen2.5: silu-gated MLP
     b_gate: Optional[jnp.ndarray] = None   # qwen2.5vl gate bias
+    ls1: Optional[jnp.ndarray] = None      # layer scale after attn
+    ls2: Optional[jnp.ndarray] = None      # layer scale after ffn
+                                           # (clip.cpp:396-422, internvl)
 
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["patch_w", "patch_b", "pos_embd", "pre_ln_w",
                       "pre_ln_b", "post_ln_w", "post_ln_b", "layers",
                       "mm0_w", "mm0_b", "mm2_w", "mm2_b",
-                      "mm_input_proj", "mm_soft_emb_norm", "img_break"],
+                      "mm_input_proj", "mm_soft_emb_norm", "img_break",
+                      "cls_embd", "mm_ln_w", "mm_ln_b", "mm_fc", "rs"],
          meta_fields=[])
 @dataclasses.dataclass
 class ClipWeights:
@@ -153,6 +161,14 @@ class ClipWeights:
     mm_soft_emb_norm: Optional[jnp.ndarray] = None  # [E]
     # pixtral: learned [IMG_BREAK] embedding row (v.token_embd.img_break)
     img_break: Optional[jnp.ndarray] = None       # [n_embd_llm]
+    cls_embd: Optional[jnp.ndarray] = None        # internvl CLS row
+    mm_ln_w: Optional[jnp.ndarray] = None         # internvl mm.model.mlp.0
+    mm_ln_b: Optional[jnp.ndarray] = None
+    mm_fc: Optional[jnp.ndarray] = None           # idefics3 mm.model.fc
+    # minicpmv resampler weights (resampler.* tensors), dict pytree:
+    # query [Q, Ep], kv_w, ln_q_{w,b}, ln_kv_{w,b}, q_w/q_b/k_w/k_b/
+    # v_w/v_b/o_w/o_b, ln_post_{w,b}, proj
+    rs: Optional[dict] = None
 
 
 def _layer_norm(x, w, b, eps):
@@ -191,32 +207,96 @@ def preprocess_image(img, cfg: ClipConfig) -> np.ndarray:
     return patches.reshape(g * g, 3 * p * p).astype(np.float32)
 
 
-def encode_image(cfg: ClipConfig, weights: ClipWeights,
-                 patches: jnp.ndarray) -> jnp.ndarray:
-    """[n_patches, 3*p*p] -> [n_patches, n_embd_llm] projected embeddings."""
-    x = (patches @ weights.patch_w).astype(jnp.float32)
-    if weights.patch_b is not None:
-        x = x + weights.patch_b
-    x = x + weights.pos_embd.astype(jnp.float32)
-    if weights.pre_ln_w is not None:
-        x = _layer_norm(x, weights.pre_ln_w, weights.pre_ln_b, cfg.eps)
+def _vit_forward(cfg: ClipConfig, weights: ClipWeights, x: jnp.ndarray,
+                 rms: bool = False) -> jnp.ndarray:
+    """The shared pre-LN ViT body (clip.cpp build_vit): learned positions
+    already added by the caller; optional per-layer ls1/ls2 scales
+    (clip.cpp:396-422) and RMS norms (internvl 6B variants)."""
     n, e = x.shape
     h, d = cfg.n_heads, cfg.n_embd // cfg.n_heads
+    norm = (lambda v_, w_, b_: _rms(v_, w_, cfg.eps)) if rms \
+        else (lambda v_, w_, b_: _layer_norm(v_, w_, b_, cfg.eps))
+    if weights.pre_ln_w is not None:
+        x = norm(x, weights.pre_ln_w, weights.pre_ln_b)
     for lw in weights.layers:
-        y = _layer_norm(x, lw.ln1_w, lw.ln1_b, cfg.eps)
+        y = norm(x, lw.ln1_w, lw.ln1_b)
         q = (y @ lw.wq + lw.bq).reshape(n, h, d)
         k = (y @ lw.wk + lw.bk).reshape(n, h, d)
         v = (y @ lw.wv + lw.bv).reshape(n, h, d)
         att = jnp.einsum("qhd,khd->hqk", q, k) / np.sqrt(d)
         att = jax.nn.softmax(att, axis=-1)
         ctx = jnp.einsum("hqk,khd->qhd", att, v).reshape(n, e)
-        x = x + (ctx @ lw.wo + lw.bo)
-        y = _layer_norm(x, lw.ln2_w, lw.ln2_b, cfg.eps)
+        ctx = ctx @ lw.wo + lw.bo
+        if lw.ls1 is not None:
+            ctx = ctx * lw.ls1
+        x = x + ctx
+        y = norm(x, lw.ln2_w, lw.ln2_b)
         y = y @ lw.w_up + lw.b_up
         y = jax.nn.gelu(y, approximate=cfg.use_gelu)
-        x = x + (y @ lw.w_down + lw.b_down)
+        y = y @ lw.w_down + lw.b_down
+        if lw.ls2 is not None:
+            y = y * lw.ls2
+        x = x + y
     if weights.post_ln_w is not None:
-        x = _layer_norm(x, weights.post_ln_w, weights.post_ln_b, cfg.eps)
+        x = norm(x, weights.post_ln_w, weights.post_ln_b)
+    return x
+
+
+def pixel_shuffle(x: jnp.ndarray, gh: int, gw: int, s: int) -> jnp.ndarray:
+    """[gh*gw, E] raster -> [gh/s * gw/s, E*s*s]: the idefics3/internvl
+    patch-merge permute (clip.cpp:741 build_patch_merge_permute — w
+    groups fold into channels first, then h groups)."""
+    e = x.shape[-1]
+    x = x.reshape(gh, gw // s, s * e)               # merge s along w
+    x = jnp.swapaxes(x, 0, 1)                       # [gw/s, gh, s*e]
+    x = x.reshape(gw // s, gh // s, s * s * e)      # merge s along h
+    x = jnp.swapaxes(x, 0, 1)                       # [gh/s, gw/s, E*s*s]
+    return x.reshape((gh // s) * (gw // s), s * s * e)
+
+
+def encode_image(cfg: ClipConfig, weights: ClipWeights,
+                 patches: jnp.ndarray) -> jnp.ndarray:
+    """[n_patches, 3*p*p] -> [n_tokens, n_embd_llm] projected embeddings.
+    Projector branches: LLaVA mlp, gemma3, idefics3 (pixel shuffle + fc,
+    models/siglip.cpp:41-46), internvl (CLS + pixel shuffle + LN + MLP,
+    models/internvl.cpp)."""
+    x = (patches @ weights.patch_w).astype(jnp.float32)
+    if weights.patch_b is not None:
+        x = x + weights.patch_b
+    is_internvl = cfg.projector_type == "internvl"
+    if is_internvl and weights.cls_embd is not None:
+        x = jnp.concatenate([weights.cls_embd[None, :], x], axis=0)
+    if cfg.projector_type == "idefics3":
+        # HF Idefics3VisionEmbeddings buckets fractional coords scaled by
+        # (1 - 1e-6) with bucketize(right=True) — pos ids come out
+        # [0, 0, 1, ..., g-2] per axis, NOT arange; checkpoints were
+        # trained with exactly this table usage, so mirror it
+        g = cfg.image_size // cfg.patch_size
+        bounds = np.arange(1, g) / g
+        f = np.arange(g) / g * (1 - 1e-6)
+        b = np.searchsorted(bounds, f, side="right")
+        ids = (b[:, None] * g + b[None, :]).reshape(-1)
+        x = x + weights.pos_embd.astype(jnp.float32)[ids]
+    else:
+        x = x + weights.pos_embd.astype(jnp.float32)[: x.shape[0]]
+    # the 6B InternVL ViT uses RMS norms (internvl.cpp:16-18 heuristic)
+    rms = is_internvl and cfg.n_embd == 3200 and cfg.n_layers == 45
+    x = _vit_forward(cfg, weights, x, rms=rms)
+    e = x.shape[-1]
+    if cfg.projector_type == "idefics3":
+        g = cfg.image_size // cfg.patch_size
+        x = pixel_shuffle(x, g, g, cfg.n_merge)
+        return x @ weights.mm_fc
+    if is_internvl:
+        x = x[1:]                                   # drop CLS
+        g = cfg.image_size // cfg.patch_size
+        x = pixel_shuffle(x, g, g, cfg.n_merge)
+        # mm.model.mlp.0 = LayerNorm (pytorch default eps 1e-5), then
+        # mlp.1 -> GELU -> mlp.3 (internvl.cpp:55-62)
+        x = _layer_norm(x, weights.mm_ln_w, weights.mm_ln_b, 1e-5)
+        x = jax.nn.gelu(x @ weights.mm0_w + weights.mm0_b,
+                        approximate=False)
+        return x @ weights.mm2_w + weights.mm2_b
     if cfg.projector_type == "gemma3":
         # gemma3 projector (models/siglip.cpp PROJECTOR_TYPE_GEMMA3):
         # avg-pool the square patch grid by n_merge per side, RMSNorm
@@ -232,6 +312,58 @@ def encode_image(cfg: ClipConfig, weights: ClipWeights,
     # LLaVA MLP projector: mm.0 -> GELU -> mm.2
     x = jax.nn.gelu(x @ weights.mm0_w + weights.mm0_b, approximate=True)
     return x @ weights.mm2_w + weights.mm2_b
+
+
+def _sincos_2d(n_embd_proj: int, gh: int, gw: int) -> np.ndarray:
+    """MiniCPM-V resampler 2D sinusoidal position table [gh*gw, Ep]
+    (models/minicpmv.cpp:47-68: per axis [sin | cos] over Ep/4
+    frequencies, x block then y block)."""
+    q = n_embd_proj // 4
+    omega = 1.0 / (10000.0 ** (np.arange(q, dtype=np.float32) / q))
+    hpos = (np.arange(gh * gw) // gw).astype(np.float32)
+    wpos = (np.arange(gh * gw) % gw).astype(np.float32)
+    tx = wpos[:, None] * omega[None, :]
+    ty = hpos[:, None] * omega[None, :]
+    return np.concatenate([np.sin(tx), np.cos(tx),
+                           np.sin(ty), np.cos(ty)], axis=1)
+
+
+def encode_image_minicpmv(cfg: ClipConfig, weights: ClipWeights,
+                          patches: jnp.ndarray, grid_hw=None) -> jnp.ndarray:
+    """MiniCPM-V perceiver resampler (clip-impl.h:210
+    PROJECTOR_TYPE_MINICPMV "resampler" / models/minicpmv.cpp): standard
+    LN ViT with learned positions, then a single cross-attention block —
+    ``query_num`` learned queries attend the kv-projected patch
+    embeddings (+ 2D sincos positions on K only) — LN + final
+    projection. Output is always [query_num, n_embd_llm] regardless of
+    image resolution (the Q-Former-style token-count compressor)."""
+    x = (patches @ weights.patch_w).astype(jnp.float32)
+    if weights.patch_b is not None:
+        x = x + weights.patch_b
+    n = x.shape[0]
+    if grid_hw is None:
+        g = cfg.image_size // cfg.patch_size
+        grid_hw = (g, g)
+    x = x + weights.pos_embd.astype(jnp.float32)[:n]
+    x = _vit_forward(cfg, weights, x)
+    rs = weights.rs
+    q = _layer_norm(rs["query"], rs["ln_q_w"], rs["ln_q_b"], cfg.eps)
+    v = x @ rs["kv_w"]                                   # [N, Ep]
+    v = _layer_norm(v, rs["ln_kv_w"], rs["ln_kv_b"], cfg.eps)
+    k = v + jnp.asarray(_sincos_2d(v.shape[-1], *grid_hw))[:n]
+    ep = v.shape[-1]
+    d = 128 if ep % 128 == 0 else ep // max(1, cfg.n_heads)
+    h = ep // d                                          # minicpmv.cpp:77
+    nq = q.shape[0]
+    Q = (q @ rs["q_w"] + rs["q_b"]).reshape(nq, h, d)
+    K = (k @ rs["k_w"] + rs["k_b"]).reshape(n, h, d)
+    V = (v @ rs["v_w"] + rs["v_b"]).reshape(n, h, d)
+    att = jnp.einsum("qhd,khd->hqk", Q, K) / np.sqrt(d)
+    att = jax.nn.softmax(att, axis=-1)
+    out = jnp.einsum("hqk,khd->qhd", att, V).reshape(nq, ep)
+    out = out @ rs["o_w"] + rs["o_b"]
+    out = _layer_norm(out, rs["ln_post_w"], rs["ln_post_b"], cfg.eps)
+    return out @ rs["proj"]
 
 
 def qwen2vl_block_order(gh: int, gw: int, m: int = 2) -> np.ndarray:
@@ -534,9 +666,12 @@ def load_mmproj(path: str | Path):
                         if f"{p}.ffn_gate.weight" in g.tensors else None),
                 b_gate=(lin(f"{p}.ffn_gate")[1]
                         if f"{p}.ffn_gate.weight" in g.tensors else None),
+                ls1=t(f"{p}.ls1.weight", required=False),
+                ls2=t(f"{p}.ls2.weight", required=False),
             ))
+        mm0w = mm0b = mm2w = mm2b = mm_ip = mm_sen = None
+        mm_lnw = mm_lnb = mm_fc = rs = None
         if cfg.projector_type == "gemma3":
-            mm0w = mm0b = mm2w = mm2b = None
             # HF stores mm_input_projection as [vision_dim, text_dim];
             # orient for x @ W by matching the vision dim
             ip = np.asarray(g.tensor("mm.input_projection.weight"),
@@ -545,13 +680,38 @@ def load_mmproj(path: str | Path):
                 ip = ip.T
             mm_ip = jnp.asarray(ip)
             mm_sen = t("mm.soft_emb_norm.weight")
+        elif cfg.projector_type == "idefics3":
+            mm_fc = lin("mm.model.fc")[0]          # clip-impl.h:103
+        elif cfg.projector_type == "internvl":
+            # mm.model.mlp.0 = LayerNorm, .1/.3 = Linear (clip.cpp:1738)
+            mm_lnw = t("mm.model.mlp.0.weight")
+            mm_lnb = t("mm.model.mlp.0.bias")
+            mm0w, mm0b = lin("mm.model.mlp.1")
+            mm2w, mm2b = lin("mm.model.mlp.3")
+        elif cfg.projector_type == "resampler":
+            # minicpmv perceiver resampler (clip-impl.h:113-118)
+            rs = {
+                "query": t("resampler.query"),
+                "kv_w": t("resampler.kv.weight").T,
+                "ln_q_w": t("resampler.ln_q.weight"),
+                "ln_q_b": t("resampler.ln_q.bias"),
+                "ln_kv_w": t("resampler.ln_kv.weight"),
+                "ln_kv_b": t("resampler.ln_kv.bias"),
+                "ln_post_w": t("resampler.ln_post.weight"),
+                "ln_post_b": t("resampler.ln_post.bias"),
+                "proj": t("resampler.proj.weight"),
+            }
+            for nm in ("q", "k", "v"):
+                w_, b_ = lin(f"resampler.attn.{nm}")
+                rs[f"{nm}_w"], rs[f"{nm}_b"] = w_, b_
+            w_, b_ = lin("resampler.attn.out")
+            rs["o_w"], rs["o_b"] = w_, b_
         else:
             # pixtral writes the projector as mm.1/mm.2 (clip.cpp); the
             # LLaVA MLP as mm.0/mm.2
             mm0w, mm0b = lin("mm.1" if "mm.1.weight" in g.tensors
                              else "mm.0")
             mm2w, mm2b = lin("mm.2")
-            mm_ip = mm_sen = None
         brk = t("v.token_embd.img_break", required=False)
         pos = t("v.position_embd.weight", required=cfg.projector_type
                 not in ("qwen2vl_merger", "qwen2.5vl_merger",
@@ -559,7 +719,11 @@ def load_mmproj(path: str | Path):
         weights = ClipWeights(
             patch_w=patch_w,
             patch_b=t("v.patch_embd.bias", required=False),
-            pos_embd=None if pos is None else pos[-cfg.n_patches:],
+            # internvl keeps its CLS row at index 0 (n_pos = n_patches+1);
+            # CLIP-style tables drop leading class rows
+            pos_embd=(None if pos is None
+                      else pos if cfg.projector_type == "internvl"
+                      else pos[-cfg.n_patches:]),
             pre_ln_w=t("v.pre_ln.weight", required=False),
             pre_ln_b=t("v.pre_ln.bias", required=False),
             post_ln_w=t("v.post_ln.weight", required=False),
@@ -568,6 +732,9 @@ def load_mmproj(path: str | Path):
             mm0_w=mm0w, mm0_b=mm0b, mm2_w=mm2w, mm2_b=mm2b,
             mm_input_proj=mm_ip, mm_soft_emb_norm=mm_sen,
             img_break=None if brk is None else brk.reshape(-1),
+            cls_embd=(None if "v.class_embd" not in g.tensors
+                      else t("v.class_embd").reshape(-1)),
+            mm_ln_w=mm_lnw, mm_ln_b=mm_lnb, mm_fc=mm_fc, rs=rs,
         )
     return cfg, weights
 

@@ -76,6 +76,12 @@ def embed_images(cfg: ClipConfig, weights: ClipWeights, images) -> list:
             patches, grid = preprocess_image_qwen2vl(img, cfg)
             out.append(np.asarray(encode_image_pixtral(
                 cfg, weights, jnp.asarray(patches), grid)))
+        elif cfg.projector_type == "resampler":
+            from rrs_tpu.mtmd.clip import encode_image_minicpmv
+
+            patches = jnp.asarray(preprocess_image(img, cfg))
+            out.append(np.asarray(encode_image_minicpmv(
+                cfg, weights, patches)))
         else:
             patches = jnp.asarray(preprocess_image(img, cfg))
             out.append(np.asarray(encode_image(cfg, weights, patches)))

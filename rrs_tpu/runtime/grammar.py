@@ -530,6 +530,10 @@ def compile_token_dfa(grammar: "Grammar", pieces: list[str], trie,
         return None
     v = len(pieces)
     t0 = _time.monotonic()
+    visits = [0]                       # GIL-yield counter: the trie walk
+    # is seconds of pure Python per state and runs on a background
+    # thread; without periodic sleeps it starves the serving engine
+    # thread (measured 0.9 tok/s during compile vs ~36 without)
     start = frozenset(grammar.stacks)
     index = {start: 0}
     order = [start]
@@ -544,6 +548,9 @@ def compile_token_dfa(grammar: "Grammar", pieces: list[str], trie,
         overflow = []
 
         def dfs(node, st):
+            visits[0] += 1
+            if visits[0] % 2048 == 0:
+                _time.sleep(0.001)
             key = None
             tids = node.get(-1)
             if tids is not None:

@@ -524,6 +524,10 @@ def convert_hf_mmproj(model_dir: str | Path, out_path: str | Path,
     vc_type = (cfg.get("vision_config") or {}).get("model_type")
     if vc_type == "pixtral":
         return _convert_mmproj_pixtral(model_dir, cfg, out_path, out_dtype)
+    if arch_name == "Idefics3ForConditionalGeneration":
+        return _convert_mmproj_idefics3(model_dir, cfg, out_path, out_dtype)
+    if arch_name == "InternVLForConditionalGeneration":
+        return _convert_mmproj_internvl(model_dir, cfg, out_path, out_dtype)
     is25 = (arch_name == "Qwen2_5_VLForConditionalGeneration"
             or cfg.get("model_type") == "qwen2_5_vl"
             or vc_type == "qwen2_5_vl")
@@ -691,5 +695,143 @@ def _convert_mmproj_pixtral(model_dir: Path, cfg: dict, out_path, out_dtype):
                     if k in sd), None)
     if brk is not None and emb_key is not None:
         put("v.token_embd.img_break", sd[emb_key][int(brk)])
+    w.write()
+    return Path(out_path)
+
+
+def _mmproj_writer(out_path, proj_type, *, image_size, patch, e, depth,
+                   heads, n_ff, out_dim, eps=1e-6, extra=None):
+    w = GGUFWriter(out_path)
+    w.add_string("general.architecture", "clip")
+    w.add_string("clip.projector_type", proj_type)
+    w.add_bool("clip.has_vision_encoder", True)
+    w.add_uint32("clip.vision.image_size", image_size)
+    w.add_uint32("clip.vision.patch_size", patch)
+    w.add_uint32("clip.vision.embedding_length", e)
+    w.add_uint32("clip.vision.block_count", depth)
+    w.add_uint32("clip.vision.attention.head_count", heads)
+    w.add_uint32("clip.vision.feed_forward_length", n_ff)
+    w.add_uint32("clip.vision.projection_dim", out_dim)
+    w.add_float32("clip.vision.attention.layer_norm_epsilon", eps)
+    for k, v in (extra or {}).items():
+        if isinstance(v, bool):
+            w.add_bool(k, v)
+        elif isinstance(v, int):
+            w.add_uint32(k, v)
+        elif isinstance(v, float):
+            w.add_float32(k, v)
+        else:
+            w.add_string(k, v)
+    return w
+
+
+def _convert_mmproj_idefics3(model_dir: Path, cfg: dict, out_path,
+                             out_dtype):
+    """Idefics3/SmolVLM vision tower -> mmproj GGUF (clip-impl.h:217
+    PROJECTOR_TYPE_IDEFICS3: SigLIP-shaped ViT + pixel shuffle +
+    mm.model.fc projection)."""
+    vc = cfg["vision_config"]
+    e = int(vc["hidden_size"])
+    depth = int(vc["num_hidden_layers"])
+    sd = _load_state_dict(model_dir)
+    vp = "model.vision_model."
+    out_dim = int(cfg.get("text_config", {}).get("hidden_size", 2048))
+    w = _mmproj_writer(
+        out_path, "idefics3", image_size=int(vc["image_size"]),
+        patch=int(vc["patch_size"]), e=e, depth=depth,
+        heads=int(vc["num_attention_heads"]),
+        n_ff=int(vc["intermediate_size"]), out_dim=out_dim,
+        extra={"clip.vision.projector.scale_factor":
+               int(cfg.get("scale_factor", 2))})
+
+    def put(name, arr):
+        w.add_tensor(name, np.ascontiguousarray(
+            np.asarray(arr).astype(out_dtype)))
+
+    put("v.patch_embd.weight", sd[vp + "embeddings.patch_embedding.weight"])
+    put("v.patch_embd.bias", sd[vp + "embeddings.patch_embedding.bias"])
+    put("v.position_embd.weight",
+        sd[vp + "embeddings.position_embedding.weight"])
+    for i in range(depth):
+        hp = f"{vp}encoder.layers.{i}."
+        gp = f"v.blk.{i}."
+        for a, b in (("ln1", "layer_norm1"), ("ln2", "layer_norm2")):
+            put(gp + f"{a}.weight", sd[hp + b + ".weight"])
+            put(gp + f"{a}.bias", sd[hp + b + ".bias"])
+        for a, b in (("attn_q", "self_attn.q_proj"),
+                     ("attn_k", "self_attn.k_proj"),
+                     ("attn_v", "self_attn.v_proj"),
+                     ("attn_out", "self_attn.out_proj"),
+                     ("ffn_up", "mlp.fc1"), ("ffn_down", "mlp.fc2")):
+            put(gp + f"{a}.weight", sd[hp + b + ".weight"])
+            put(gp + f"{a}.bias", sd[hp + b + ".bias"])
+    put("v.post_ln.weight", sd[vp + "post_layernorm.weight"])
+    put("v.post_ln.bias", sd[vp + "post_layernorm.bias"])
+    put("mm.model.fc.weight",
+        sd["model.connector.modality_projection.proj.weight"])
+    w.write()
+    return Path(out_path)
+
+
+def _convert_mmproj_internvl(model_dir: Path, cfg: dict, out_path,
+                             out_dtype):
+    """InternVL vision tower -> mmproj GGUF (clip-impl.h:221
+    PROJECTOR_TYPE_INTERNVL: CLS token, per-layer ls1/ls2 scales, pixel
+    shuffle, mm.model.mlp.{0,1,3} projector)."""
+    vc = cfg["vision_config"]
+    e = int(vc["hidden_size"])
+    depth = int(vc["num_hidden_layers"])
+    sd = _load_state_dict(model_dir)
+    vp = "model.vision_tower." if any(
+        k.startswith("model.vision_tower.") for k in sd) else "vision_tower."
+    out_dim = int(cfg.get("text_config", {}).get("hidden_size", 2048))
+    ds = float(cfg.get("downsample_ratio", 0.5))
+    def _sq(v):      # InternVL stores [h, w] lists for these
+        return int(v[0] if isinstance(v, (list, tuple)) else v)
+
+    w = _mmproj_writer(
+        out_path, "internvl", image_size=_sq(vc["image_size"]),
+        patch=_sq(vc["patch_size"]), e=e, depth=depth,
+        heads=int(vc["num_attention_heads"]),
+        n_ff=int(vc["intermediate_size"]), out_dim=out_dim,
+        eps=float(vc.get("layer_norm_eps", 1e-6)),
+        extra={"clip.vision.projector.scale_factor": int(round(1.0 / ds))})
+
+    def put(name, arr):
+        w.add_tensor(name, np.ascontiguousarray(
+            np.asarray(arr).astype(out_dtype)))
+
+    put("v.patch_embd.weight",
+        sd[vp + "embeddings.patch_embeddings.projection.weight"])
+    put("v.patch_embd.bias",
+        sd[vp + "embeddings.patch_embeddings.projection.bias"])
+    put("v.class_embd", sd[vp + "embeddings.cls_token"].reshape(-1))
+    put("v.position_embd.weight",
+        sd[vp + "embeddings.position_embeddings"].reshape(-1, e))
+    for i in range(depth):
+        hp = f"{vp}encoder.layer.{i}."
+        gp = f"v.blk.{i}."
+        put(gp + "ls1.weight", sd[hp + "lambda_1"])
+        put(gp + "ls2.weight", sd[hp + "lambda_2"])
+        for a, b in (("ln1", "layernorm_before"), ("ln2", "layernorm_after")):
+            put(gp + f"{a}.weight", sd[hp + b + ".weight"])
+            put(gp + f"{a}.bias", sd[hp + b + ".bias"])
+        for a, b in (("attn_q", "attention.q_proj"),
+                     ("attn_k", "attention.k_proj"),
+                     ("attn_v", "attention.v_proj"),
+                     ("attn_out", "attention.projection_layer"),
+                     ("ffn_up", "mlp.fc1"), ("ffn_down", "mlp.fc2")):
+            put(gp + f"{a}.weight", sd[hp + b + ".weight"])
+            if hp + b + ".bias" in sd:
+                put(gp + f"{a}.bias", sd[hp + b + ".bias"])
+    mp = "model.multi_modal_projector." if any(
+        k.startswith("model.multi_modal_projector.") for k in sd) \
+        else "multi_modal_projector."
+    put("mm.model.mlp.0.weight", sd[mp + "layer_norm.weight"])
+    put("mm.model.mlp.0.bias", sd[mp + "layer_norm.bias"])
+    put("mm.model.mlp.1.weight", sd[mp + "linear_1.weight"])
+    put("mm.model.mlp.1.bias", sd[mp + "linear_1.bias"])
+    put("mm.model.mlp.3.weight", sd[mp + "linear_2.weight"])
+    put("mm.model.mlp.3.bias", sd[mp + "linear_2.bias"])
     w.write()
     return Path(out_path)
