@@ -58,42 +58,47 @@ def main():
         qs = jnp.asarray(rng.integers(0, 256, (k // 2, n), dtype=np.uint8))
         eff = jnp.asarray((rng.random((k // 32, n)) * 0.02 + 1e-3)
                           .astype(np.float32))
-        a_q = jnp.asarray(rng.integers(-7, 8, (64, m, k), dtype=np.int8))
-        a_s = jnp.asarray((rng.random((64, m, k // 256)) * 0.5 + 0.1)
-                          .astype(np.float32))
+        # device-generated activation variants (a host [64, M, K] upload
+        # blows the relay's request-size limit); NV = 8 buffers, varied
+        # per step by the scan index so the relay can't cache dispatches
+        NV = 8
+        keyz = jax.random.PRNGKey(0)
+        a_q = jax.random.randint(keyz, (NV, m, k), -7, 8, dtype=jnp.int8)
+        a_s = (jax.random.uniform(keyz, (NV, m, k // 256)) * 0.5 + 0.1
+               ).astype(jnp.float32)
         a_f = (a_q.astype(jnp.float32)
                * jnp.repeat(a_s, 256, axis=-1) / 7.0)
         a_bf = a_f.astype(jnp.bfloat16)
-        steps = jnp.arange(64, dtype=jnp.int32)
+        steps = jnp.arange(64, dtype=jnp.int32) % NV
 
         row = {}
         for bm in (128, 256, 512):
             row[f"dequant_bm{bm}"] = scan_time(
-                lambda i, bm=bm: mm.tcq4_matmul(a_f[i % 64], qs, eff, bm=bm),
+                lambda i, bm=bm: mm.tcq4_matmul(a_f[i], qs, eff, bm=bm),
                 steps)
         qs_gi = mm.pack_gi_jnp(qs)
         eff_bf = eff.astype(jnp.bfloat16)
         for bm in (128, 256):
             def pbf(i, bm=bm):
-                ag, a24 = mm.pb_prepare(a_f[i % 64])
+                ag, a24 = mm.pb_prepare(a_f[i])
                 return mm.tcq4_matmul_pb(ag, a24, qs_gi, eff_bf, bm=bm)
             row[f"pb_bm{bm}"] = scan_time(pbf, steps)
         qs_sbi, f8, e2 = mm.pack_i8p(qs, eff)
         for bm in (128, 256, 512):
             row[f"i8p_bm{bm}"] = scan_time(
                 lambda i, bm=bm: mm.tcq4_matmul_i8p(
-                    mm.prep_a_sbi(a_q[i % 64]), a_s[i % 64],
+                    mm.prep_a_sbi(a_q[i]), a_s[i],
                     qs_sbi, f8, e2, bm=bm),
                 steps)
         wb = jnp.asarray(rng.standard_normal((k, n)) * 0.02, jnp.bfloat16)
         row["bf16_dot"] = scan_time(
             lambda i: jax.lax.dot_general(
-                a_bf[i % 64], wb, (((1,), (0,)), ((), ())),
+                a_bf[i], wb, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32), steps)
         w8 = jnp.asarray(rng.integers(-127, 128, (k, n), dtype=np.int8))
         row["int8_dot"] = scan_time(
             lambda i: jax.lax.dot_general(
-                a_q[i % 64], w8, (((1,), (0,)), ((), ())),
+                a_q[i], w8, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32), steps)
         gf = 2 * m * k * n / 1e9
         for kk, v in sorted(row.items(), key=lambda kv: kv[1]):
