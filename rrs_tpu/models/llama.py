@@ -168,7 +168,17 @@ def _store_cache(cache, new, cache_slots, mask_positions, window: int = 0):
             q = kv_codec.pack_hp(q) if kv_codec.is_head_pair(arr, sc) \
                 else kv_codec.pack4(q)
         arr = store_arr(arr, q)
-        sc = store_arr(sc.swapaxes(2, 3), s_new[..., None]).swapaxes(2, 3)
+        if t == 1 and not ring_wrap:
+            # decode: one fused elementwise pass writes the scale into
+            # its native [B, Hkv, 1, S] lane layout — the swapaxes ->
+            # DUS -> swapaxes round trip cost ~145 us/step at S=8192
+            # across 144 stores (benchmarks/profile_kvq4.py round 5)
+            oh = (jnp.arange(s_l, dtype=jnp.int32)[None, None, None, :]
+                  == start_slot[:, None, None, None]).astype(sc.dtype)
+            sc = sc + (s_new[:, :, :1][..., None] - sc) * oh
+        else:
+            sc = store_arr(sc.swapaxes(2, 3),
+                           s_new[..., None]).swapaxes(2, 3)
         return (arr, sc)
     return store_arr(cache, new)
 

@@ -1123,6 +1123,24 @@ def tcq4_matmul_i8p(
     bn = min(bn, n)
     assert n % bn == 0, (n, bn)
     bm = min(bm, _round_up(m, 8))
+
+    def _vmem(bm_, bn_):
+        # double-buffered blocks + decode intermediates + resident output
+        blocks = (bm_ * k                      # a int8
+                  + bm_ * sb * 4               # ascale
+                  + (k // 2) * bn_             # qs u8
+                  + (k // GROUP_SIZE) * bn_    # f8 i8
+                  + sb * bn_ * 4               # e2
+                  + bm_ * bn_ * 4)             # out f32
+        return 2 * blocks + 2 * TILE_K * bn_ * 4   # i32 decode temps
+
+    while _vmem(bm, bn) > 12 * 1024 * 1024 and bn > 128:
+        nb = _pick_bn(n, limit=bn - 128)
+        if nb >= bn:
+            break
+        bn = nb
+    while _vmem(bm, bn) > 12 * 1024 * 1024 and bm > 128:
+        bm //= 2
     m_pad = _round_up(m, bm)
     if m_pad != m:
         a_sbi = jnp.pad(a_sbi, ((0, m_pad - m), (0, 0)))
