@@ -33,16 +33,20 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def scan_time(fn, xs, reps=3):
-    def body(c, x):
-        return c + fn(x).astype(jnp.float32)[0, :128].sum(), None
+def scan_time(fn, xs, ops, reps=3):
+    """ops are jit ARGUMENTS (closure-captured device arrays get baked
+    into the HLO as constants and blow the relay's request-size limit)."""
+    def run_impl(ops_):
+        def body(c, x):
+            return c + fn(x, ops_).astype(jnp.float32)[0, :128].sum(), None
+        return jax.lax.scan(body, 0.0, xs)[0]
 
-    run = jax.jit(lambda: jax.lax.scan(body, 0.0, xs)[0])
-    float(run())
+    run = jax.jit(run_impl)
+    float(run(ops))
     best = np.inf
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(run())
+        float(run(ops))
         best = min(best, time.perf_counter() - t0)
     return best / xs.shape[0]
 
@@ -74,32 +78,33 @@ def main():
         row = {}
         for bm in (128, 256, 512):
             row[f"dequant_bm{bm}"] = scan_time(
-                lambda i, bm=bm: mm.tcq4_matmul(a_f[i], qs, eff, bm=bm),
-                steps)
+                lambda i, ops, bm=bm: mm.tcq4_matmul(
+                    ops[0][i], ops[1], ops[2], bm=bm),
+                steps, (a_f, qs, eff))
         qs_gi = mm.pack_gi_jnp(qs)
         eff_bf = eff.astype(jnp.bfloat16)
         for bm in (128, 256):
-            def pbf(i, bm=bm):
-                ag, a24 = mm.pb_prepare(a_f[i])
-                return mm.tcq4_matmul_pb(ag, a24, qs_gi, eff_bf, bm=bm)
-            row[f"pb_bm{bm}"] = scan_time(pbf, steps)
+            def pbf(i, ops, bm=bm):
+                ag, a24 = mm.pb_prepare(ops[0][i])
+                return mm.tcq4_matmul_pb(ag, a24, ops[1], ops[2], bm=bm)
+            row[f"pb_bm{bm}"] = scan_time(pbf, steps, (a_f, qs_gi, eff_bf))
         qs_sbi, f8, e2 = mm.pack_i8p(qs, eff)
         for bm in (128, 256, 512):
             row[f"i8p_bm{bm}"] = scan_time(
-                lambda i, bm=bm: mm.tcq4_matmul_i8p(
-                    mm.prep_a_sbi(a_q[i]), a_s[i],
-                    qs_sbi, f8, e2, bm=bm),
-                steps)
+                lambda i, ops, bm=bm: mm.tcq4_matmul_i8p(
+                    mm.prep_a_sbi(ops[0][i]), ops[1][i],
+                    ops[2], ops[3], ops[4], bm=bm),
+                steps, (a_q, a_s, qs_sbi, f8, e2))
         wb = jnp.asarray(rng.standard_normal((k, n)) * 0.02, jnp.bfloat16)
         row["bf16_dot"] = scan_time(
-            lambda i: jax.lax.dot_general(
-                a_bf[i], wb, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32), steps)
+            lambda i, ops: jax.lax.dot_general(
+                ops[0][i], ops[1], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32), steps, (a_bf, wb))
         w8 = jnp.asarray(rng.integers(-127, 128, (k, n), dtype=np.int8))
         row["int8_dot"] = scan_time(
-            lambda i: jax.lax.dot_general(
-                a_q[i], w8, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32), steps)
+            lambda i, ops: jax.lax.dot_general(
+                ops[0][i], ops[1], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32), steps, (a_q, w8))
         gf = 2 * m * k * n / 1e9
         for kk, v in sorted(row.items(), key=lambda kv: kv[1]):
             log(f"{label:14s} {kk:14s} {v*1e6:8.1f} us  "
