@@ -61,20 +61,15 @@ def main():
     n_steps = 256
     for s in (2048, 8192):
         for quant in ("bf16", "q8", "q4"):
-            shape = (1, cfg.n_kv_heads, s, cfg.head_dim)
-            if quant == "q8":
-                mk = lambda: ((jnp.zeros(shape, jnp.int8),
-                               jnp.ones((1, cfg.n_kv_heads, 1, s),
-                                        jnp.float32)))
-            elif quant == "q4":
-                mk = lambda: ((jnp.zeros(shape[:-1] + (shape[-1] // 2,),
-                                         jnp.uint8),
-                               jnp.ones((1, cfg.n_kv_heads, 1, s),
-                                        jnp.float32)))
-            else:
-                mk = lambda: jnp.zeros(shape, jnp.bfloat16)
-            ks = [mk() for _ in range(cfg.n_layers)]
-            vs = [mk() for _ in range(cfg.n_layers)]
+            # PRODUCT cache layouts (KVCache.create): q4 gets the
+            # head-pair pack — the round-4 bench built the legacy halves
+            # layout here and kept "measuring" the old q4 tax
+            from rrs_tpu.runtime.kv_cache import KVCache
+
+            kv = KVCache.create(cfg, 1, s, jnp.bfloat16,
+                                quant={"bf16": "none", "q8": "q8",
+                                       "q4": "q4"}[quant])
+            ks, vs = kv.k, kv.v
             first = jnp.zeros((1,), jnp.int32)
             # steady state near the end of the window
             pos0 = jnp.full((1,), s - n_steps - 2, jnp.int32)
