@@ -95,6 +95,12 @@ def main():
                     mm.prep_a_sbi(ops[0][i]), ops[1][i],
                     ops[2], ops[3], ops[4], bm=bm),
                 steps, (a_q, a_s, qs_sbi, f8, e2))
+        # on-the-fly sbi repack (qs stays in decode layout; pack per call)
+        row["i8p_fly_bm512"] = scan_time(
+            lambda i, ops: mm.tcq4_matmul_i8p(
+                mm.prep_a_sbi(ops[0][i]), ops[1][i],
+                *mm.pack_i8p(ops[2], ops[3]), bm=512),
+            steps, (a_q, a_s, qs, eff))
         wb = jnp.asarray(rng.standard_normal((k, n)) * 0.02, jnp.bfloat16)
         row["bf16_dot"] = scan_time(
             lambda i, ops: jax.lax.dot_general(
