@@ -64,5 +64,28 @@ def main():
             f"| ratio dense/rows {t_dense/t_rows:.2f}")
 
 
+
+
+def variants():
+    rng = np.random.default_rng(1)
+    E, K, N = 32, 1024, 1024
+    qs = jnp.asarray(rng.integers(0, 256, (E, K // 2, N), dtype=np.uint8))
+    eff = jnp.asarray((rng.random((E, K // 32, N)) * 0.02)
+                      .astype(np.float32), jnp.bfloat16)
+    acts = jnp.asarray(rng.standard_normal((128, 4, K)) * 0.3, jnp.float32)
+    ids = jnp.asarray(rng.integers(0, E, (128, 4)), jnp.int32)
+
+    def gathered(i):
+        sel = ids[i % 128]
+        qs_sel = jnp.take(qs, sel, axis=0)          # [4, K/2, N] XLA gather
+        eff_sel = jnp.take(eff, sel, axis=0)
+        a = acts[i % 128][:, None, :]               # [4, 1, K] per-expert
+        return tcq4_matmul_all_experts(a, qs_sel, eff_sel)
+
+    t = scan_time(gathered)
+    log(f"gather+static-kernel: {t*1e6:9.1f} us")
+
+
 if __name__ == "__main__":
     main()
+    variants()

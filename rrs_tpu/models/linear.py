@@ -44,7 +44,7 @@ class DenseLinear:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["qs", "eff", "gather", "bias"],
+    data_fields=["qs", "eff", "gather", "bias", "i8p"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -60,6 +60,11 @@ class TCQ4Linear:
     eff: jnp.ndarray                 # f32 [K//32, N] effective group scales
     gather: Optional[jnp.ndarray]    # int32 [K] or None
     bias: Optional[jnp.ndarray] = None
+    # optional int8-superblock PREFILL pack (round 5; ops/tcq4_matmul.py
+    # pack_i8p): (qs_sbi u8 [K/2, N], f8 i8 [K/32, N], e2 f32 [K/256, N]).
+    # ~2x the TCQ4 weight bytes when present; buys 1.06-1.24x prefill
+    # GEMM (bench_prefill_int8.py). Disable with RRS_PREFILL_I8=0.
+    i8p: Optional[tuple] = None
 
     @property
     def shape(self):
@@ -75,11 +80,19 @@ class TCQ4Linear:
         # eff at bf16: group scales are 25% of the weight stream at f32
         # (4 B per 32 weights vs 0.5 B/weight); bf16 rounding (<=0.4%) is
         # far below the int4 quantization noise
+        import os
+
+        qs_dev = jnp.asarray(t.qs)
+        eff_dev = jnp.asarray(effective_scales(t), jnp.bfloat16)
+        i8p = None
+        if os.environ.get("RRS_PREFILL_I8", "1") != "0":
+            i8p = tuple(tcq4_mm.pack_i8p(qs_dev, eff_dev))
         return cls(
-            qs=jnp.asarray(t.qs),
-            eff=jnp.asarray(effective_scales(t), jnp.bfloat16),
+            qs=qs_dev,
+            eff=eff_dev,
             gather=gather,
             bias=None if bias is None else jnp.asarray(bias),
+            i8p=i8p,
         )
 
 
@@ -343,15 +356,33 @@ def _tcq4_apply(x2: jnp.ndarray, qs: jnp.ndarray, eff: jnp.ndarray):
     int8 group-dot kernel. XLA-side rotation + ONE dot per superblock wins.
     """
     rot = rotate_activations(x2, None)
+    return _tcq4_matmul_route_rot(rot, qs, eff)
+
+
+def _tcq4_matmul_route_rot(rot, qs, eff, i8p=None):
+    """Decode-sized M takes the group-expanded int8 kernel WITH fused
+    activation quantization in its prologue (tcq4_matmul_gx2, round 5 —
+    the reference fuses absmax+quant into the GEMV the same way,
+    tcq4_k32.cu:71-277; bit-exact vs quantize_activations_rrs + gx);
+    larger M keeps the dequant+bf16-dot kernel whose MXU cost does not
+    scale with the group count."""
+    m, k = rot.shape
+    if tcq4_mm.gx_viable(m, k, qs.shape[1]):
+        return tcq4_mm.tcq4_matmul_gx2(rot, qs, eff,
+                                       interpret=_auto_interpret())
     a_q, a_s = quantize_activations_rrs(rot)
-    return _tcq4_matmul_route(a_q, a_s, qs, eff)
+    if i8p is not None and m >= 256 and not _auto_interpret():
+        # prefill M: int8-superblock MXU kernel (1.06-1.24x the dequant
+        # kernel at M in {512, 1024}; bench_prefill_int8.py round 5)
+        return tcq4_mm.tcq4_matmul_i8p(
+            tcq4_mm.prep_a_sbi(a_q), a_s, *i8p, bm=512)
+    a = dequantize_activations_rrs(a_q, a_s)
+    return tcq4_mm.tcq4_matmul(a, qs, eff, interpret=_auto_interpret())
 
 
 def _tcq4_matmul_route(a_q, a_s, qs, eff):
-    """Decode-sized M takes the group-expanded int8 kernel (integer-exact,
-    48 vs 54.6 us/call on gateup shapes — see ops/tcq4_matmul.py round-3
-    block comment); larger M keeps the dequant+bf16-dot kernel whose MXU
-    cost does not scale with the group count."""
+    """Pre-quantized entry (kept for oracles/tests): same routing as
+    _tcq4_matmul_route_rot."""
     m, k = a_q.shape
     if tcq4_mm.gx_viable(m, k, qs.shape[1]):
         return tcq4_mm.tcq4_matmul_gx(a_q, a_s, qs, eff,
@@ -420,8 +451,8 @@ def linear_apply(layer, x: jnp.ndarray, reduce_axis=None) -> jnp.ndarray:
             y = _tcq4_apply(x2, layer.qs, layer.eff)   # differentiable (STE)
         else:
             rot = rotate_activations(x2, layer.gather)
-            a_q, a_s = quantize_activations_rrs(rot)
-            y = _tcq4_matmul_route(a_q, a_s, layer.qs, layer.eff)
+            y = _tcq4_matmul_route_rot(rot, layer.qs, layer.eff,
+                                       i8p=layer.i8p)
     else:
         raise TypeError(f"unknown linear layer {type(layer)}")
     if lora is not None:

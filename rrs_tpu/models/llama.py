@@ -657,12 +657,19 @@ def fabricated_tcq4_weights(
     def _unif(key, scl, off, shape):
         return jax.random.uniform(key, shape, jnp.float32) * scl + off
 
+    import os
+
+    from rrs_tpu.ops import tcq4_matmul as _mm
+
+    want_i8p = os.environ.get("RRS_PREFILL_I8", "1") != "0"
+
     def qlin(k, n):
+        qs = _u8(next(key_it), (k // 2, n))
+        eff = _unif(next(key_it), 0.01, 0.001, (k // 32, n)
+                    ).astype(jnp.bfloat16)
         return TCQ4Linear(
-            qs=_u8(next(key_it), (k // 2, n)),
-            eff=_unif(next(key_it), 0.01, 0.001, (k // 32, n)
-                      ).astype(jnp.bfloat16),
-            gather=None, bias=None,
+            qs=qs, eff=eff, gather=None, bias=None,
+            i8p=tuple(_mm.pack_i8p(qs, eff)) if want_i8p else None,
         )
 
     e, hq, hkv, d, f = cfg.n_embd, cfg.n_q_dim, cfg.n_kv_dim, cfg.head_dim, cfg.n_ff

@@ -1170,3 +1170,138 @@ def tcq4_matmul_i8p(
         interpret=interpret,
     )(a_sbi, ascale7, qs_sbi, f8, e2)
     return out[:m]
+
+
+# ---------------------------------------------------------------------------
+# gx2 (round 5): the group-expanded decode kernel with the ACTIVATION
+# QUANTIZATION fused into its prologue (the reference fuses absmax+quant
+# into the GEMV the same way, tcq4_k32.cu:71-277). Removes the XLA-side
+# abs_reduce + round/clip/cast fusions and the int8 [M, K] intermediate
+# round-trip from every decode linear (~48 us/step of abs_reduce alone in
+# the round-4 budget). Semantics mirror quantize_activations_rrs EXACTLY
+# (amax per 256-block with the SCALE_EPS->1.0 guard, rint, clip +-7), so
+# the integer oracle parity is unchanged.
+# ---------------------------------------------------------------------------
+
+from rrs_tpu.formats.tcq4 import SCALE_EPS as _SCALE_EPS
+
+
+def _kernel_gx2(a_ref, qs_ref, eff_ref, out_ref, aexp_ref, s_ref, *,
+                m, bn, bk, k):
+    g_chunk = bk // GROUP_SIZE
+    g_total = k // GROUP_SIZE
+    rows = g_total * m
+    nsb_total = k // TILE_K
+    kc = pl.program_id(1)
+
+    @pl.when((pl.program_id(0) == 0) & (kc == 0))
+    def _():
+        a = a_ref[...].astype(jnp.float32)                  # [m, k] rotated
+        col_sb = jax.lax.broadcasted_iota(jnp.int32, (m, k), 1) // TILE_K
+        rec = jnp.zeros((m, k), jnp.float32)
+        amaxs = []
+        for sb in range(nsb_total):
+            blk = a[:, sb * TILE_K:(sb + 1) * TILE_K]
+            am = jnp.max(jnp.abs(blk), axis=1, keepdims=True)
+            am = jnp.where(am < _SCALE_EPS, 1.0, am)
+            amaxs.append(am)
+            rec = jnp.where(col_sb == sb, 7.0 / am, rec)
+        q = jnp.clip(jnp.rint(a * rec), -7, 7).astype(jnp.int32)
+
+        k_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 1)
+        r_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 0)
+        mask = (k_idx // GROUP_SIZE) == (r_idx // m)
+        if m == 1:
+            a_rows = jnp.broadcast_to(q, (rows, k))
+        else:
+            a_rows = pltpu.repeat(q, g_total, axis=0)
+        aexp_ref[...] = jnp.where(mask, a_rows, 0).astype(jnp.int8)
+
+        sb_of_r = jax.lax.broadcasted_iota(
+            jnp.int32, (rows, 1), 0) // (8 * m)
+        mm_of_r = jax.lax.rem(
+            jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0), m)
+        s = jnp.zeros((rows, 1), jnp.float32)
+        for sb in range(nsb_total):
+            for mm in range(m):
+                s = jnp.where((sb_of_r == sb) & (mm_of_r == mm),
+                              amaxs[sb][mm, 0], s)
+        s_ref[...] = s * (1.0 / 7.0)
+
+    nsb = bk // TILE_K
+    q32 = qs_ref[...].astype(jnp.int32).reshape(nsb, TILE_K // 2, bn)
+    w_q = jnp.concatenate([(q32 << 28) >> 28, (q32 << 24) >> 28],
+                          axis=1).reshape(bk, bn).astype(jnp.int8)
+    a_chunk = aexp_ref[pl.ds(kc * g_chunk * m, g_chunk * m),
+                       pl.ds(kc * bk, bk)]
+    p = jax.lax.dot_general(
+        a_chunk, w_q,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    e = eff_ref[...].astype(jnp.float32)
+    s = s_ref[pl.ds(kc * g_chunk * m, g_chunk * m), :]
+    pf = p.astype(jnp.float32) * s
+    if m == 1:
+        y = (pf * e).sum(0, keepdims=True)
+    else:
+        y = (pf.reshape(g_chunk, m, bn) * e[:, None, :]).sum(0)
+
+    @pl.when(kc == 0)
+    def _():
+        out_ref[...] = jnp.zeros((m, bn), jnp.float32)
+
+    out_ref[...] += y
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "bk", "interpret"))
+def tcq4_matmul_gx2(
+    a_rot: jnp.ndarray,     # f32 [M, K] ROTATED activations (pre-quant)
+    qs: jnp.ndarray,        # uint8 [K//2, N]
+    eff: jnp.ndarray,       # [K//32, N]
+    *,
+    bn: int = 0,
+    bk: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Integer-exact decode path with fused activation quantization:
+    C = quant(a_rot) @ dequant(w). f32 [M, N]."""
+    m, k = a_rot.shape
+    n = qs.shape[1]
+    assert k % TILE_K == 0 and qs.shape[0] == k // 2, (a_rot.shape, qs.shape)
+    assert gx_viable(m, k), (m, k)
+    if bk == 0:
+        bk = _pick_bk_gx(k)
+    assert k % bk == 0 and bk % TILE_K == 0, (k, bk)
+    if bn == 0:
+        denom = (bk if k > 4096 else k) // 2
+        bn = _pick_bn(n, limit=max(128, (3 * 1024 * 1024)
+                                   // denom // 128 * 128))
+    bn = min(bn, n)
+    assert n % bn == 0, (n, bn)
+
+    grid = (n // bn, k // bk)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"))
+    g_total = k // GROUP_SIZE
+    out = pl.pallas_call(
+        functools.partial(_kernel_gx2, m=m, bn=bn, bk=bk, k=k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, k), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // GROUP_SIZE, bn), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((g_total * m, k), jnp.int8),
+                        pltpu.VMEM((g_total * m, 1), jnp.float32)],
+        interpret=interpret,
+        **kwargs,
+    )(a_rot.astype(jnp.float32), qs, eff)
+    return out

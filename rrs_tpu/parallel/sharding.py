@@ -66,6 +66,7 @@ def _linear_spec(col: bool) -> object:
             qs=ws, eff=ws,
             gather=None if q.gather is None else P("tp"),
             bias=None if q.bias is None else (P("tp") if col else P(None)),
+            i8p=None if q.i8p is None else (ws, ws, ws),
         )
 
     def q8(q: Q8Linear):
@@ -124,6 +125,7 @@ def _replicated_linear(lin):
         qs=rep, eff=rep,
         gather=None if lin.gather is None else P(None),
         bias=None if lin.bias is None else P(None),
+        i8p=None if lin.i8p is None else (rep, rep, rep),
     )
 
 

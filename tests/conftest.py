@@ -11,6 +11,10 @@ import os
 # Must be set before jax initializes its backends. FORCE cpu: the ambient
 # environment may point JAX_PLATFORMS at a real TPU (axon tunnel).
 os.environ["JAX_PLATFORMS"] = "cpu"
+# i8p prefill packs triple every TCQ4 layer's pytree leaves — on the CPU
+# suite that inflates every jit compile (~3x suite time measured) for a
+# path exercised by its dedicated tests. Production default stays ON.
+os.environ.setdefault("RRS_PREFILL_I8", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -341,3 +341,40 @@ def test_pack_i8p_roundtrip_codes():
     rec = (np.asarray(f8, np.float32).reshape(-1, 8, N) / 127.0
            * (np.asarray(e2)[:, None, :] * 127.0 / 8.0))
     np.testing.assert_allclose(rec, e3, atol=np.abs(e3).max() / 120)
+
+
+def test_i8p_routed_prefill_matches_dequant_route(monkeypatch):
+    """With RRS_PREFILL_I8=1, TCQ4Linear carries the sbi pack and
+    linear_apply routes prefill-sized M through tcq4_matmul_i8p
+    (interpret-safe check via the route function directly)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("RRS_PREFILL_I8", "1")
+    from rrs_tpu.formats.tcq4 import quantize_tcq4, TCQ4Tensor
+    from rrs_tpu.models.linear import TCQ4Linear
+
+    rng = np.random.default_rng(5)
+    w = (rng.standard_normal((256, 512)) * 0.05).astype(np.float32)
+    t = quantize_tcq4(w, use_native=False)
+    lin = TCQ4Linear.from_tensor(t)
+    assert lin.i8p is not None and len(lin.i8p) == 3
+    qs_sbi, f8, e2 = lin.i8p
+    assert qs_sbi.shape == lin.qs.shape
+    assert f8.shape == (512 // 32, 256) and e2.shape == (512 // 256, 256)
+
+    from rrs_tpu.ops.tcq4_matmul import (prep_a_sbi, tcq4_matmul,
+                                         tcq4_matmul_i8p)
+    from rrs_tpu.formats.tcq4 import quantize_activations_rrs
+
+    rot = jnp.asarray(rng.standard_normal((16, 512)).astype(np.float32))
+    a_q, a_s = quantize_activations_rrs(rot)
+    eff32 = lin.eff.astype(jnp.float32)
+    ref = np.asarray(tcq4_matmul(
+        jnp.asarray(a_q, jnp.float32)
+        * jnp.repeat(jnp.asarray(a_s), 256, 1) / 7.0,
+        lin.qs, eff32, interpret=True))
+    got = np.asarray(tcq4_matmul_i8p(prep_a_sbi(a_q), a_s, qs_sbi, f8,
+                                     e2.astype(jnp.float32),
+                                     interpret=True))
+    assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.999
