@@ -665,7 +665,12 @@ def tcq4_matmul_experts_rows(
     n_exp, k2, n = qs_all.shape
     assert k2 * 2 == k, (a.shape, qs_all.shape)
     if bn == 0:
-        bn = _pick_bn(n, limit=max(128, (3 * 1024 * 1024) // k2 // 128 * 128))
+        # bn<=256: more grid steps give Mosaic pipelining room around the
+        # data-dependent (scalar-prefetch) weight blocks — at the
+        # qwen3moe decode geometry (E=128, K=2048, N=768, topk=4) bn=256
+        # measured 184.6 us vs 328.9 at whole-N blocks
+        # (benchmarks/probe_moe_rows.py round 5)
+        bn = _pick_bn(n, limit=256)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_sel, n // bn),
