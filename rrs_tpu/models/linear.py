@@ -343,7 +343,8 @@ GROUP_SIZE_ = 32
 
 
 @jax.custom_vjp
-def _tcq4_apply(x2: jnp.ndarray, qs: jnp.ndarray, eff: jnp.ndarray):
+def _tcq4_apply(x2: jnp.ndarray, qs: jnp.ndarray, eff: jnp.ndarray,
+                i8p=None):
     """Full W4A4 pipeline (rotate -> quantize -> matmul) with a
     straight-through backward: the quantizers are treated as identity and
     dL/dx = rotate(g @ W_deq^T) (H is symmetric + self-inverse). Training
@@ -356,7 +357,7 @@ def _tcq4_apply(x2: jnp.ndarray, qs: jnp.ndarray, eff: jnp.ndarray):
     int8 group-dot kernel. XLA-side rotation + ONE dot per superblock wins.
     """
     rot = rotate_activations(x2, None)
-    return _tcq4_matmul_route_rot(rot, qs, eff)
+    return _tcq4_matmul_route_rot(rot, qs, eff, i8p=i8p)
 
 
 def _tcq4_matmul_route_rot(rot, qs, eff, i8p=None):
@@ -391,9 +392,10 @@ def _tcq4_matmul_route(a_q, a_s, qs, eff):
     return tcq4_mm.tcq4_matmul(a, qs, eff, interpret=_auto_interpret())
 
 
-def _tcq4_apply_fwd(x2, qs, eff):
+def _tcq4_apply_fwd(x2, qs, eff, i8p=None):
     # dtype token: residuals must be jax types, so carry an empty array
-    return _tcq4_apply(x2, qs, eff), (qs, eff, jnp.zeros((0,), x2.dtype))
+    return _tcq4_apply(x2, qs, eff, i8p), (qs, eff,
+                                           jnp.zeros((0,), x2.dtype))
 
 
 def _tcq4_apply_bwd(res, g):
@@ -402,7 +404,7 @@ def _tcq4_apply_bwd(res, g):
     w = dequantize_w_jnp(qs, eff)                       # [K, N]
     gr = jnp.dot(g.astype(jnp.float32), w.T)            # rotated-domain grad
     gx = rotate_activations(gr, None)                   # H^T = H, H H = I
-    return gx.astype(x_dtype), None, None
+    return gx.astype(x_dtype), None, None, None
 
 
 _tcq4_apply.defvjp(_tcq4_apply_fwd, _tcq4_apply_bwd)
@@ -448,7 +450,8 @@ def linear_apply(layer, x: jnp.ndarray, reduce_axis=None) -> jnp.ndarray:
             y = y[:, : layer.n_logical]
     elif isinstance(layer, TCQ4Linear):
         if layer.gather is None:
-            y = _tcq4_apply(x2, layer.qs, layer.eff)   # differentiable (STE)
+            y = _tcq4_apply(x2, layer.qs, layer.eff,
+                            layer.i8p)                 # differentiable (STE)
         else:
             rot = rotate_activations(x2, layer.gather)
             y = _tcq4_matmul_route_rot(rot, layer.qs, layer.eff,
