@@ -57,6 +57,12 @@ def build_corpus(max_bytes: int = 12 << 20) -> bytes:
 
 
 def main():
+    import os
+
+    # quality evals run the EXACT quantized-matmul path: the i8p prefill
+    # pack trades ~0.3% weight-requant error for speed (fine for serving,
+    # not for a PPL artifact that claims format-level deltas)
+    os.environ.setdefault("RRS_PREFILL_I8", "0")
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=8)
     ap.add_argument("--embd", type=int, default=512)
