@@ -12,6 +12,7 @@ Commands mirror the reference tool binaries:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -244,6 +245,9 @@ def main(argv=None):
     if args.cmd == "generate":
         cmd_generate(args)
     elif args.cmd == "perplexity":
+        # quality evals use the EXACT quantized-matmul path (the i8p
+        # prefill pack trades ~0.3% weight-requant error for speed)
+        os.environ.setdefault("RRS_PREFILL_I8", "0")
         cmd_perplexity(args)
     elif args.cmd == "quantize":
         cmd_quantize(args)
