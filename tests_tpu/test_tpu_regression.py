@@ -158,8 +158,10 @@ def test_moe_expert_rows_streams_only_selected_experts():
     blocks are DMA-latency-bound, not bandwidth-bound — the byte-ratio
     "8x fewer bytes => 3x faster" premise of the round-4 threshold was
     wrong at these shapes); with bn=256 blocks rows measures 184.6 vs
-    dense 414.0 us (2.24x). Gate at 1.7x to catch regressions without
-    flaking on the ~15% relay scatter."""
+    dense 414.0-432.1 us (1.85-2.24x across runs). Gate at 1.4x: the
+    ratio scatters ~20% between isolated and in-suite runs (relay
+    wall-clock pollution, CLAUDE.md), and 1.4 still catches a rows
+    kernel that loses its selected-expert streaming advantage."""
     from rrs_tpu.ops.tcq4_matmul import (tcq4_matmul_all_experts,
                                          tcq4_matmul_experts_rows)
 
@@ -182,4 +184,4 @@ def test_moe_expert_rows_streams_only_selected_experts():
     steps = jnp.arange(128, dtype=jnp.int32)
     t_rows = _scan_time(rows, steps)
     t_dense = _scan_time(dense, steps)
-    assert t_rows * 1.7 <= t_dense, (t_rows, t_dense)
+    assert t_rows * 1.4 <= t_dense, (t_rows, t_dense)
