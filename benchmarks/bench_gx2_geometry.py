@@ -17,7 +17,7 @@ sys.path.insert(0, "/root/repo")
 
 from rrs_tpu.ops import tcq4_matmul as mm
 
-M = 8
+M = 1
 
 
 def log(*a):
@@ -57,8 +57,8 @@ def main():
         rot = jax.random.normal(jax.random.PRNGKey(1), (NV, M, k),
                                 jnp.float32)
         row = {}
-        bks = ([512, 1024, 2432] if k > 4096 else
-               [640, 1280, 2560] if k == 2560 else [512, 1024, 2048, 4096])
+        bks = ([512, 1024] if k > 4096 else
+               [1280, 2560] if k == 2560 else [512, 1024, 2048, 4096])
         for bk in bks:
             if k % bk:
                 continue
