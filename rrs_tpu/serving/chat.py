@@ -263,6 +263,10 @@ def detect_tool_format(template: str) -> str:
         return "kimi-k2"                # chat.cpp:1923+ (Kimi-K2)
     if "<parameter=" in t and "<function=" in t:
         return "qwen3-coder"            # chat.cpp:1891 (Qwen3-Coder XML)
+    if "<TOOLCALL>" in t:
+        return "nemotron-v2"            # chat-parser.cpp:1261
+    if "<tool_calls>" in t and "<tool_call>" not in t:
+        return "apriel-1.5"             # chat-parser.cpp:932
     if "<|tool_call|>" in t:
         return "granite"                # chat.cpp:2533 (Granite 3.x)
     if "<tool_call>" in t or "<|im_start|>" in t:
@@ -341,6 +345,10 @@ _KIMI_SECTION_RE = re.compile(
     r"(?:<\|tool_calls_section_end\|>|$)", re.S)
 # granite (chat-parser.cpp:1214): <|tool_call|>[{"name":..,"arguments":..}]
 _GRANITE_RE = re.compile(r"<\|tool_call\|>\s*(\[.*?\])\s*(?:$|<)", re.S)
+# nemotron-v2 (chat-parser.cpp:1261): <TOOLCALL>[json array]</TOOLCALL>
+_NEMOTRON_RE = re.compile(r"<TOOLCALL>\s*(\[.*?\])\s*</TOOLCALL>", re.S)
+# apriel-1.5 (chat-parser.cpp:932): <tool_calls>[{"name":..}]</tool_calls>
+_APRIEL_RE = re.compile(r"<tool_calls>\s*(\[.*?\])\s*</tool_calls>", re.S)
 _RESPONSE_RE = re.compile(r"<response>\s*(.*?)\s*</response>", re.S)
 
 
@@ -397,6 +405,18 @@ def parse_tool_calls(text: str, fmt: str = "auto"):
             and "<parameter=" in text and "<tool_call>" in text:
         _parse_xml_function_calls(_Q3C_BLOCK_RE.findall(text), calls)
         content = _Q3C_BLOCK_RE.sub("", text).strip()
+    elif fmt in ("auto", "nemotron-v2") and "<TOOLCALL>" in text:
+        for blob in _NEMOTRON_RE.findall(text):
+            arr = _parse_json_maybe(blob)
+            if isinstance(arr, list):
+                add_objs(arr)
+        content = _NEMOTRON_RE.sub("", text).strip()
+    elif fmt in ("auto", "apriel-1.5") and "<tool_calls>" in text:
+        for blob in _APRIEL_RE.findall(text):
+            arr = _parse_json_maybe(blob)
+            if isinstance(arr, list):
+                add_objs(arr)
+        content = _APRIEL_RE.sub("", text).strip()
     elif fmt in ("auto", "granite") and "<|tool_call|>" in text:
         for blob in _GRANITE_RE.findall(text):
             arr = _parse_json_maybe(blob)

@@ -174,3 +174,24 @@ def test_detect_new_dialects():
 def test_extract_reasoning_seed_think():
     r, c = extract_reasoning("<seed:think>why</seed:think>done")
     assert r == "why" and c == "done"
+
+
+def test_parse_tool_calls_nemotron_v2():
+    text = ('<think>hm</think>ok '
+            '<TOOLCALL>[{"name": "mul", "arguments": {"a": 6, "b": 7}}]'
+            "</TOOLCALL>")
+    r, body = extract_reasoning(text)
+    assert r == "hm"
+    content, calls = parse_tool_calls(body, "nemotron-v2")
+    assert content == "ok"
+    assert calls[0]["function"]["name"] == "mul"
+    assert json.loads(calls[0]["function"]["arguments"]) == {"a": 6, "b": 7}
+    _, auto_calls = parse_tool_calls(body)
+    assert len(auto_calls) == 1
+
+
+def test_parse_tool_calls_apriel():
+    text = ('<tool_calls>[{"name": "ls", "arguments": {"path": "/"}}]'
+            "</tool_calls>")
+    content, calls = parse_tool_calls(text, "apriel-1.5")
+    assert content == "" and calls[0]["function"]["name"] == "ls"
