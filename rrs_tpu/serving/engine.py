@@ -27,10 +27,14 @@ from rrs_tpu.runtime.context import InferenceContext
 from rrs_tpu.runtime.sampler import SamplerParams, sample
 
 # Token-DFA compilation (runtime/grammar.py TokenDFA): grammars whose PDA
-# state space closes within the state budget are compiled ONCE (off the
-# engine thread — a state's trie walk takes seconds at 151k pieces) and
-# then enforced INSIDE the device decode scan: zero violations, chaining
-# stays on, constrained decoding at the plain fast-path rate. Keyed by
+# state space closes within the state budget are compiled ONCE and then
+# enforced INSIDE the device decode scan: zero violations, chaining stays
+# on, constrained decoding at the plain fast-path rate (measured 207.1 vs
+# 207.7 unconstrained). The compile runs in a SEPARATE PROCESS: seconds
+# of pure-Python trie walking on a sibling thread thrashes the GIL both
+# ways (engine 36 -> 1.0 tok/s AND the walk itself 8 s -> ~250 s,
+# measured round 5); a spawn-context process has its own GIL and
+# grammar.py is jax-free so the child never touches the TPU. Keyed by
 # (gbnf, vocab size); None records a failed/oversized compile so it is
 # not retried.
 _DFA_CACHE: dict = {}
@@ -38,25 +42,78 @@ _DFA_PENDING: set = set()
 _DFA_LOCK = threading.Lock()
 
 
+def _dfa_worker(gbnf, pieces, eog_ids, out_path):
+    """Child-process entry: rebuild grammar + trie locally (cheaper than
+    pickling the 151k-node trie in), compile, pickle the TokenDFA out.
+    Imports only jax-free modules — the axon jax hook never fires."""
+    import pickle
+
+    from rrs_tpu.runtime.grammar import (Grammar, build_token_trie,
+                                         compile_token_dfa)
+
+    try:
+        g = Grammar(gbnf)
+        trie = build_token_trie(pieces)
+        dfa = compile_token_dfa(g, pieces, trie, eog_ids=eog_ids)
+    except Exception:                                         # noqa: BLE001
+        dfa = None
+    with open(out_path, "wb") as f:
+        pickle.dump(dfa, f)
+
+
 def _dfa_compile_async(key, grammar, pieces, trie, eog_ids):
+    gbnf = getattr(grammar, "gbnf", "")
+    if not gbnf:
+        return                      # process rebuild needs the source text
     with _DFA_LOCK:
         if key in _DFA_CACHE or key in _DFA_PENDING:
             return
         _DFA_PENDING.add(key)
-    g0 = grammar.copy()
 
     def work():
-        from rrs_tpu.runtime.grammar import compile_token_dfa
+        import multiprocessing as mp
+        import pickle
+        import tempfile
 
+        dfa = None
         try:
-            dfa = compile_token_dfa(g0, pieces, trie, eog_ids=eog_ids)
+            fd, path = tempfile.mkstemp(prefix="rrs_dfa_", suffix=".pkl")
+            os_close_silent(fd)
+            ctx = mp.get_context("spawn")
+            proc = ctx.Process(target=_dfa_worker,
+                               args=(gbnf, list(pieces), tuple(eog_ids),
+                                     path),
+                               daemon=True)
+            proc.start()
+            proc.join(timeout=600)
+            if proc.is_alive():
+                proc.terminate()
+            else:
+                with open(path, "rb") as f:
+                    dfa = pickle.load(f)
         except Exception:                                     # noqa: BLE001
             dfa = None
+        finally:
+            try:
+                import os as _os
+
+                _os.unlink(path)
+            except OSError:
+                pass
         with _DFA_LOCK:
             _DFA_CACHE[key] = dfa
             _DFA_PENDING.discard(key)
 
     threading.Thread(target=work, daemon=True).start()
+
+
+def os_close_silent(fd):
+    import os as _os
+
+    try:
+        _os.close(fd)
+    except OSError:
+        pass
 
 
 class SlotState(enum.Enum):
