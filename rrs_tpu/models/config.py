@@ -72,6 +72,8 @@ class ModelConfig:
     final_softcap: float = 0.0       # final logit softcapping (gemma2)
     attn_scale: float = 0.0          # 0 => 1/sqrt(head_dim) (f_attention_scale)
     embd_scale: float = 1.0          # gemma: sqrt(n_embd) on token embeddings
+    residual_scale: float = 1.0      # granite/minicpm f_residual_scale
+    logits_divisor: float = 1.0      # granite f_logit_scale (logits /= it)
     sandwich_norm: bool = False      # gemma2/3 post-attn + post-ffn norms
     ffn_act: str = "silu"            # "silu" | "gelu"
     rope_rot_dim: int = 0            # partial rotary (phi3); 0 => head_dim
@@ -212,6 +214,30 @@ class ModelConfig:
             sect = md.get(f"{arch}.rope.dimension_sections")
             if sect is not None:
                 extra.update(rope_sections=tuple(int(s) for s in sect))
+        elif arch == "granite":
+            # LLM_ARCH_GRANITE (llama-model.cpp:776-778 + models/granite.cpp):
+            # llama body with four scale hparams — embeddings x
+            # embedding_scale, attn/ffn outputs x residual_scale, kq scale
+            # = attention.scale, logits / logit_scale
+            extra.update(
+                embd_scale=float(key("embedding_scale", 1.0) or 1.0),
+                residual_scale=float(key("residual_scale", 1.0) or 1.0),
+                logits_divisor=float(key("logit_scale", 1.0) or 1.0),
+                attn_scale=float(key("attention.scale", 0.0) or 0.0),
+            )
+        elif arch == "minicpm":
+            # LLM_ARCH_MINICPM (llama-model.cpp:766-780): granite's scale
+            # set with backward-compatible defaults for older GGUFs
+            import math as _math
+
+            extra.update(
+                embd_scale=float(key("embedding_scale", 12.0) or 12.0),
+                residual_scale=float(key("residual_scale",
+                                         1.4 / _math.sqrt(n_layers))
+                                     or (1.4 / _math.sqrt(n_layers))),
+                logits_divisor=float(key("logit_scale", 256.0 / n_embd)
+                                     or (256.0 / n_embd)),
+            )
         elif arch in ("mistral", "llama", "phi3", "qwen2", "qwen3",
                       "qwen2moe", "qwen3moe"):
             # generic sliding window: all layers SWA when the KV is present
@@ -301,7 +327,7 @@ class ModelConfig:
             rope_orig_context=int(key("rope.scaling.original_context_length", 0) or 0),
             # llama arch weights are pre-permuted by convert_hf_to_gguf for
             # interleaved (NORM) rope; qwen/neox-style archs use split-half.
-            rope_neox=arch not in ("llama",),
+            rope_neox=arch not in ("llama", "granite"),
             qk_norm=arch in ("qwen3", "qwen3moe", "gemma3"),
             attn_bias=arch in ("qwen2", "qwen2vl", "qwen2moe", "gpt-oss"),
             tie_embeddings=bool(md.get(f"{arch}.tie_word_embeddings", False)),

@@ -485,11 +485,15 @@ def forward(
         new_v.append(vc)
         if lw.attn_post_norm is not None:
             attn_out = rms_norm(attn_out, lw.attn_post_norm, cfg.rms_eps)
+        if cfg.residual_scale != 1.0:      # granite/minicpm f_residual_scale
+            attn_out = attn_out * cfg.residual_scale
         x = x + attn_out
         h = rms_norm(x, lw.ffn_norm, cfg.rms_eps)
         f = ffn(cfg, lw, h, cap=cap, li=li)
         if lw.ffn_post_norm is not None:
             f = rms_norm(f, lw.ffn_post_norm, cfg.rms_eps)
+        if cfg.residual_scale != 1.0:
+            f = f * cfg.residual_scale
         x = x + f
         if control_vector is not None:
             x = control_vector.apply(x, li)
@@ -504,6 +508,8 @@ def forward(
     x = rms_norm(x, w.final_norm, cfg.rms_eps)
     logits = linear_apply(w.lm_head, x)
     logits = logits.astype(jnp.float32)
+    if cfg.logits_divisor != 1.0:          # granite f_logit_scale
+        logits = logits / cfg.logits_divisor
     if cfg.final_softcap > 0:
         # final logit soft-capping (gemma2; llama-model.cpp GEMMA2 graph)
         logits = jnp.tanh(logits / cfg.final_softcap) * cfg.final_softcap

@@ -66,6 +66,7 @@ def _permute_rope(w: np.ndarray, n_head: int) -> np.ndarray:
 _ARCH_MAP = {
     "LlamaForCausalLM": "llama",
     "MistralForCausalLM": "llama",
+    "GraniteForCausalLM": "granite",
     "Qwen2ForCausalLM": "qwen2",
     "Qwen3ForCausalLM": "qwen3",
     "Qwen2MoeForCausalLM": "qwen2moe",
@@ -286,6 +287,16 @@ def convert_hf_to_gguf(model_dir: str | Path, out_path: str | Path,
                           cfg.get("attn_logit_softcapping", 50.0))
             w.add_float32(f"{a}.final_logit_softcapping",
                           cfg.get("final_logit_softcapping", 30.0))
+        if a == "granite":
+            # GraniteConfig multipliers (llama-arch.cpp KV names)
+            w.add_float32(f"{a}.embedding_scale",
+                          float(cfg.get("embedding_multiplier", 1.0)))
+            w.add_float32(f"{a}.residual_scale",
+                          float(cfg.get("residual_multiplier", 1.0)))
+            w.add_float32(f"{a}.logit_scale",
+                          float(cfg.get("logits_scaling", 1.0)))
+            w.add_float32(f"{a}.attention.scale",
+                          float(cfg.get("attention_multiplier", 0.0)))
         if a == "qwen2vl":
             # M-RoPE sections (Qwen2VLModel.set_gguf_parameters in the
             # reference converter: rope_scaling.mrope_section padded to 4)
@@ -478,7 +489,7 @@ def convert_hf_to_gguf(model_dir: str | Path, out_path: str | Path,
         put_norm(gp + "attn_norm.weight", sd[hp + "input_layernorm.weight"])
         wq = sd[hp + "self_attn.q_proj.weight"]
         wk = sd[hp + "self_attn.k_proj.weight"]
-        if a == "llama":
+        if a in ("llama", "granite"):
             wq = _permute_rope(wq, n_heads)
             wk = _permute_rope(wk, n_kv)
         put(gp + "attn_q.weight", wq)

@@ -102,3 +102,54 @@ def test_longrope_freq_factors():
     same = apply_rope(x, pos, p1, freq_factors=jnp.ones((d // 2,)))
     np.testing.assert_allclose(np.asarray(same),
                                np.asarray(apply_rope(x, pos, p1)), rtol=1e-6)
+
+
+def test_granite_logits_parity(tmp_path):
+    """LLM_ARCH_GRANITE (llama-model.cpp:776-778 + models/granite.cpp):
+    llama body with embedding/residual/attention/logit multipliers — HF
+    GraniteForCausalLM logit parity through the converter+loader."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from rrs_tpu.models.loader import load_model
+    from rrs_tpu.runtime.context import InferenceContext
+    from rrs_tpu.tools.convert_hf import convert_hf_to_gguf
+
+    cfg = transformers.GraniteConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-6,
+        embedding_multiplier=6.0, residual_multiplier=0.22,
+        attention_multiplier=0.015625, logits_scaling=4.0,
+        tie_word_embeddings=False)
+    torch.manual_seed(0)
+    model = transformers.GraniteForCausalLM(cfg)
+    model.eval()
+    d = tmp_path / "hf"
+    model.save_pretrained(str(d), safe_serialization=True)
+    cfg.save_pretrained(str(d))
+
+    out = convert_hf_to_gguf(d, tmp_path / "m.gguf")
+    mcfg, weights, md = load_model(out, dtype=np.float32, fuse=False)
+    assert mcfg.arch == "granite"
+    assert abs(mcfg.embd_scale - 6.0) < 1e-6
+    assert abs(mcfg.residual_scale - 0.22) < 1e-6
+    assert abs(mcfg.logits_divisor - 4.0) < 1e-6
+    assert abs(mcfg.attn_scale - 0.015625) < 1e-9
+
+    toks = [3, 17, 42, 99, 7]
+    with torch.no_grad():
+        hf = model(torch.tensor([toks])).logits[0].float().numpy()
+
+    import jax.numpy as jnp
+
+    ctx = InferenceContext(mcfg, weights, n_lanes=1, max_seq=32,
+                           kv_dtype=jnp.float32)
+    seq = ctx.new_sequence()
+    got = ctx.prefill(seq, toks)
+    assert got.shape == hf.shape
+    np.testing.assert_allclose(got - got.max(-1, keepdims=True),
+                               hf - hf.max(-1, keepdims=True),
+                               atol=2e-2, rtol=0.05)
