@@ -189,7 +189,8 @@ def quantize_tcq4(
     (_tcq4_search_encode) and keeps whichever of {search, reference RTN
     formula} has the lower end-to-end error per tile — output bytes stay
     bit-compatible with the reference decoder either way (measured on the
-    trained-model PPL pipeline: ~35% lower quantization dNLL).
+    trained-model PPL pipeline: 30% lower quantization dNLL, 0.0158
+    vs 0.0227 nats/byte).
 
     When the native lib is available the C++ path is used (f32 FWHT — the
     same precision as the reference's ggml_fwht_impl; the NumPy fallback
