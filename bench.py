@@ -91,11 +91,19 @@ def main():
     log(f"compile+warmup ({N_STEPS} steps) in {time.time() - t0:.1f}s")
 
     times = []
-    for rep in range(N_REPS):
+    for rep in range(N_REPS + 1):
         t0 = time.time()
         toks, last, _, _ = scan(weights, last, pos0 + rep, k_caches, v_caches)
         _ = int(np.asarray(toks).sum())   # early under relayed transports
         dt = time.time() - t0
+        if rep == 0:
+            # rep 0 regularly reads 10-15% slow even after the compile
+            # warmup (relay/device cold state; observed 190 vs 220-227
+            # steady across round-5 runs) — report it but keep the
+            # median over the steady reps
+            log(f"rep 0 (warm-in, excluded): {N_STEPS} steps in {dt:.3f}s "
+                f"-> {N_STEPS / dt:.1f} tok/s")
+            continue
         times.append(dt)
         log(f"rep {rep}: {N_STEPS} steps in {dt:.3f}s "
             f"-> {N_STEPS / dt:.1f} tok/s ({dt / N_STEPS * 1e3:.2f} ms/step)")
