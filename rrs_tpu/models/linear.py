@@ -342,6 +342,22 @@ def dequantize_w_jnp(qs: jnp.ndarray, eff: jnp.ndarray) -> jnp.ndarray:
 GROUP_SIZE_ = 32
 
 
+_HAD_DEV = None
+
+
+def _had_dev():
+    global _HAD_DEV
+    if _HAD_DEV is None:
+        _HAD_DEV = jnp.asarray(hadamard_matrix(RRS_BLOCK), jnp.float32)
+    return _HAD_DEV
+
+
+def _gx3_on() -> bool:
+    import os
+
+    return os.environ.get("RRS_GX3", "0") != "0"
+
+
 @jax.custom_vjp
 def _tcq4_apply(x2: jnp.ndarray, qs: jnp.ndarray, eff: jnp.ndarray,
                 i8p=None):
@@ -356,6 +372,12 @@ def _tcq4_apply(x2: jnp.ndarray, qs: jnp.ndarray, eff: jnp.ndarray,
     weight dot per superblock stalls the pipeline, same signature as the
     int8 group-dot kernel. XLA-side rotation + ONE dot per superblock wins.
     """
+    if (_gx3_on() and not _auto_interpret()
+            and tcq4_mm.gx_viable(x2.shape[0], x2.shape[1], qs.shape[1])):
+        # gx3: rotation + quantization fused into the kernel prologue
+        # (RRS_GX3 flag; exact vs rotate+gx2 at HIGHEST precision)
+        return tcq4_mm.tcq4_matmul_gx3(x2.astype(jnp.float32), _had_dev(),
+                                       qs, eff)
     rot = rotate_activations(x2, None)
     return _tcq4_matmul_route_rot(rot, qs, eff, i8p=i8p)
 

@@ -1310,3 +1310,132 @@ def tcq4_matmul_gx2(
         **kwargs,
     )(a_rot.astype(jnp.float32), qs, eff)
     return out
+
+
+# ---------------------------------------------------------------------------
+# gx3 (round 5): gx2 + the FWHT ROTATION folded into the prologue too —
+# per-256-block Hadamard dots run ONCE per call in the (0,0) grid step
+# (NOT per weight block: interleaving the rotation with the weight dots
+# per superblock was the round-2 10x tcq4_matmul_fused pathology). This
+# removes the XLA-side rotation matmul + its fusion glue from every
+# decode linear with no channel perm. In-kernel dots run f32 (slightly
+# MORE precise than the XLA path's bf16x3 "high").
+# ---------------------------------------------------------------------------
+
+
+def _kernel_gx3(x_ref, had_ref, qs_ref, eff_ref, out_ref, aexp_ref,
+                s_ref, q_ref, *, m, bn, bk, k):
+    g_chunk = bk // GROUP_SIZE
+    g_total = k // GROUP_SIZE
+    rows = g_total * m
+    nsb_total = k // TILE_K
+    kc = pl.program_id(1)
+
+    @pl.when((pl.program_id(0) == 0) & (kc == 0))
+    def _():
+        x = x_ref[...].astype(jnp.float32)                  # [m, k] UNrotated
+        had = had_ref[...]                                  # [256, 256] f32
+        for sb in range(nsb_total):
+            rot = jax.lax.dot_general(
+                x[:, sb * TILE_K:(sb + 1) * TILE_K], had,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [m, 256]
+            am = jnp.max(jnp.abs(rot), axis=1, keepdims=True)
+            am = jnp.where(am < _SCALE_EPS, 1.0, am)
+            q_ref[:, sb * TILE_K:(sb + 1) * TILE_K] = jnp.clip(
+                jnp.rint(rot * (7.0 / am)), -7, 7).astype(jnp.int32)
+            # rows r = g*m + mm for this superblock's 8 groups all carry
+            # lane mm's scale am[mm]/7
+            s_ref[pl.ds(sb * 8 * m, 8 * m), :] = jnp.broadcast_to(
+                (am * (1.0 / 7.0))[None, :, 0], (8, m)).reshape(8 * m, 1)
+        q = q_ref[...]
+        k_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 1)
+        r_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 0)
+        mask = (k_idx // GROUP_SIZE) == (r_idx // m)
+        if m == 1:
+            a_rows = jnp.broadcast_to(q, (rows, k))
+        else:
+            a_rows = pltpu.repeat(q, g_total, axis=0)
+        aexp_ref[...] = jnp.where(mask, a_rows, 0).astype(jnp.int8)
+
+    nsb = bk // TILE_K
+    q32 = qs_ref[...].astype(jnp.int32).reshape(nsb, TILE_K // 2, bn)
+    w_q = jnp.concatenate([(q32 << 28) >> 28, (q32 << 24) >> 28],
+                          axis=1).reshape(bk, bn).astype(jnp.int8)
+    a_chunk = aexp_ref[pl.ds(kc * g_chunk * m, g_chunk * m),
+                       pl.ds(kc * bk, bk)]
+    p = jax.lax.dot_general(
+        a_chunk, w_q,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    e = eff_ref[...].astype(jnp.float32)
+    s = s_ref[pl.ds(kc * g_chunk * m, g_chunk * m), :]
+    pf = p.astype(jnp.float32) * s
+    if m == 1:
+        y = (pf * e).sum(0, keepdims=True)
+    else:
+        y = (pf.reshape(g_chunk, m, bn) * e[:, None, :]).sum(0)
+
+    @pl.when(kc == 0)
+    def _():
+        out_ref[...] = jnp.zeros((m, bn), jnp.float32)
+
+    out_ref[...] += y
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "bk", "interpret"))
+def tcq4_matmul_gx3(
+    x: jnp.ndarray,         # f32 [M, K] UNROTATED activations (no perm)
+    had: jnp.ndarray,       # f32 [256, 256] normalized Hadamard
+    qs: jnp.ndarray,        # uint8 [K//2, N]
+    eff: jnp.ndarray,       # [K//32, N]
+    *,
+    bn: int = 0,
+    bk: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Integer-exact decode path with rotation AND quantization fused:
+    C = quant(fwht(x)) @ dequant(w). f32 [M, N]."""
+    m, k = x.shape
+    n = qs.shape[1]
+    assert k % TILE_K == 0 and qs.shape[0] == k // 2, (x.shape, qs.shape)
+    assert gx_viable(m, k), (m, k)
+    if bk == 0:
+        bk = _pick_bk_gx(k)
+    assert k % bk == 0 and bk % TILE_K == 0, (k, bk)
+    if bn == 0:
+        denom = (bk if k > 4096 else k) // 2
+        bn = _pick_bn(n, limit=max(128, (3 * 1024 * 1024)
+                                   // denom // 128 * 128))
+    bn = min(bn, n)
+    assert n % bn == 0, (n, bn)
+
+    grid = (n // bn, k // bk)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"))
+    g_total = k // GROUP_SIZE
+    out = pl.pallas_call(
+        functools.partial(_kernel_gx3, m=m, bn=bn, bk=bk, k=k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, k), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_K, TILE_K), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // GROUP_SIZE, bn), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((g_total * m, k), jnp.int8),
+                        pltpu.VMEM((g_total * m, 1), jnp.float32),
+                        pltpu.VMEM((m, k), jnp.int32)],
+        interpret=interpret,
+        **kwargs,
+    )(x.astype(jnp.float32), had, qs, eff)
+    return out
