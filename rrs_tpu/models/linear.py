@@ -342,14 +342,16 @@ def dequantize_w_jnp(qs: jnp.ndarray, eff: jnp.ndarray) -> jnp.ndarray:
 GROUP_SIZE_ = 32
 
 
-_HAD_DEV = None
+_HAD_NP = None
 
 
 def _had_dev():
-    global _HAD_DEV
-    if _HAD_DEV is None:
-        _HAD_DEV = jnp.asarray(hadamard_matrix(RRS_BLOCK), jnp.float32)
-    return _HAD_DEV
+    # cache NUMPY (a device/tracer cached under a custom_vjp trace leaks);
+    # jnp.asarray at use site folds to a jit constant
+    global _HAD_NP
+    if _HAD_NP is None:
+        _HAD_NP = hadamard_matrix(RRS_BLOCK).astype(np.float32)
+    return jnp.asarray(_HAD_NP)
 
 
 def _gx3_on() -> bool:

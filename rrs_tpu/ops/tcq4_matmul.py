@@ -1320,6 +1320,12 @@ def tcq4_matmul_gx2(
 # removes the XLA-side rotation matmul + its fusion glue from every
 # decode linear with no channel perm. In-kernel dots run f32 (slightly
 # MORE precise than the XLA path's bf16x3 "high").
+#
+# MEASURED NEGATIVE (whole-model A/B, RRS_GX3=1 bench.py): 4.50 vs 4.37
+# ms/step — the serialized prologue dots + int32 q-scratch traffic cost
+# more than the removed XLA glue (~51 us of rotation fusions). Kept
+# behind the RRS_GX3 flag (default off) as the documented experiment;
+# exact vs rotate(HIGHEST)+gx2 in tests.
 # ---------------------------------------------------------------------------
 
 
@@ -1345,9 +1351,10 @@ def _kernel_gx3(x_ref, had_ref, qs_ref, eff_ref, out_ref, aexp_ref,
             q_ref[:, sb * TILE_K:(sb + 1) * TILE_K] = jnp.clip(
                 jnp.rint(rot * (7.0 / am)), -7, 7).astype(jnp.int32)
             # rows r = g*m + mm for this superblock's 8 groups all carry
-            # lane mm's scale am[mm]/7
-            s_ref[pl.ds(sb * 8 * m, 8 * m), :] = jnp.broadcast_to(
-                (am * (1.0 / 7.0))[None, :, 0], (8, m)).reshape(8 * m, 1)
+            # lane mm's scale am[mm]/7: pltpu.repeat tiles [m,1] 8x so
+            # row j*m + mm = am[mm] (whole-array tiling is exactly right)
+            s_ref[pl.ds(sb * 8 * m, 8 * m), :] = pltpu.repeat(
+                am * (1.0 / 7.0), 8, axis=0)
         q = q_ref[...]
         k_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 1)
         r_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 0)

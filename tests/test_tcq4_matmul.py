@@ -378,3 +378,27 @@ def test_i8p_routed_prefill_matches_dequant_route(monkeypatch):
                                      e2.astype(jnp.float32),
                                      interpret=True))
     assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.999
+
+
+def test_gx3_fused_rotation_matches_gx2():
+    """gx3 (rotation fused in-kernel, RRS_GX3 flag) is exact vs
+    HIGHEST-precision XLA rotation + gx2."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rrs_tpu.formats.fwht import hadamard_matrix
+    from rrs_tpu.models.linear import rotate_activations
+    from rrs_tpu.ops.tcq4_matmul import tcq4_matmul_gx2, tcq4_matmul_gx3
+
+    rng = np.random.default_rng(2)
+    K, N = 512, 256
+    qs = jnp.asarray(rng.integers(0, 256, (K // 2, N), dtype=np.uint8))
+    eff = jnp.asarray((rng.random((K // 32, N)) * 0.02).astype(np.float32))
+    for m in (1, 8):
+        x = jnp.asarray(rng.standard_normal((m, K)).astype(np.float32))
+        rot = rotate_activations(x, None,
+                                 precision=jax.lax.Precision.HIGHEST)
+        want = np.asarray(tcq4_matmul_gx2(rot, qs, eff, interpret=True))
+        had = jnp.asarray(hadamard_matrix(256), jnp.float32)
+        got = np.asarray(tcq4_matmul_gx3(x, had, qs, eff, interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-4)
