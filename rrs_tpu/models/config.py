@@ -74,6 +74,10 @@ class ModelConfig:
     embd_scale: float = 1.0          # gemma: sqrt(n_embd) on token embeddings
     residual_scale: float = 1.0      # granite/minicpm f_residual_scale
     logits_divisor: float = 1.0      # granite f_logit_scale (logits /= it)
+    qk_norm_full: bool = False       # olmo2: RMS over the WHOLE q/k
+                                     # projection (pre-reshape), not per-head
+    post_norm_only: bool = False     # olmo2: no pre-norms; attn/ffn outputs
+                                     # are normed before the residual add
     sandwich_norm: bool = False      # gemma2/3 post-attn + post-ffn norms
     ffn_act: str = "silu"            # "silu" | "gelu"
     rope_rot_dim: int = 0            # partial rotary (phi3); 0 => head_dim
@@ -225,6 +229,12 @@ class ModelConfig:
                 logits_divisor=float(key("logit_scale", 1.0) or 1.0),
                 attn_scale=float(key("attention.scale", 0.0) or 0.0),
             )
+        elif arch == "olmo2":
+            # LLM_ARCH_OLMO2 (models/olmo2.cpp): no pre-norms — attention
+            # and FFN read the raw residual stream and their OUTPUTS are
+            # RMS-normed before the residual add; q/k are normed over the
+            # full projection width before the head reshape; NEOX rope
+            extra.update(qk_norm_full=True, post_norm_only=True)
         elif arch == "minicpm":
             # LLM_ARCH_MINICPM (llama-model.cpp:766-780): granite's scale
             # set with backward-compatible defaults for older GGUFs
@@ -328,7 +338,7 @@ class ModelConfig:
             # llama arch weights are pre-permuted by convert_hf_to_gguf for
             # interleaved (NORM) rope; qwen/neox-style archs use split-half.
             rope_neox=arch not in ("llama", "granite"),
-            qk_norm=arch in ("qwen3", "qwen3moe", "gemma3"),
+            qk_norm=arch in ("qwen3", "qwen3moe", "gemma3", "olmo2"),
             attn_bias=arch in ("qwen2", "qwen2vl", "qwen2moe", "gpt-oss"),
             tie_embeddings=bool(md.get(f"{arch}.tie_word_embeddings", False)),
             n_experts=int(key("expert_count", 0) or 0),

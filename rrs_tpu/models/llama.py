@@ -343,15 +343,23 @@ def attention(
     if lw.wqkv is not None:
         qkv = linear_apply(lw.wqkv, x)
         nq, nkv = cfg.n_q_dim, cfg.n_kv_dim
-        q = qkv[..., :nq].reshape(b, t, cfg.n_heads, d)
-        k = qkv[..., nq : nq + nkv].reshape(b, t, cfg.n_kv_heads, d)
-        v = qkv[..., nq + nkv :].reshape(b, t, cfg.n_kv_heads, d)
+        qf = qkv[..., :nq]
+        kf = qkv[..., nq : nq + nkv]
+        vf = qkv[..., nq + nkv :]
     else:
-        q = linear_apply(lw.wq, x).reshape(b, t, cfg.n_heads, d)
-        k = linear_apply(lw.wk, x).reshape(b, t, cfg.n_kv_heads, d)
-        v = linear_apply(lw.wv, x).reshape(b, t, cfg.n_kv_heads, d)
+        qf = linear_apply(lw.wq, x)
+        kf = linear_apply(lw.wk, x)
+        vf = linear_apply(lw.wv, x)
+    if cfg.qk_norm_full:
+        # olmo2: RMS over the whole projection BEFORE the head reshape
+        # (models/olmo2.cpp:45-51)
+        qf = rms_norm(qf, lw.q_norm, cfg.rms_eps)
+        kf = rms_norm(kf, lw.k_norm, cfg.rms_eps)
+    q = qf.reshape(b, t, cfg.n_heads, d)
+    k = kf.reshape(b, t, cfg.n_kv_heads, d)
+    v = vf.reshape(b, t, cfg.n_kv_heads, d)
 
-    if cfg.qk_norm:
+    if cfg.qk_norm and not cfg.qk_norm_full:
         q = rms_norm(q, lw.q_norm, cfg.rms_eps)
         k = rms_norm(k, lw.k_norm, cfg.rms_eps)
 
@@ -476,7 +484,8 @@ def forward(
     new_k, new_v = [], []
     attn_fn = mla_attention if cfg.is_mla else attention
     for li, lw in enumerate(w.layers):
-        h = rms_norm(x, lw.attn_norm, cfg.rms_eps)
+        h = x if cfg.post_norm_only else rms_norm(x, lw.attn_norm,
+                                                  cfg.rms_eps)
         attn_out, kc, vc = attn_fn(
             cfg, lw, h, positions, k_caches[li], v_caches[li], mask_positions,
             cache_slots, cap=cap, li=li, rope_factors=w.rope_factors,
@@ -488,7 +497,8 @@ def forward(
         if cfg.residual_scale != 1.0:      # granite/minicpm f_residual_scale
             attn_out = attn_out * cfg.residual_scale
         x = x + attn_out
-        h = rms_norm(x, lw.ffn_norm, cfg.rms_eps)
+        h = x if cfg.post_norm_only else rms_norm(x, lw.ffn_norm,
+                                                  cfg.rms_eps)
         f = ffn(cfg, lw, h, cap=cap, li=li)
         if lw.ffn_post_norm is not None:
             f = rms_norm(f, lw.ffn_post_norm, cfg.rms_eps)

@@ -317,14 +317,20 @@ def load_model(path: str | Path, dtype=jnp.bfloat16, fuse: bool = True,
         sandwich = cfg.arch != "gpt-oss"
         if not sandwich and ffn_norm_name not in g.tensors:
             ffn_norm_name = f"{p}.post_attention_norm.weight"
+        # olmo2 ships NO pre-norm tensors (post-norm-only graph,
+        # llama-arch.cpp LLM_ARCH_OLMO2) — unused ones() placeholders
+        # keep the pytree uniform
+        ones_e = jnp.ones((cfg.n_embd,), dtype)
         layers.append(LayerWeights(
-            attn_norm=_norm(g, f"{p}.attn_norm.weight", dtype),
+            attn_norm=(_norm(g, f"{p}.attn_norm.weight", dtype)
+                       if f"{p}.attn_norm.weight" in g.tensors else ones_e),
             wq=wq, wk=wk, wv=wv,
             wo=_linear(g, f"{p}.attn_output.weight", dtype,
                        f"{p}.attn_output.bias"),
             q_norm=_norm(g, f"{p}.attn_q_norm.weight", dtype) if has_qn else None,
             k_norm=_norm(g, f"{p}.attn_k_norm.weight", dtype) if has_qn else None,
-            ffn_norm=_norm(g, ffn_norm_name, dtype),
+            ffn_norm=(_norm(g, ffn_norm_name, dtype)
+                      if ffn_norm_name in g.tensors else ones_e),
             w_gate=w_gate, w_up=w_up,
             w_down=None if is_moe else _linear(g, f"{p}.ffn_down.weight", dtype),
             moe=moe,

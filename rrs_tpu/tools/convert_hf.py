@@ -67,6 +67,7 @@ _ARCH_MAP = {
     "LlamaForCausalLM": "llama",
     "MistralForCausalLM": "llama",
     "GraniteForCausalLM": "granite",
+    "Olmo2ForCausalLM": "olmo2",
     "Qwen2ForCausalLM": "qwen2",
     "Qwen3ForCausalLM": "qwen3",
     "Qwen2MoeForCausalLM": "qwen2moe",
@@ -486,7 +487,9 @@ def convert_hf_to_gguf(model_dir: str | Path, out_path: str | Path,
     for i in range(n_layers):
         hp = f"{pfx}layers.{i}."
         gp = f"blk.{i}."
-        put_norm(gp + "attn_norm.weight", sd[hp + "input_layernorm.weight"])
+        if a != "olmo2":     # olmo2 is post-norm-only (no input_layernorm)
+            put_norm(gp + "attn_norm.weight",
+                     sd[hp + "input_layernorm.weight"])
         wq = sd[hp + "self_attn.q_proj.weight"]
         wk = sd[hp + "self_attn.k_proj.weight"]
         if a in ("llama", "granite"):
@@ -508,6 +511,15 @@ def convert_hf_to_gguf(model_dir: str | Path, out_path: str | Path,
                      sd[hp + "post_attention_layernorm.weight"])
             put_norm(gp + "ffn_norm.weight",
                      sd[hp + "pre_feedforward_layernorm.weight"])
+            put_norm(gp + "post_ffw_norm.weight",
+                     sd[hp + "post_feedforward_layernorm.weight"])
+        elif a == "olmo2":
+            # post_attention_layernorm here is the attn-OUTPUT norm and
+            # post_feedforward_layernorm the FFN-output norm
+            # (llama-arch.cpp LLM_ARCH_OLMO2: ATTN_POST_NORM +
+            # FFN_POST_NORM, no pre-norms)
+            put_norm(gp + "post_attention_norm.weight",
+                     sd[hp + "post_attention_layernorm.weight"])
             put_norm(gp + "post_ffw_norm.weight",
                      sd[hp + "post_feedforward_layernorm.weight"])
         else:

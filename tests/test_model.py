@@ -153,3 +153,50 @@ def test_granite_logits_parity(tmp_path):
     np.testing.assert_allclose(got - got.max(-1, keepdims=True),
                                hf - hf.max(-1, keepdims=True),
                                atol=2e-2, rtol=0.05)
+
+
+def test_olmo2_logits_parity(tmp_path):
+    """LLM_ARCH_OLMO2 (models/olmo2.cpp): post-norm-only graph — raw
+    residual stream feeds attention and FFN, outputs RMS-normed before
+    the residual adds; q/k RMS-normed over the FULL projection width.
+    HF Olmo2ForCausalLM logit parity through converter+loader."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from rrs_tpu.models.loader import load_model
+    from rrs_tpu.runtime.context import InferenceContext
+    from rrs_tpu.tools.convert_hf import convert_hf_to_gguf
+
+    cfg = transformers.Olmo2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-6,
+        tie_word_embeddings=False)
+    torch.manual_seed(0)
+    model = transformers.Olmo2ForCausalLM(cfg)
+    model.eval()
+    d = tmp_path / "hf"
+    model.save_pretrained(str(d), safe_serialization=True)
+    cfg.save_pretrained(str(d))
+
+    out = convert_hf_to_gguf(d, tmp_path / "m.gguf")
+    mcfg, weights, md = load_model(out, dtype=np.float32, fuse=False)
+    assert mcfg.arch == "olmo2"
+    assert mcfg.post_norm_only and mcfg.qk_norm_full
+
+    toks = [3, 17, 42, 99, 7]
+    with torch.no_grad():
+        hf = model(torch.tensor([toks])).logits[0].float().numpy()
+
+    import jax.numpy as jnp
+
+    ctx = InferenceContext(mcfg, weights, n_lanes=1, max_seq=32,
+                           kv_dtype=jnp.float32)
+    seq = ctx.new_sequence()
+    got = ctx.prefill(seq, toks)
+    assert got.shape == hf.shape
+    np.testing.assert_allclose(got - got.max(-1, keepdims=True),
+                               hf - hf.max(-1, keepdims=True),
+                               atol=2e-2, rtol=0.05)
