@@ -248,7 +248,11 @@ def _inject_tools(messages: list[dict], tools: list[dict]) -> list[dict]:
     return [{"role": "system", "content": preamble}] + msgs
 
 
-_TOOL_CALL_RE = re.compile(r"<tool_call>\s*(\{.*?\})\s*</tool_call>", re.S)
+# EXAONE wraps the JSON in a ```json fence inside the block
+# (chat-parser.cpp common_chat_parse_exaone_moe_content)
+_TOOL_CALL_RE = re.compile(
+    r"<tool_call>\s*(?:```(?:json)?\s*)?(\{.*?\})\s*(?:```\s*)?"
+    r"</tool_call>", re.S)
 
 
 def detect_tool_format(template: str) -> str:

@@ -195,3 +195,13 @@ def test_parse_tool_calls_apriel():
             "</tool_calls>")
     content, calls = parse_tool_calls(text, "apriel-1.5")
     assert content == "" and calls[0]["function"]["name"] == "ls"
+
+
+def test_parse_tool_calls_fenced_json_block():
+    """EXAONE-style ```json fences inside <tool_call> blocks parse like
+    plain hermes blocks (chat-parser.cpp exaone content parser)."""
+    text = ('<tool_call>```json\n{"name": "f", "arguments": {"x": 1}}\n```'
+            "</tool_call>")
+    content, calls = parse_tool_calls(text)
+    assert content == "" and calls[0]["function"]["name"] == "f"
+    assert json.loads(calls[0]["function"]["arguments"]) == {"x": 1}
